@@ -1,0 +1,146 @@
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+For each registered query: run the Spark DataFrame and the oracle SQL over
+the same sf dir, sort columns by name and rows by value, and compare
+exactly.  Used by tests/ and by `python -m sparkroach.oracle` for a quick
+full sweep while iterating.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import duckdb
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkroach.tables import TABLES
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    spark_rows: int
+    oracle_rows: int
+    detail: str = ""
+
+
+def _duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(value):
+    """Make a cell comparable across engines."""
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        return value
+    if hasattr(value, "isoformat"):  # datetime/date
+        return value.isoformat(sep=" ")
+    if isinstance(value, (bytes, bytearray)):
+        return bytes(value).hex()
+    if isinstance(value, list):
+        return tuple(_normalize(v) for v in value)
+    import decimal
+
+    if isinstance(value, decimal.Decimal):
+        return float(value)
+    return value
+
+
+def _canon(rows: list[tuple], cols: list[str]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_normalize(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda r: tuple((str(type(v)), str(v)) for v in r))
+    return out
+
+
+def compare(
+    name: str,
+    df: DataFrame,
+    oracle_sql: str,
+    sf_dir: str,
+    con: duckdb.DuckDBPyConnection | None = None,
+) -> CompareResult:
+    con = con or _duck_connection(sf_dir)
+    spark_rows = df.collect()
+    spark_cols = df.columns
+    cur = con.execute(oracle_sql)
+    oracle_cols = [d[0] for d in cur.description]
+    oracle_rows = cur.fetchall()
+
+    if sorted(spark_cols) != sorted(oracle_cols):
+        return CompareResult(
+            name,
+            False,
+            len(spark_rows),
+            len(oracle_rows),
+            f"column mismatch: spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}",
+        )
+    if len(spark_rows) != len(oracle_rows):
+        return CompareResult(
+            name,
+            False,
+            len(spark_rows),
+            len(oracle_rows),
+            f"row count mismatch: spark={len(spark_rows)} oracle={len(oracle_rows)}",
+        )
+    s = _canon([tuple(r) for r in spark_rows], spark_cols)
+    o = _canon(oracle_rows, oracle_cols)
+    if s != o:
+        diff = next(
+            (i, a, b) for i, (a, b) in enumerate(zip(s, o)) if a != b
+        )
+        return CompareResult(
+            name,
+            False,
+            len(spark_rows),
+            len(oracle_rows),
+            f"value mismatch at sorted row {diff[0]}: spark={diff[1]} oracle={diff[2]}",
+        )
+    return CompareResult(name, True, len(spark_rows), len(oracle_rows))
+
+
+def run_all(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> list[CompareResult]:
+    from sparkroach.queries import QUERIES
+
+    con = _duck_connection(sf_dir)
+    results = []
+    for name, q in QUERIES.items():
+        if names and name not in names:
+            continue
+        if q.oracle is None:
+            df = q.fn(spark, sf_dir)
+            n = df.count()
+            results.append(CompareResult(name, True, n, -1, "rows-only (no oracle)"))
+            continue
+        try:
+            results.append(compare(name, q.fn(spark, sf_dir), q.oracle, sf_dir, con))
+        except Exception as exc:  # keep sweeping; report at the end
+            results.append(CompareResult(name, False, -1, -1, f"EXCEPTION: {exc}"))
+    return results
+
+
+if __name__ == "__main__":
+    import sys
+
+    from sparkroach.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    names = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    spark = get_spark("sparkroach-oracle")
+    bad = 0
+    for r in run_all(spark, sf_dir, names):
+        status = "OK  " if r.ok else "FAIL"
+        print(f"{status} {r.name:32s} rows={r.spark_rows} {r.detail}")
+        bad += 0 if r.ok else 1
+    print(f"{'ALL GREEN' if bad == 0 else f'{bad} FAILURES'}")
+    sys.exit(1 if bad else 0)

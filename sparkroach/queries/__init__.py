@@ -1,0 +1,19 @@
+"""Graded query registry.
+
+Every implemented operator from SURVEY.md §2 (plus the LLM-data-pipeline
+operators) registers here as a :class:`Query`: a Spark callable and, when
+SQL-expressible, the equivalent DuckDB oracle SQL.  ``__spark_entry__.py``
+derives its ``queries()`` / ``oracle_sql()`` dicts from this registry, and
+``bench.py`` picks its headline set from it.
+"""
+
+from __future__ import annotations
+
+from sparkroach.queries.registry import QUERIES, Query, register
+
+# importing these modules populates the registry
+from sparkroach.queries import relational  # noqa: E402,F401
+from sparkroach.queries import analytics  # noqa: E402,F401
+from sparkroach.queries import llm_ops  # noqa: E402,F401
+
+__all__ = ["QUERIES", "Query", "register"]

@@ -1,0 +1,593 @@
+"""Large-scale training-data pipeline operators (deduplication, similarity
+search, text analysis) over the ``documents`` and ``embeddings`` tables.
+
+These go beyond the reference's own surface (per BASELINE.json north star):
+the operators a 100 TB LLM-data pipeline needs, each expressed Spark-first
+(built-in column functions, no Python UDFs in the hot path) with a DuckDB
+oracle for the driver's correctness gate.
+
+Scale design notes:
+- dedup/minhash/simhash signatures are per-row map-side work (no shuffle);
+  LSH banding turns the O(n²) pair problem into an equi-join on band keys;
+- jaccard verification only runs on LSH candidates, never the cross product
+  (the `word_jaccard_pairs` query keeps a blocked cross-join variant purely
+  as the small-data oracle baseline);
+- ANN: brute-force is one broadcast-join + per-key top-k; the IVF variant
+  prunes candidates to the query's cluster (here the precomputed `label`);
+- everything numeric that crosses an aggregation is DECIMAL until the final
+  cast (see registry docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkroach.queries.registry import register
+from sparkroach.tables import load
+
+# ---------------------------------------------------------------------------
+# shared builders
+# ---------------------------------------------------------------------------
+
+N_MINHASH = 8  # signature length
+N_BANDS = 4  # → 2 rows per band
+
+# word-bigram shingles: Spark side
+_SHINGLES = (
+    "array_distinct(transform(sequence(1, size(ws) - 1), "
+    "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))"
+)
+# word-bigram shingles: DuckDB side
+_SHINGLES_SQL = "list_distinct([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])"
+
+
+def _with_shingles(df: DataFrame) -> DataFrame:
+    """doc_id, shingles(array<string> of distinct word bigrams)."""
+    return df.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+
+
+def _minhash_sig_expr(i: int) -> str:
+    """One minhash: lexicographic min of seeded md5 over the shingle set."""
+    return f"array_min(transform(shingles, x -> md5(concat('{i}:', x))))"
+
+
+def _minhash_sig_sql(i: int) -> str:
+    return f"list_min([md5('{i}:' || x) for x in shingles])"
+
+
+# ---------------------------------------------------------------------------
+# exact / fingerprint dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT count(*) AS n_docs,
+               count(DISTINCT md5(text)) AS n_distinct,
+               count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+        FROM documents
+    """,
+    survey_ref="LLM ops: exact dedup (hash-groupBy)",
+    description="exact duplicate census via content hash — map-side hash, one tiny agg",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("text"))
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(h).alias("n_distinct"),
+        (F.count("*") - F.count_distinct(h)).alias("n_exact_dups"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp
+        FROM documents
+        ORDER BY doc_id
+    """,
+    survey_ref="LLM ops: document fingerprinting (canonicalized content hash)",
+    description="order-insensitive content fingerprint: sort tokens, hash — "
+    "catches shuffled near-dups exactly",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.array_sort(F.split("text", " ")), " "))
+    return d.select("doc_id", fp.alias("fp")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# n-gram jaccard near-dup (blocked cross join — small-data oracle baseline)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "word_jaccard_pairs",
+    oracle=f"""
+        WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        sh AS (SELECT doc_id, lang, {_SHINGLES_SQL} AS shingles FROM w)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))
+                    AS DOUBLE)
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_filter(a.shingles, x -> list_contains(b.shingles, x))))
+                   AS jaccard
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))
+                   AS DOUBLE)
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_filter(a.shingles, x -> list_contains(b.shingles, x))))
+              >= 0.8
+        ORDER BY doc_a, doc_b
+    """,
+    survey_ref="LLM ops: n-gram Jaccard near-dup (blocked pairwise baseline)",
+    description="word-bigram Jaccard ≥ 0.8 within lang blocks — the exact baseline "
+    "that minhash_lsh_candidates approximates at scale",
+)
+def word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", "lang", F.split("text", " ").alias("ws")).select(
+        "doc_id", "lang", F.expr(_SHINGLES).alias("shingles")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = (
+        F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
+    )
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path for near-dup)
+# ---------------------------------------------------------------------------
+
+
+def _lsh_oracle() -> str:
+    sig_cols = ", ".join(
+        f"{_minhash_sig_sql(i)} AS s{i}" for i in range(N_MINHASH)
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    band_exprs = []
+    for b in range(N_BANDS):
+        parts = " || '|' || ".join(
+            f"s{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        band_exprs.append(f"SELECT doc_id, {b} AS band_idx, {parts} AS band_val FROM sig")
+    bands = " UNION ALL ".join(band_exprs)
+    return f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        shing AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM w),
+        sig AS (SELECT doc_id, {sig_cols} FROM shing),
+        bands AS ({bands})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=_lsh_oracle(),
+    survey_ref="LLM ops: MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join)",
+    description=f"{N_MINHASH}-hash MinHash signature, {N_BANDS} LSH bands; candidate "
+    "pairs = docs sharing a band bucket. Signature is map-side; the only "
+    "shuffle is the band-bucket equi-join — this is the O(n) path that "
+    "replaces the O(n²) cross join at 100 TB",
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = _with_shingles(d)
+    sig = sh.select(
+        "doc_id",
+        *[F.expr(_minhash_sig_expr(i)).alias(f"s{i}") for i in range(N_MINHASH)],
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws(
+                "|", *[f"s{b * rows_per_band + r}" for r in range(rows_per_band)]
+            ).alias("band_val"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+N_SIMHASH_BITS = 32
+_HEXDIGITS = "0123456789abcdef"
+
+
+def _simhash_oracle() -> str:
+    # bit j of the 32-bit token hash, from hex digit j//4 of md5(token)
+    bit_sums = []
+    for j in range(N_SIMHASH_BITS):
+        p = j // 4 + 1  # hex position 1..8
+        shift = 3 - (j % 4)
+        digit = f"(instr('{_HEXDIGITS}', substring(md5(tok), {p}, 1)) - 1)"
+        bit = f"(({digit} // {2 ** shift}) % 2)"
+        bit_sums.append(f"SUM(2 * {bit} - 1) AS c{j}")
+    cols = ", ".join(bit_sums)
+    value = " + ".join(
+        f"(CASE WHEN c{j} > 0 THEN {2 ** (N_SIMHASH_BITS - 1 - j)} ELSE 0 END)"
+        for j in range(N_SIMHASH_BITS)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents
+        ),
+        bits AS (SELECT doc_id, {cols} FROM toks GROUP BY doc_id)
+        SELECT doc_id, CAST({value} AS BIGINT) AS simhash
+        FROM bits
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "simhash_docs",
+    oracle=_simhash_oracle(),
+    survey_ref="LLM ops: SimHash document signatures",
+    description=f"{N_SIMHASH_BITS}-bit SimHash over distinct tokens — per-doc "
+    "signature is one explode + grouped bit-vote agg; near-dups share "
+    "prefixes/bands of the signature",
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    h = F.md5(F.col("tok"))
+    bit_cols = []
+    for j in range(N_SIMHASH_BITS):
+        p = j // 4 + 1
+        shift = 3 - (j % 4)
+        digit = F.instr(F.lit(_HEXDIGITS), F.substring(h, p, 1)) - 1
+        bit = (digit / (2**shift)).cast("int") % 2
+        bit_cols.append(F.sum(bit * 2 - 1).alias(f"c{j}"))
+    bits = toks.groupBy("doc_id").agg(*bit_cols)
+    value = None
+    for j in range(N_SIMHASH_BITS):
+        term = F.when(F.col(f"c{j}") > 0, F.lit(2 ** (N_SIMHASH_BITS - 1 - j))).otherwise(
+            F.lit(0)
+        )
+        value = term if value is None else value + term
+    return bits.select("doc_id", value.cast("bigint").alias("simhash")).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality",
+    oracle="""
+        SELECT doc_id,
+               length(text) AS n_chars_actual,
+               len(string_split_regex(text, '\\s+')) AS n_tokens,
+               CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+                   / length(text) AS punct_ratio,
+               CAST(length(text) AS DOUBLE)
+                   / len(string_split_regex(text, '\\s+')) AS avg_token_len
+        FROM documents
+        ORDER BY doc_id
+    """,
+    survey_ref="LLM ops: text quality scoring (length/punct/token stats)",
+    description="per-doc quality features: char count, token count, punct ratio, "
+    "mean token length — all JVM-side column expressions",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = F.size(F.split(F.col("text"), r"\s+"))
+    punct = F.length(F.regexp_replace(F.col("text"), "[a-z ]", ""))
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        (punct.cast("double") / n_chars).alias("punct_ratio"),
+        (n_chars.cast("double") / n_tokens).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "token_count_by_source",
+    oracle="""
+        SELECT source,
+               count(*) AS n_docs,
+               SUM(len(string_split_regex(text, '\\s+'))) AS total_tokens,
+               CAST(SUM(len(string_split_regex(text, '\\s+'))) AS DOUBLE) / count(*)
+                   AS avg_tokens_per_doc
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """,
+    survey_ref="LLM ops: token counting (corpus budget accounting)",
+    description="corpus token accounting per source — the budgeting query every "
+    "training-data pipeline runs first",
+)
+def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), r"\s+"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_tokens).alias("total_tokens"),
+            (F.sum(n_tokens).cast("double") / F.count("*")).alias(
+                "avg_tokens_per_doc"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_LEXICON: list[tuple[str, str]] = [
+    ("en", "the"), ("en", "a"), ("en", "of"), ("en", "and"), ("en", "to"),
+    ("de", "der"), ("de", "die"), ("de", "und"), ("de", "ist"), ("de", "ein"),
+    ("es", "el"), ("es", "la"), ("es", "los"), ("es", "una"), ("es", "es"),
+    ("fr", "le"), ("fr", "les"), ("fr", "et"), ("fr", "dans"), ("fr", "un"),
+]
+
+
+def _lang_id_oracle() -> str:
+    values = ", ".join(f"('{lang}', '{w}')" for lang, w in _LEXICON)
+    return f"""
+        WITH lex(lex_lang, word) AS (VALUES {values}),
+        toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        hits AS (
+            SELECT t.doc_id, l.lex_lang, count(*) AS n_hits
+            FROM toks t JOIN lex l ON t.tok = l.word
+            GROUP BY t.doc_id, l.lex_lang
+        ),
+        ranked AS (
+            SELECT doc_id, lex_lang, n_hits,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY n_hits DESC, lex_lang
+                   ) AS rn
+            FROM hits
+        )
+        SELECT doc_id, lex_lang AS pred_lang, n_hits
+        FROM ranked WHERE rn = 1
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "lang_id_stopwords",
+    oracle=_lang_id_oracle(),
+    survey_ref="LLM ops: language identification (stopword-profile heuristic)",
+    description="stopword-lexicon language ID: tokenize → broadcast-join tiny "
+    "lexicon → per-doc argmax. The lexicon broadcast keeps the fact side "
+    "shuffle-free until the per-doc agg",
+)
+def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    lex = d.sparkSession.createDataFrame(_LEXICON, ["lex_lang", "word"])
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    hits = (
+        toks.join(F.broadcast(lex), toks.tok == lex.word)
+        .groupBy("doc_id", "lex_lang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("n_hits").desc(), F.col("lex_lang"))
+    return (
+        hits.select(
+            "doc_id",
+            F.col("lex_lang").alias("pred_lang"),
+            "n_hits",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "aggregate(zip_with(qe, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NORM = (
+    "SQRT(aggregate(transform({col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+)
+
+_DOT_SQL = "list_sum([qe[i+1]::DOUBLE * ce[i+1]::DOUBLE for i in range(0, len(qe))])"
+_NORM_SQL = "SQRT(list_sum([x::DOUBLE * x::DOUBLE for x in {col}]))"
+
+TOP_K = 10
+N_QUERIES = 8
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+                   WHERE vec_id < {N_QUERIES}),
+        c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+        scored AS (
+            SELECT q_id, c_id,
+                   ROUND({_DOT_SQL}
+                         / ({_NORM_SQL.format(col="qe")} * {_NORM_SQL.format(col="ce")}),
+                         6) AS cosine
+            FROM q CROSS JOIN c
+            WHERE q_id <> c_id
+        ),
+        ranked AS (
+            SELECT q_id, c_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY cosine DESC, c_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT q_id, c_id, cosine, rank FROM ranked
+        WHERE rank <= {TOP_K}
+        ORDER BY q_id, rank
+    """,
+    survey_ref="LLM ops: ANN similarity search — brute-force cosine top-k baseline",
+    description="brute-force cosine top-k: tiny query set broadcast against the "
+    "corpus, per-query top-k via window rank. The exact baseline the IVF "
+    "variant is measured against",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+    cosine = F.round(
+        F.expr(_DOT)
+        / (F.expr(_NORM.format(col="qe")) * F.expr(_NORM.format(col="ce"))),
+        6,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", cosine.alias("cosine"))
+        .select("q_id", "c_id", "cosine", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
+@register(
+    "ann_ivf_label",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qe
+                   FROM embeddings WHERE vec_id < {N_QUERIES}),
+        c AS (SELECT vec_id AS c_id, label AS c_label, embedding AS ce FROM embeddings),
+        scored AS (
+            SELECT q_id, c_id,
+                   ROUND({_DOT_SQL}
+                         / ({_NORM_SQL.format(col="qe")} * {_NORM_SQL.format(col="ce")}),
+                         6) AS cosine
+            FROM q JOIN c ON q.q_label = c.c_label
+            WHERE q_id <> c_id
+        ),
+        ranked AS (
+            SELECT q_id, c_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY cosine DESC, c_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT q_id, c_id, cosine, rank FROM ranked
+        WHERE rank <= {TOP_K}
+        ORDER BY q_id, rank
+    """,
+    survey_ref="LLM ops: ANN similarity search — IVF-style cluster-pruned variant",
+    description="IVF-style ANN: candidates pruned to the query's cluster (the "
+    "precomputed `label` partition) before scoring — the equi-join on "
+    "cluster id replaces the cross join; at scale the corpus is "
+    "partitioned by cluster so the probe is a partition-pruned scan",
+)
+def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("ce"),
+    )
+    cosine = F.round(
+        F.expr(_DOT)
+        / (F.expr(_NORM.format(col="qe")) * F.expr(_NORM.format(col="ce"))),
+        6,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        F.broadcast(q)
+        .join(c, F.col("q_label") == F.col("c_label"))
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", cosine.alias("cosine"))
+        .select("q_id", "c_id", "cosine", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
+@register(
+    "embedding_label_stats",
+    oracle=f"""
+        SELECT label,
+               count(*) AS n_vecs,
+               CAST(SUM(CAST(ROUND({_NORM_SQL.format(col="embedding")}, 6)
+                             AS DECIMAL(18,9))) AS DOUBLE) AS total_norm
+        FROM embeddings
+        GROUP BY label
+        ORDER BY label
+    """,
+    survey_ref="LLM ops: embedding-column vector stats",
+    description="per-cluster vector census: L2 norms computed JVM-side via "
+    "aggregate(transform(...)), decimal-summed for order-insensitivity",
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    norm = F.round(F.expr(_NORM.format(col="embedding")), 6)
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(norm.cast("decimal(18,9)")).cast("double").alias("total_norm"),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,60 @@
+"""SparkSession construction tuned for this engine.
+
+Local tests run on ``local[N]`` but every setting here is chosen for the
+1000-executor / 100 TB deployment and merely *also* works locally:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing);
+- Arrow for any pandas/Python exchange (the only sanctioned Python path);
+- shuffle partitions sized by env so the same code runs at any scale;
+- broadcast threshold raised so dimension tables (region/nation/part at
+  TPC-H shape; asset/app params at chain shape) broadcast instead of
+  shuffling the fact side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "sparkroach",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard config."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # -- scale posture ------------------------------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # -- python exchange ---------------------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # -- determinism / correctness ------------------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores ts as TIMESTAMP(NANOS); read as long and
+        # convert in tables.load (Spark has no nanosecond timestamp type).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ANSI off: testdata oracle (DuckDB) and reference semantics use
+        # silent-null arithmetic edges; keep consistent.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.ui.enabled", os.environ.get("SPARKROACH_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARKROACH_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

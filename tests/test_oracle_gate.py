@@ -1,0 +1,37 @@
+"""Mirror of the driver's t2 correctness gate: every registered query must
+hash-match its DuckDB oracle on the same parquet inputs (sf0.001 here for
+speed; the driver runs sf0.01 — run `python -m sparkroach.oracle
+/root/testdata/sf0.01` for the full-scale sweep)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkroach import oracle
+from sparkroach.queries import QUERIES
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return oracle._duck_connection(SF_SMALL)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    q = QUERIES[name]
+    if q.oracle is None:
+        n = q.fn(spark, SF_SMALL).count()
+        assert n >= 0
+        return
+    res = oracle.compare(name, q.fn(spark, SF_SMALL), q.oracle, SF_SMALL, duck)
+    assert res.ok, res.detail
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
