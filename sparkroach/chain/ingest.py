@@ -1,0 +1,348 @@
+"""Round-gated, exactly-once block ingest (batch + Structured Streaming).
+
+The reference's AddBlock (cockroach.go:122-210) is: serializable tx →
+round gate (metastate next_account_round, :138-151) → 16 prepared
+upsert/delete statements + COPY (writer.go, write_txn.go) → increment the
+gate.  Here one micro-batch of blocks becomes ~8 deterministic DataFrame
+plans (one per table) MERGEd into the store; the round high-water mark in
+metastate plus idempotent MERGE gives the same exactly-once envelope under
+Structured Streaming retries (foreachBatch may redeliver a batch; the gate
+skips already-applied rounds — the reference's "txn tables can only be
+ahead, never behind" invariant, cockroach.go:189-199).
+
+The ON CONFLICT clause semantics (writer.go:39-114) are reproduced exactly:
+- upserts update values + set deleted=FALSE, PRESERVE created_at, and do
+  not touch closed_at;
+- deletes tombstone values, set deleted=TRUE, closed_at=round, preserve
+  created_at (and keytype, unless a sig-type delta arrived);
+- within a batch the update stream is FOLDED per key in (round, pos) order
+  so create+delete-in-one-round matches statement-by-statement execution
+  (writer_test.go:561-622).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkroach.chain import transforms
+from sparkroach.chain.encoding import canonical_json
+from sparkroach.chain.schemas import TABLE_SCHEMAS, block_schema
+from sparkroach.chain.store import ChainStore
+
+
+class RoundGateError(ValueError):
+    """Block round does not match the expected next round (cockroach.go:142-146)."""
+
+
+class GenesisHashMismatch(ValueError):
+    """Stored network genesis hash differs from the configured one
+    (idb/helpers.go:11-48)."""
+
+
+def _fold(
+    updates: DataFrame, keys: list[str], value_cols: list[str]
+) -> DataFrame:
+    """Reduce an op-tagged update stream to one row per key, preserving
+    statement-order semantics via (round, pos) ordering."""
+    ord_ = F.struct(F.col("round"), F.col("pos"))
+    aggs = [
+        F.min("round").alias("first_round"),
+        F.max_by("op", ord_).alias("last_op"),
+        F.max(F.when(F.col("op") == "delete", F.col("round"))).alias(
+            "last_delete_round"
+        ),
+    ]
+    aggs += [F.max_by(c, ord_).alias(f"last_{c}") for c in value_cols]
+    return updates.groupBy(*keys).agg(*aggs)
+
+
+def _lineage_cols(u_prefix: str = "u") -> dict[str, Column]:
+    """The shared created_at / closed_at / deleted merge clauses."""
+    return {
+        "deleted": F.col(f"{u_prefix}.last_op") == "delete",
+        "created_at": F.coalesce(F.col("e.created_at"), F.col(f"{u_prefix}.first_round")),
+        "closed_at": F.coalesce(
+            F.col(f"{u_prefix}.last_delete_round"), F.col("e.closed_at")
+        ),
+    }
+
+
+class ChainDB:
+    """The engine façade: genesis load, block ingest, health, pruning."""
+
+    def __init__(self, spark: SparkSession, base_dir: str, n_buckets: int = 16):
+        self.spark = spark
+        self.store = ChainStore(spark, base_dir, n_buckets)
+
+    # -- metastate ------------------------------------------------------------
+
+    def next_round(self) -> int | None:
+        raw = self.store.get_metastate("state")
+        return None if raw is None else json.loads(raw)["next_account_round"]
+
+    def _set_next_round(self, r: int) -> None:
+        self.store.set_metastate("state", json.dumps({"next_account_round": r}))
+
+    # -- genesis (A20-A22) ----------------------------------------------------
+
+    def load_genesis(
+        self,
+        allocations: list[dict],
+        genesis_hash: bytes,
+        network: str = "",
+    ) -> None:
+        """One-time bulk load (cockroach.go:213-280): every allocation
+        becomes an account row with created_at=0; import state starts at
+        round 0; network hash recorded for the restart guard."""
+        stored = self.store.get_metastate("network")
+        if stored is not None:
+            if json.loads(stored).get("genesis-hash") != _b64(genesis_hash):
+                raise GenesisHashMismatch("stored genesis hash differs")
+            return  # already initialized — idempotent
+        from decimal import Decimal
+
+        rows = [
+            (
+                a["addr"],
+                Decimal(a.get("microalgos", 0)),
+                0,
+                Decimal(a.get("rewards_total", 0)),
+                False,
+                0,
+                None,
+                None,
+                canonical_json({"onl": a.get("status", 0)}),
+            )
+            for a in allocations
+        ]
+        df = self.spark.createDataFrame(rows, TABLE_SCHEMAS["account"])
+        folded = df.select(
+            "addr",
+            F.lit(0).alias("first_round"),
+            F.lit("upsert").alias("last_op"),
+            F.lit(None).cast("long").alias("last_delete_round"),
+            F.col("microalgos").alias("last_microalgos"),
+            F.col("rewardsbase").alias("last_rewardsbase"),
+            F.col("rewards_total").alias("last_rewards_total"),
+            F.col("account_data").alias("last_account_data"),
+            F.lit(None).cast("string").alias("keytype_delta"),
+        )
+        self._merge_account(folded)
+        self.store.set_metastate(
+            "network", json.dumps({"genesis-hash": _b64(genesis_hash), "network": network})
+        )
+        self._set_next_round(0)
+
+    def check_genesis_hash(self, genesis_hash: bytes) -> None:
+        stored = self.store.get_metastate("network")
+        if stored is not None and json.loads(stored).get("genesis-hash") != _b64(
+            genesis_hash
+        ):
+            raise GenesisHashMismatch("stored genesis hash differs")
+
+    # -- block ingest (A1-A19) ------------------------------------------------
+
+    def add_blocks(self, blocks: DataFrame, strict: bool = True) -> int:
+        """Ingest a micro-batch of blocks.  Rounds must continue the high-
+        water mark exactly; already-ingested rounds are skipped (idempotent
+        replay); a gap raises RoundGateError.  Returns blocks applied."""
+        # Gate semantics match cockroach.go:142-146 exactly: an uninitialized
+        # DB expects round 0 (LoadGenesis sets next_account_round=0); any
+        # other starting round is a hard error, never a silent skip — a
+        # misordered feed must fail loudly, not lose blocks.
+        nxt = self.next_round()
+        if nxt is None:
+            nxt = 0
+        rounds = sorted(
+            r["round"] for r in blocks.select("round").distinct().collect()
+        )
+        if not rounds:
+            return 0
+        todo = [r for r in rounds if r >= nxt]
+        if not todo:
+            return 0  # pure replay of already-applied rounds
+        if strict:
+            if todo[0] != nxt:
+                raise RoundGateError(
+                    f"next expected round {nxt}, got {todo[0]} (gap)"
+                )
+            for a, b in zip(todo, todo[1:]):
+                if b != a + 1:
+                    raise RoundGateError(f"non-consecutive rounds {a} → {b}")
+        blocks = blocks.where(F.col("round").isin(todo)).cache()
+
+        # facts — the reference writes these concurrently with state (A19);
+        # order is free here because the manifest swap is per-table atomic
+        self.store.append_facts("block_header", transforms.block_headers(blocks))
+        self.store.append_facts("txn", transforms.txns(blocks))
+        self.store.append_facts(
+            "txn_participation", transforms.participation(blocks)
+        )
+
+        # state tables
+        sig = transforms.sigtype_deltas(blocks).withColumnRenamed(
+            "keytype", "keytype_delta"
+        )
+        acct = _fold(
+            transforms.account_updates(blocks),
+            ["addr"],
+            ["microalgos", "rewardsbase", "rewards_total", "account_data"],
+        ).join(sig, "addr", "left")
+        self._merge_account(acct)
+
+        asset = _fold(
+            transforms.asset_updates(blocks), ["id"], ["creator_addr", "params"]
+        )
+        self.store.merge_state(
+            "asset",
+            asset,
+            {
+                "id": F.col("u.id"),
+                "creator_addr": F.col("u.last_creator_addr"),
+                "params": F.col("u.last_params"),
+                **_lineage_cols(),
+            },
+        )
+
+        aa = _fold(
+            transforms.account_asset_updates(blocks),
+            ["addr", "assetid"],
+            ["amount", "frozen"],
+        )
+        self.store.merge_state(
+            "account_asset",
+            aa,
+            {
+                "addr": F.col("u.addr"),
+                "assetid": F.col("u.assetid"),
+                "amount": F.col("u.last_amount"),
+                "frozen": F.col("u.last_frozen"),
+                **_lineage_cols(),
+            },
+        )
+
+        app = _fold(
+            transforms.app_updates(blocks), ["id"], ["creator", "params"]
+        )
+        self.store.merge_state(
+            "app",
+            app,
+            {
+                "id": F.col("u.id"),
+                "creator": F.col("u.last_creator"),
+                "params": F.col("u.last_params"),
+                **_lineage_cols(),
+            },
+        )
+
+        ap = _fold(
+            transforms.account_app_updates(blocks),
+            ["addr", "app"],
+            ["localstate"],
+        )
+        self.store.merge_state(
+            "account_app",
+            ap,
+            {
+                "addr": F.col("u.addr"),
+                "app": F.col("u.app"),
+                "localstate": F.col("u.last_localstate"),
+                **_lineage_cols(),
+            },
+        )
+
+        box = _fold(
+            transforms.box_updates(blocks), ["app", "name"], ["value"]
+        )
+        self.store.merge_state(
+            "app_box",
+            box,
+            {
+                "app": F.col("u.app"),
+                "name": F.col("u.name"),
+                "value": F.col("u.last_value"),
+                "__drop__": F.col("u.last_op") == "delete",
+            },
+        )
+
+        # metastate: special accounts + round high-water mark (the commit point)
+        sa = transforms.special_accounts(blocks).collect()
+        if sa:
+            self.store.set_metastate("accounts", sa[0]["v"])
+        self._set_next_round(todo[-1] + 1)
+        blocks.unpersist()
+        return len(todo)
+
+    def _merge_account(self, folded: DataFrame) -> None:
+        """account MERGE incl. the keytype clauses (writer.go:62-113):
+        keytype updates only when a sig-type delta arrived, otherwise the
+        existing value is preserved — on upserts AND deletes."""
+        self.store.merge_state(
+            "account",
+            folded,
+            {
+                "addr": F.col("u.addr"),
+                "microalgos": F.col("u.last_microalgos"),
+                "rewardsbase": F.col("u.last_rewardsbase"),
+                "rewards_total": F.col("u.last_rewards_total"),
+                "keytype": F.coalesce(F.col("u.keytype_delta"), F.col("e.keytype")),
+                "account_data": F.col("u.last_account_data"),
+                **_lineage_cols(),
+            },
+        )
+
+    # -- streaming (A1/A2) ----------------------------------------------------
+
+    def stream_ingest(
+        self,
+        blocks_stream: DataFrame,
+        checkpoint_dir: str,
+        available_now: bool = True,
+    ):
+        """Structured Streaming wrapper: foreachBatch → add_blocks.  The
+        round gate makes redelivered batches no-ops, which together with
+        the checkpoint gives exactly-once table maintenance (A2/A3)."""
+
+        def _apply(df: DataFrame, batch_id: int) -> None:
+            self.add_blocks(df.sortWithinPartitions("round"))
+
+        writer = blocks_stream.writeStream.foreachBatch(_apply).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # -- health / pruning (A23, A25) -------------------------------------------
+
+    def health(self) -> dict:
+        nxt = self.next_round()
+        return {
+            "round": (nxt - 1) if nxt else 0,
+            "is-migrating": False,
+            "db-available": True,
+        }
+
+    def delete_transactions(self, keep: int) -> int:
+        """A25: drop txn rows with round < keep; record prune status."""
+        n = self.store.delete_facts_below("txn", keep)
+        self.store.delete_facts_below("txn_participation", keep)
+        self.store.set_metastate(
+            "pruned", json.dumps({"last_pruned_round": keep, "deleted_rows": n})
+        )
+        return n
+
+
+def _b64(b: bytes) -> str:
+    import base64
+
+    return base64.b64encode(b).decode("ascii")
+
+
+def blocks_from_json(spark: SparkSession, path: str) -> DataFrame:
+    """Read a directory/file of block JSON lines with the block schema —
+    the file-based stand-in for the conduit importer feed."""
+    return spark.read.schema(block_schema()).json(path)

@@ -1,0 +1,321 @@
+"""Bucketed copy-on-write parquet store with MERGE semantics.
+
+The reference maintains its nine tables with `INSERT ... ON CONFLICT`
+prepared statements inside serializable transactions (writer.go:39-114,
+util.go:43-68).  The Spark-native equivalent is a lakehouse MERGE; since
+this environment has bare parquet only, this module implements the minimal
+table format those semantics need:
+
+- every table is a manifest (JSON) pointing at immutable parquet files;
+- **state tables** are hash-bucketed by primary key.  A MERGE folds the
+  update stream per key, touches ONLY the buckets containing updated keys,
+  and rewrites just those buckets into a new version (copy-on-write at
+  bucket granularity) — untouched buckets are carried by reference.  At
+  100 TB with e.g. 4096 buckets, a block's worth of account updates
+  rewrites a handful of buckets, not the table;
+- **fact tables** (txn, txn_participation, block_header) are append-only;
+  each appended file records its (min_round, max_round) so readers prune
+  files by round range — the scan-side replacement for the reference's
+  B-tree PK index;
+- manifest swap is atomic (os.replace).  Production would swap a
+  transactional catalog (Delta/Iceberg) in behind the same API.
+
+Idempotence contract (SURVEY A2/A19): the ingest layer gates on the round
+high-water mark, so re-delivered micro-batches are skipped before they
+reach the store; fact appends additionally dedup on PK within the batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sparkroach.chain.schemas import TABLE_KEYS, TABLE_SCHEMAS
+
+DEFAULT_BUCKETS = 16  # local test default; cluster deployments use 1024+
+
+STATE_TABLES = (
+    "account",
+    "account_asset",
+    "asset",
+    "app",
+    "account_app",
+    "app_box",
+    "metastate",
+)
+FACT_TABLES = ("block_header", "txn", "txn_participation")
+
+
+@dataclass
+class Manifest:
+    version: int = 0
+    # state tables: bucket id (as str) → relative parquet dir
+    buckets: dict[str, str] = field(default_factory=dict)
+    # fact tables: [{path, min_round, max_round, rows}]
+    files: list[dict] = field(default_factory=list)
+
+    @classmethod
+    def load(cls, path: str) -> "Manifest":
+        if not os.path.exists(path):
+            return cls()
+        with open(path) as f:
+            d = json.load(f)
+        return cls(version=d["version"], buckets=d.get("buckets", {}), files=d.get("files", []))
+
+    def save(self, path: str) -> None:
+        tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"version": self.version, "buckets": self.buckets, "files": self.files},
+                f,
+            )
+        os.replace(tmp, path)
+
+
+class ChainStore:
+    """The nine maintained tables under one base directory."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        n_buckets: int = DEFAULT_BUCKETS,
+    ) -> None:
+        self.spark = spark
+        self.base_dir = base_dir
+        self.n_buckets = n_buckets
+        os.makedirs(base_dir, exist_ok=True)
+
+    # -- manifest plumbing --------------------------------------------------
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self.base_dir, table, "manifest.json")
+
+    def _manifest(self, table: str) -> Manifest:
+        return Manifest.load(self._manifest_path(table))
+
+    def _new_version_dir(self, table: str, version: int) -> str:
+        d = os.path.join(self.base_dir, table, f"v{version:06d}")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _empty(self, table: str) -> DataFrame:
+        return self.spark.createDataFrame([], TABLE_SCHEMAS[table])
+
+    def _bucket_col(self, table: str) -> F.Column:
+        keys = TABLE_KEYS[table]
+        return F.pmod(F.hash(*keys), F.lit(self.n_buckets))
+
+    # -- reads ----------------------------------------------------------------
+
+    def read(
+        self,
+        table: str,
+        min_round: int | None = None,
+        max_round: int | None = None,
+    ) -> DataFrame:
+        """Current snapshot.  For fact tables a round range prunes files
+        before Spark ever lists them (manifest min/max stats)."""
+        m = self._manifest(table)
+        schema = TABLE_SCHEMAS[table]
+        if table in STATE_TABLES:
+            paths = sorted(set(m.buckets.values()))
+        else:
+            paths = [
+                e["path"]
+                for e in m.files
+                if (min_round is None or e["max_round"] >= min_round)
+                and (max_round is None or e["min_round"] <= max_round)
+            ]
+        if not paths:
+            return self._empty(table)
+        abs_paths = [os.path.join(self.base_dir, table, p) for p in paths]
+        df = self.spark.read.schema(schema).parquet(*abs_paths)
+        if table in FACT_TABLES:
+            if min_round is not None:
+                df = df.where(F.col("round") >= min_round)
+            if max_round is not None:
+                df = df.where(F.col("round") <= max_round)
+        return df
+
+    # -- fact append ----------------------------------------------------------
+
+    def append_facts(self, table: str, rows: DataFrame) -> int:
+        """Append-only write with in-batch PK dedup (ON CONFLICT DO NOTHING
+        within the batch; cross-batch idempotence comes from the ingest
+        round gate)."""
+        assert table in FACT_TABLES, table
+        keys = TABLE_KEYS[table]
+        rows = rows.dropDuplicates(keys)
+        m = self._manifest(table)
+        version = m.version + 1
+        vdir = self._new_version_dir(table, version)
+        out = os.path.join(vdir, "data")
+        rows.write.mode("overwrite").parquet(out)
+        stats = (
+            self.spark.read.parquet(out)
+            .agg(
+                F.min("round").alias("lo"),
+                F.max("round").alias("hi"),
+                F.count("*").alias("n"),
+            )
+            .collect()[0]
+        )
+        if stats["n"] == 0:
+            return 0
+        m.files.append(
+            {
+                "path": os.path.relpath(out, os.path.join(self.base_dir, table)),
+                "min_round": stats["lo"],
+                "max_round": stats["hi"],
+                "rows": stats["n"],
+                "ts": time.time(),
+            }
+        )
+        m.version = version
+        m.save(self._manifest_path(table))
+        return stats["n"]
+
+    def delete_facts_below(self, table: str, keep_round: int) -> int:
+        """Pruning (A25): drop whole files above the cutoff for free; rewrite
+        the single boundary-straddling file."""
+        assert table in FACT_TABLES
+        m = self._manifest(table)
+        version = m.version + 1
+        kept: list[dict] = []
+        dropped_rows = 0
+        rewrite: list[dict] = []
+        for e in m.files:
+            if e["min_round"] >= keep_round:
+                kept.append(e)
+            elif e["max_round"] < keep_round:
+                dropped_rows += e["rows"]
+            else:
+                rewrite.append(e)
+        if rewrite:
+            vdir = self._new_version_dir(table, version)
+            paths = [os.path.join(self.base_dir, table, e["path"]) for e in rewrite]
+            df = (
+                self.spark.read.schema(TABLE_SCHEMAS[table])
+                .parquet(*paths)
+                .where(F.col("round") >= keep_round)
+            )
+            out = os.path.join(vdir, "data")
+            df.write.mode("overwrite").parquet(out)
+            stats = (
+                self.spark.read.parquet(out)
+                .agg(F.min("round").alias("lo"), F.max("round").alias("hi"), F.count("*").alias("n"))
+                .collect()[0]
+            )
+            before = sum(e["rows"] for e in rewrite)
+            dropped_rows += before - stats["n"]
+            if stats["n"]:
+                kept.append(
+                    {
+                        "path": os.path.relpath(out, os.path.join(self.base_dir, table)),
+                        "min_round": stats["lo"],
+                        "max_round": stats["hi"],
+                        "rows": stats["n"],
+                        "ts": time.time(),
+                    }
+                )
+        m.files = kept
+        m.version = version
+        m.save(self._manifest_path(table))
+        return int(dropped_rows)
+
+    # -- state MERGE ----------------------------------------------------------
+
+    def merge_state(self, table: str, folded: DataFrame, merge_cols: dict[str, F.Column]) -> None:
+        """Copy-on-write MERGE: ``folded`` is one row per key (the ingest
+        layer folds the update stream first) with whatever helper columns
+        ``merge_cols`` references via ``u.<col>`` / ``e.<col>``.
+
+        merge_cols maps every output column to an expression over the
+        updates (alias ``u``) left-joined to existing rows (alias ``e``).
+        Rows where merge_cols['__drop__'] (optional) evaluates true are
+        physically removed (app_box delete).
+        """
+        keys = TABLE_KEYS[table]
+        m = self._manifest(table)
+        version = m.version + 1
+
+        folded = folded.withColumn("__bucket", self._bucket_col(table)).cache()
+        touched = [r["__bucket"] for r in folded.select("__bucket").distinct().collect()]
+        if not touched:
+            folded.unpersist()
+            return
+
+        # existing rows from touched buckets only
+        paths = [
+            os.path.join(self.base_dir, table, m.buckets[str(b)])
+            for b in touched
+            if str(b) in m.buckets
+        ]
+        if paths:
+            existing = self.spark.read.schema(TABLE_SCHEMAS[table]).parquet(*paths)
+        else:
+            existing = self._empty(table)
+        existing = existing.withColumn("__bucket", self._bucket_col(table))
+        existing = existing.where(F.col("__bucket").isin(touched))
+
+        u = folded.alias("u")
+        e = existing.alias("e")
+        cond = [F.col(f"u.{k}") == F.col(f"e.{k}") for k in keys]
+
+        drop_expr = merge_cols.get("__drop__")
+        out_cols = [
+            expr.alias(name) for name, expr in merge_cols.items() if name != "__drop__"
+        ]
+        merged = u.join(e, cond, "left").select(
+            *out_cols, F.col("u.__bucket").alias("__bucket")
+        )
+        if drop_expr is not None:
+            merged = u.join(e, cond, "left").select(
+                *out_cols,
+                F.col("u.__bucket").alias("__bucket"),
+                drop_expr.alias("__drop"),
+            ).where(~F.col("__drop")).drop("__drop")
+
+        untouched_in_bucket = existing.join(folded.select(*keys), keys, "left_anti")
+        new_data = untouched_in_bucket.select(
+            *[F.col(c) for c in TABLE_SCHEMAS[table].fieldNames()], "__bucket"
+        ).unionByName(merged)
+
+        vdir = self._new_version_dir(table, version)
+        new_data.write.mode("overwrite").partitionBy("__bucket").parquet(vdir)
+
+        rel = os.path.relpath(vdir, os.path.join(self.base_dir, table))
+        for b in touched:
+            bucket_dir = os.path.join(vdir, f"__bucket={b}")
+            if os.path.exists(bucket_dir):
+                m.buckets[str(b)] = f"{rel}/__bucket={b}"
+            else:
+                # all rows in this bucket were deleted
+                m.buckets.pop(str(b), None)
+        m.version = version
+        m.save(self._manifest_path(table))
+        folded.unpersist()
+
+    # -- metastate convenience -------------------------------------------------
+
+    def get_metastate(self, key: str) -> str | None:
+        rows = self.read("metastate").where(F.col("k") == key).collect()
+        return rows[0]["v"] if rows else None
+
+    def set_metastate(self, key: str, value: str) -> None:
+        folded = self.spark.createDataFrame(
+            [(key, value)], TABLE_SCHEMAS["metastate"]
+        )
+        self.merge_state(
+            "metastate",
+            folded,
+            {"k": F.col("u.k"), "v": F.col("u.v")},
+        )
