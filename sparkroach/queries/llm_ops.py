@@ -566,6 +566,35 @@ def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_features",
+    oracle=None,  # payload-byte features aren't SQL-expressible → rows-only check
+    survey_ref="LLM ops: multimodal columns (binary payload + typed metadata, "
+    "mapInPandas decode/feature pipeline; codec stubbed)",
+    description="synthesize a binary media table from documents, run the "
+    "mapInPandas feature-extraction stage, roll up per kind. The decode "
+    "step is a deterministic stub (no codec libs here); schema, Arrow "
+    "batching and partitioning are the real 100 TB plumbing",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach.functions import multimodal as mm
+    from sparkroach.tables import load as _load
+
+    media = mm.synthesize_media(_load(spark, sf_dir, "documents"))
+    feats = mm.extract_features(media)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum(F.col("byte_mean").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_byte_mean"),
+        )
+        .orderBy("kind")
+    )
+
+
+@register(
     "embedding_label_stats",
     oracle=f"""
         SELECT label,
