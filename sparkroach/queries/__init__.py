@@ -14,6 +14,7 @@ from sparkroach.queries.registry import QUERIES, Query, register
 # importing these modules populates the registry
 from sparkroach.queries import relational  # noqa: E402,F401
 from sparkroach.queries import analytics  # noqa: E402,F401
+from sparkroach.queries import analytics2  # noqa: E402,F401
 from sparkroach.queries import llm_ops  # noqa: E402,F401
 
 __all__ = ["QUERIES", "Query", "register"]

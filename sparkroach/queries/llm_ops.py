@@ -368,6 +368,32 @@ def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_PAT = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "token_count_bpe_regex",
+    oracle=f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe_tokens,
+               len(string_split_regex(text, '\\s+')) AS n_ws_tokens
+        FROM documents
+        ORDER BY doc_id
+    """,
+    survey_ref="LLM ops: token counting — BPE-ish regex pieces vs whitespace",
+    description="per-doc token counts under a BPE-style piece regex "
+    "(letters-run | digits-run | single symbol) next to the whitespace "
+    "baseline — the tokenizer-budget estimator, all regexp JVM-side",
+)
+def token_count_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_BPE_PAT)).alias("n_bpe_tokens"),
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_ws_tokens"),
+    ).orderBy("doc_id")
+
+
 _LEXICON: list[tuple[str, str]] = [
     ("en", "the"), ("en", "a"), ("en", "of"), ("en", "and"), ("en", "to"),
     ("de", "der"), ("de", "die"), ("de", "und"), ("de", "ist"), ("de", "ein"),
