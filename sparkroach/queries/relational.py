@@ -82,7 +82,7 @@ def txn_round_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(l_extendedprice AS DOUBLE) AS l_extendedprice
         FROM lineitem
         WHERE (l_orderkey > 500) OR (l_orderkey = 500 AND l_linenumber > 2)
-        ORDER BY l_orderkey, l_linenumber
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice
         LIMIT 100
     """,
     survey_ref="§2B NextToken keyset pagination (idb.go:56-100, 218; A24)",
@@ -101,7 +101,9 @@ def txn_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey",
             F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
+        # (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+        # extend the sort until the page cutoff is deterministic
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
         .limit(100)
     )
 
