@@ -54,11 +54,14 @@ def _canonicalize(v: Any) -> Any:
     if isinstance(v, dict):
         out = {}
         for k, val in v.items():
-            if _is_empty(val):
+            # prune bottom-up: a nested document that becomes empty after
+            # its own pruning is itself omitted
+            cv = _canonicalize(val)
+            if _is_empty(cv):
                 continue
             if isinstance(k, (bytes, bytearray)):
                 k = base64.b64encode(bytes(k)).decode("ascii")
-            out[str(k)] = _canonicalize(val)
+            out[str(k)] = cv
         return out
     if isinstance(v, (list, tuple)):
         return [_canonicalize(x) for x in v]

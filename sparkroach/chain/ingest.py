@@ -74,6 +74,9 @@ class ChainDB:
     """The engine façade: genesis load, block ingest, health, pruning."""
 
     def __init__(self, spark: SparkSession, base_dir: str, n_buckets: int = 16):
+        from sparkroach._shiplib import ensure_shipped
+
+        ensure_shipped(spark)  # executors need the canonical-JSON UDF modules
         self.spark = spark
         self.store = ChainStore(spark, base_dir, n_buckets)
 

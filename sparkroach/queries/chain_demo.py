@@ -1,0 +1,152 @@
+"""Chain-engine end-to-end demo entry for the correctness gate.
+
+Builds a small deterministic chain (genesis + 3 blocks exercising payments,
+inner-txn trees, assets, apps, boxes) in a temp directory via the REAL
+ingest path (transforms → MERGE store → round gate), then returns a join
+over the maintained tables.  Non-SQL-expressible (it's a full ETL pipeline,
+not a query over the provided views) → rows-only check; the operator-level
+semantics are oracle-matched piecewise by tests/test_chain_*.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkroach.queries.registry import register
+
+ADDR_A = b"\x01" * 32
+ADDR_B = b"\x02" * 32
+GENESIS = b"\x42" * 32
+
+
+def _pay(txid, snd, rcv, amt, inners=None):
+    return {
+        "txid": txid,
+        "txn": {"type": "pay", "snd": snd, "rcv": rcv, "amt": Decimal(amt), "fee": 1000},
+        "sig": b"\x11" * 64,
+        "ad": {"dt": {"itx": inners}} if inners is not None else None,
+    }
+
+
+def _blocks():
+    inner = {
+        "txn": {"type": "pay", "snd": ADDR_B, "rcv": ADDR_A, "amt": Decimal(1)},
+    }
+    appl = {
+        "txid": "APPL",
+        "txn": {"type": "appl", "snd": ADDR_A, "apid": 7},
+        "sig": b"\x11" * 64,
+        "ad": {"dt": {"itx": [inner, inner]}},
+    }
+    return [
+        {
+            "round": 0,
+            "timestamp": 1_700_000_000,
+            "genesis_id": "demo",
+            "genesis_hash": GENESIS,
+            "rewards_level": 0,
+            "txn_counter": 100,
+            "fee_sink": b"\xfe" * 32,
+            "rewards_pool": b"\xaa" * 32,
+            "payset": [_pay("PAY0", ADDR_A, ADDR_B, 500)],
+            "delta": {
+                "accts": [
+                    {"addr": ADDR_A, "microalgos": Decimal(10**9)},
+                    {"addr": ADDR_B, "microalgos": Decimal(500)},
+                ],
+                "asset_resources": [],
+                "app_resources": [],
+                "kv_mods": [],
+            },
+        },
+        {
+            "round": 1,
+            "timestamp": 1_700_000_010,
+            "genesis_id": "demo",
+            "genesis_hash": GENESIS,
+            "rewards_level": 0,
+            "txn_counter": 101,
+            "fee_sink": b"\xfe" * 32,
+            "rewards_pool": b"\xaa" * 32,
+            "payset": [appl],
+            "delta": {
+                "accts": [],
+                "asset_resources": [
+                    {
+                        "aidx": 5,
+                        "addr": ADDR_A,
+                        "params_deleted": False,
+                        "params": {"total": Decimal(1000), "unit_name": b"DMO"},
+                        "holding_deleted": False,
+                        "holding": {"amount": Decimal(1000), "frozen": False},
+                    }
+                ],
+                "app_resources": [],
+                "kv_mods": [
+                    {"key": b"bx" + (7).to_bytes(8, "big") + b"slot", "value": b"\x01"}
+                ],
+            },
+        },
+        {
+            "round": 2,
+            "timestamp": 1_700_000_020,
+            "genesis_id": "demo",
+            "genesis_hash": GENESIS,
+            "rewards_level": 0,
+            "txn_counter": 102,
+            "fee_sink": b"\xfe" * 32,
+            "rewards_pool": b"\xaa" * 32,
+            "payset": [_pay("PAY2", ADDR_B, ADDR_A, 250)],
+            "delta": {
+                "accts": [{"addr": ADDR_B, "microalgos": Decimal(0)}],  # close B
+                "asset_resources": [],
+                "app_resources": [],
+                "kv_mods": [],
+            },
+        },
+    ]
+
+
+@register(
+    "chain_end_to_end",
+    oracle=None,  # full ETL pipeline, not expressible over the oracle views
+    survey_ref="§2A A1-A25 end-to-end: genesis, round-gated ingest (payments, "
+    "inner-txn tree, asset, box, account close), then a read over the "
+    "maintained tables",
+    description="builds a 3-block chain through the real ingest path in a "
+    "temp store, returns per-round txn/participation counts joined with "
+    "the final account states — the whole §2A plane in one call",
+)
+def chain_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach.chain.ingest import ChainDB
+    from sparkroach.chain.schemas import block_schema
+
+    base = tempfile.mkdtemp(prefix="sparkroach_demo_")
+    db = ChainDB(spark, os.path.join(base, "chain"), n_buckets=2)
+    db.load_genesis([{"addr": ADDR_A, "microalgos": 10**9}], genesis_hash=GENESIS)
+    db.add_blocks(spark.createDataFrame(_blocks(), block_schema()))
+
+    txn = db.store.read("txn")
+    part = db.store.read("txn_participation")
+    acct = db.store.read("account")
+    per_round = (
+        txn.groupBy("round")
+        .agg(
+            F.count("*").alias("n_txns"),
+            F.sum(F.when(F.col("txid").isNull(), 1).otherwise(0)).alias("n_inner"),
+        )
+        .join(
+            part.groupBy("round").agg(F.count("*").alias("n_participants")),
+            "round",
+        )
+    )
+    accounts = acct.agg(
+        F.count("*").alias("n_accounts"),
+        F.sum(F.when(F.col("deleted"), 1).otherwise(0)).alias("n_closed"),
+    )
+    return per_round.crossJoin(accounts).orderBy("round")

@@ -591,6 +591,68 @@ def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_planes(n_planes: int = 16, dims: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — identical constants
+    are embedded into the Spark plan and the oracle SQL."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dims):
+            h = hashlib.md5(f"{p}:{i}".encode()).hexdigest()
+            row.append(int(h[0], 16) - 7.5)
+        planes.append(row)
+    return planes
+
+
+_PLANES = _lsh_planes()
+
+
+def _hyperplane_oracle() -> str:
+    terms = []
+    for p, w in enumerate(_PLANES):
+        lit = "[" + ", ".join(str(x) for x in w) + "]"
+        dot = (
+            f"list_sum([embedding[i+1]::DOUBLE * ({lit}::DOUBLE[])[i+1] "
+            f"for i in range(0, len(embedding))])"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {2 ** p} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+        SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket
+        FROM embeddings
+        ORDER BY vec_id
+    """
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle=_hyperplane_oracle(),
+    survey_ref="LLM ops: ANN — random-hyperplane LSH bucketing (the sublinear "
+    "scale path; candidates = same-bucket equi-join like minhash)",
+    description=f"{len(_PLANES)}-bit random-hyperplane signature per vector: "
+    "16 dot products against literal planes, sign bits packed into a "
+    "bucket id. Map-side only; at scale the corpus is stored bucketed so "
+    "probes touch one bucket per plane-table",
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    bucket = None
+    for p, w in enumerate(_PLANES):
+        lit = "array(" + ", ".join(f"{x}D" for x in w) + ")"
+        dot = (
+            f"aggregate(zip_with(embedding, {lit}, "
+            f"(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), "
+            f"(acc, v) -> acc + v)"
+        )
+        term = F.when(F.expr(dot) > 0, F.lit(2**p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return e.select(
+        "vec_id", bucket.cast("bigint").alias("bucket")
+    ).orderBy("vec_id")
+
+
 @register(
     "multimodal_features",
     oracle=None,  # payload-byte features aren't SQL-expressible → rows-only check

@@ -1,0 +1,70 @@
+"""Physical-plan regression tests: the scale posture of SCALE.md, asserted.
+
+These guard the *shape* of the plans — pushdown reaching the scan, column
+pruning, broadcast joins on dimensions, top-k as TakeOrderedAndProject —
+so a future edit can't silently regress the 100 TB story while still
+passing value checks.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkroach.queries import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF_SMALL)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # column pruning: the scan must NOT read l_orderkey/l_partkey/l_suppkey
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    assert "HashAggregate" in plan
+
+
+def test_q3_broadcasts_and_topk(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert plan.count("BroadcastHashJoin") >= 2  # customer + orders build sides
+    assert "TakeOrderedAndProject" in plan  # top-10 without a global sort
+    assert "SortMergeJoin" not in plan
+
+
+def test_q5_all_dimensions_broadcast(spark):
+    plan = _plan(spark, "q5_region_volume")
+    # AQE prints initial + adaptive sections, so count is a lower bound
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_point_lookup_pushes_predicate(spark):
+    plan = _plan(spark, "txn_point_lookup")
+    assert "EqualTo(o_orderkey,421)" in plan
+
+
+def test_semijoin_is_left_semi(spark):
+    plan = _plan(spark, "participation_semijoin")
+    assert "LeftSemi" in plan
+
+
+def test_minhash_has_no_cartesian_product(spark):
+    # the LSH path must pair candidates via equi-join on band keys
+    plan = _plan(spark, "minhash_lsh_candidates")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_broadcasts_queries_not_corpus(spark):
+    plan = _plan(spark, "ann_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the build (broadcast) side must be the filtered query set
+    build_idx = plan.find("BroadcastExchange")
+    assert build_idx != -1
+    assert "vec_id" in plan[build_idx : build_idx + 2000]

@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) for the pure-logic layer: codec
+round-trips and canonical-JSON invariants — the encoding discipline §1.3
+correctness rests on."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sparkroach.chain import encoding
+
+settings.register_profile("ci", max_examples=200, deadline=None)
+settings.load_profile("ci")
+
+
+@given(st.integers(0, 2**64 - 1), st.integers(0, 2**32 - 1))
+def test_txn_token_roundtrip(round_, intra):
+    tok = encoding.encode_txn_next_token(round_, intra)
+    assert encoding.decode_txn_next_token(tok) == (round_, intra)
+    assert "=" not in tok and "+" not in tok and "/" not in tok  # url-safe
+
+
+@given(st.binary(min_size=32, max_size=32))
+def test_address_roundtrip(pubkey):
+    assert encoding.decode_address(encoding.encode_address(pubkey)) == pubkey
+
+
+_scalar = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(-(2**63), 2**64 - 1),
+    st.text(max_size=20),
+    st.binary(max_size=20),
+)
+_json_like = st.recursive(
+    _scalar,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=4),
+        st.dictionaries(st.text(max_size=8), inner, max_size=4),
+        st.dictionaries(st.binary(min_size=1, max_size=8), inner, max_size=4),
+    ),
+    max_leaves=20,
+)
+
+
+@given(_json_like)
+def test_canonical_json_is_valid_sorted_and_stable(obj):
+    s = encoding.canonical_json(obj)
+    parsed = json.loads(s)  # always valid JSON
+
+    def check(node):
+        if isinstance(node, dict):
+            keys = list(node)
+            assert keys == sorted(keys)  # canonical key order
+            for v in node.values():
+                # omit-empty: no empty value survives anywhere
+                assert v not in (0, "", [], {}, False, None)
+                check(v)
+        elif isinstance(node, list):
+            for v in node:
+                check(v)
+
+    check(parsed)
+    # deterministic: same input → same bytes
+    assert encoding.canonical_json(obj) == s
+
+
+@given(st.dictionaries(st.binary(min_size=1, max_size=4), st.integers(1, 9), min_size=1, max_size=4))
+def test_byte_keys_become_base64(d):
+    import base64
+
+    parsed = json.loads(encoding.canonical_json(d))
+    for k in parsed:
+        base64.b64decode(k)  # every key decodes as base64
+
+
+@given(st.integers(0, 2**64 - 1))
+def test_uint64_roundtrips_via_canonical_json(n):
+    from decimal import Decimal
+
+    assert json.loads(encoding.canonical_json({"v": Decimal(n)})).get("v", 0) == n
