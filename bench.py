@@ -52,6 +52,13 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[1], 4)
 
+    # streaming-ingest throughput: one 32-block micro-batch with full
+    # 9-table maintenance (BASELINE target: > 0.35 blocks/s sustained)
+    from sparkroach.queries.chain_demo import ingest_blocks
+
+    ingest_blocks(spark, n_blocks=2)  # warm the ingest plan shapes
+    timings["chain_ingest_32_blocks"] = round(ingest_blocks(spark, n_blocks=32), 4)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_wall",

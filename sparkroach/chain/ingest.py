@@ -159,9 +159,19 @@ class ChainDB:
         nxt = self.next_round()
         if nxt is None:
             nxt = 0
-        rounds = sorted(
-            r["round"] for r in blocks.select("round").distinct().collect()
-        )
+        # one driver-side collect for all scalar bookkeeping: rounds,
+        # special accounts, and per-delta sizes (to skip no-op merges)
+        meta_rows = blocks.select(
+            "round",
+            "fee_sink",
+            "rewards_pool",
+            F.coalesce(F.size("delta.accts"), F.lit(0)).alias("n_accts"),
+            F.coalesce(F.size("delta.asset_resources"), F.lit(0)).alias("n_assets"),
+            F.coalesce(F.size("delta.app_resources"), F.lit(0)).alias("n_apps"),
+            F.coalesce(F.size("delta.kv_mods"), F.lit(0)).alias("n_boxes"),
+            F.coalesce(F.size("payset"), F.lit(0)).alias("n_txns"),
+        ).collect()
+        rounds = sorted({r["round"] for r in meta_rows})
         if not rounds:
             return 0
         todo = [r for r in rounds if r >= nxt]
@@ -175,27 +185,100 @@ class ChainDB:
             for a, b in zip(todo, todo[1:]):
                 if b != a + 1:
                     raise RoundGateError(f"non-consecutive rounds {a} → {b}")
+        applied = [r for r in meta_rows if r["round"] in set(todo)]
+        has = {
+            k: any(r[k] > 0 for r in applied)
+            for k in ("n_accts", "n_assets", "n_apps", "n_boxes", "n_txns")
+        }
         blocks = blocks.where(F.col("round").isin(todo)).cache()
 
-        # facts — the reference writes these concurrently with state (A19);
-        # order is free here because the manifest swap is per-table atomic
-        self.store.append_facts("block_header", transforms.block_headers(blocks))
-        self.store.append_facts("txn", transforms.txns(blocks))
-        self.store.append_facts(
-            "txn_participation", transforms.participation(blocks)
-        )
+        flat = None
+        if has["n_txns"]:
+            # the txn-tree flatten feeds three tables — materialize it once
+            # BEFORE fanning out so concurrent consumers hit the cache
+            flat = transforms.flatten_txns(blocks).cache()
+            flat.count()
 
-        # state tables
-        sig = transforms.sigtype_deltas(blocks).withColumnRenamed(
-            "keytype", "keytype_delta"
+        # Per-table work is independent (separate manifests), so submit the
+        # Spark jobs concurrently — the same intra-block parallelism the
+        # reference gets from its second serializable transaction (A19,
+        # cockroach.go:167-199), generalized to all nine tables.
+        tasks: list = [
+            lambda: self.store.append_facts(
+                "block_header", transforms.block_headers(blocks)
+            )
+        ]
+        if has["n_txns"]:
+            tasks.append(
+                lambda: self.store.append_facts(
+                    "txn", transforms.txns(blocks, rows=flat)
+                )
+            )
+            tasks.append(
+                lambda: self.store.append_facts(
+                    "txn_participation",
+                    transforms.participation(blocks, rows=flat),
+                )
+            )
+        if has["n_accts"]:
+            tasks.append(lambda: self._merge_account_batch(blocks, flat))
+        if has["n_assets"]:
+            tasks.append(lambda: self._merge_assets(blocks))
+        if has["n_apps"]:
+            tasks.append(lambda: self._merge_apps(blocks))
+        if has["n_boxes"]:
+            tasks.append(lambda: self._merge_boxes(blocks))
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            for fut in [pool.submit(t) for t in tasks]:
+                fut.result()  # re-raise the first failure
+
+        # metastate: special accounts + round high-water mark in ONE merge
+        # (the round update is the commit point)
+        last = max(meta_rows, key=lambda r: r["round"])
+        accounts_v = json.dumps(
+            {
+                "FeeSink": _b64(bytes(last["fee_sink"])) if last["fee_sink"] else None,
+                "RewardsPool": _b64(bytes(last["rewards_pool"]))
+                if last["rewards_pool"]
+                else None,
+            }
         )
+        meta = self.spark.createDataFrame(
+            [
+                ("accounts", accounts_v),
+                ("state", json.dumps({"next_account_round": todo[-1] + 1})),
+            ],
+            TABLE_SCHEMAS["metastate"],
+        )
+        self.store.merge_state(
+            "metastate", meta, {"k": F.col("u.k"), "v": F.col("u.v")}
+        )
+        if flat is not None:
+            flat.unpersist()
+        blocks.unpersist()
+        return len(todo)
+
+    def _merge_account_batch(self, blocks: DataFrame, flat: DataFrame | None) -> None:
+        if flat is not None:
+            sig = transforms.sigtype_deltas(blocks, rows=flat)
+            sig = sig.withColumnRenamed("keytype", "keytype_delta")
+        else:
+            sig = None
         acct = _fold(
             transforms.account_updates(blocks),
             ["addr"],
             ["microalgos", "rewardsbase", "rewards_total", "account_data"],
-        ).join(sig, "addr", "left")
+        )
+        if sig is not None:
+            acct = acct.join(sig, "addr", "left")
+        else:
+            acct = acct.withColumn("keytype_delta", F.lit(None).cast("string"))
         self._merge_account(acct)
 
+    def _merge_assets(self, blocks: DataFrame) -> None:
         asset = _fold(
             transforms.asset_updates(blocks), ["id"], ["creator_addr", "params"]
         )
@@ -209,7 +292,6 @@ class ChainDB:
                 **_lineage_cols(),
             },
         )
-
         aa = _fold(
             transforms.account_asset_updates(blocks),
             ["addr", "assetid"],
@@ -227,9 +309,8 @@ class ChainDB:
             },
         )
 
-        app = _fold(
-            transforms.app_updates(blocks), ["id"], ["creator", "params"]
-        )
+    def _merge_apps(self, blocks: DataFrame) -> None:
+        app = _fold(transforms.app_updates(blocks), ["id"], ["creator", "params"])
         self.store.merge_state(
             "app",
             app,
@@ -240,11 +321,8 @@ class ChainDB:
                 **_lineage_cols(),
             },
         )
-
         ap = _fold(
-            transforms.account_app_updates(blocks),
-            ["addr", "app"],
-            ["localstate"],
+            transforms.account_app_updates(blocks), ["addr", "app"], ["localstate"]
         )
         self.store.merge_state(
             "account_app",
@@ -257,9 +335,8 @@ class ChainDB:
             },
         )
 
-        box = _fold(
-            transforms.box_updates(blocks), ["app", "name"], ["value"]
-        )
+    def _merge_boxes(self, blocks: DataFrame) -> None:
+        box = _fold(transforms.box_updates(blocks), ["app", "name"], ["value"])
         self.store.merge_state(
             "app_box",
             box,
@@ -270,14 +347,6 @@ class ChainDB:
                 "__drop__": F.col("u.last_op") == "delete",
             },
         )
-
-        # metastate: special accounts + round high-water mark (the commit point)
-        sa = transforms.special_accounts(blocks).collect()
-        if sa:
-            self.store.set_metastate("accounts", sa[0]["v"])
-        self._set_next_round(todo[-1] + 1)
-        blocks.unpersist()
-        return len(todo)
 
     def _merge_account(self, folded: DataFrame) -> None:
         """account MERGE incl. the keytype clauses (writer.go:62-113):

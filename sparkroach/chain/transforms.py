@@ -282,9 +282,15 @@ def flatten_txns(blocks: DataFrame, depth: int = TXN_DEPTH) -> DataFrame:
     ).drop("r_round", "r_pos")
 
 
-def txns(blocks: DataFrame, depth: int = TXN_DEPTH) -> DataFrame:
-    """The `txn` table rows (yieldTransactions write_txn.go:113-157)."""
-    rows = flatten_txns(blocks, depth)
+def txns(
+    blocks: DataFrame, depth: int = TXN_DEPTH, rows: DataFrame | None = None
+) -> DataFrame:
+    """The `txn` table rows (yieldTransactions write_txn.go:113-157).
+
+    Pass precomputed (cached) ``rows`` from :func:`flatten_txns` when
+    deriving several tables from one batch — the flatten is the expensive
+    shared stage (ingest does this)."""
+    rows = rows if rows is not None else flatten_txns(blocks, depth)
     te = F.lit(None).cast("short")
     for name, enum in TXN_TYPE_ENUM.items():
         te = F.when(F.col("txtype") == name, F.lit(enum).cast("short")).otherwise(te)
@@ -323,10 +329,12 @@ def txns(blocks: DataFrame, depth: int = TXN_DEPTH) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def participation(blocks: DataFrame, depth: int = TXN_DEPTH) -> DataFrame:
+def participation(
+    blocks: DataFrame, depth: int = TXN_DEPTH, rows: DataFrame | None = None
+) -> DataFrame:
     """(addr, round, intra) — per-type roles, dedup, inners by direct
     participants only (write_txn_participation.go:14-110)."""
-    rows = flatten_txns(blocks, depth)
+    rows = rows if rows is not None else flatten_txns(blocks, depth)
     base = F.array(F.col("snd"))
     by_type = (
         F.when(F.col("txtype") == "pay", F.concat(base, F.array("rcv", "close")))
@@ -360,10 +368,13 @@ def participation(blocks: DataFrame, depth: int = TXN_DEPTH) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def sigtype_deltas(blocks: DataFrame, depth: int = TXN_DEPTH) -> DataFrame:
+def sigtype_deltas(
+    blocks: DataFrame, depth: int = TXN_DEPTH, rows: DataFrame | None = None
+) -> DataFrame:
     """Per-sender last-wins keytype from ROOT txns; rekeyed and stateproof
     txns are skipped (writer.go:163-179; sig_type.go:45-64)."""
-    rows = flatten_txns(blocks, depth).where("is_root")
+    rows = rows if rows is not None else flatten_txns(blocks, depth)
+    rows = rows.where("is_root")
     keytype = (
         F.when(F.length("sig") > 0, F.lit("sig"))
         .when(F.col("msig_present"), F.lit("msig"))

@@ -112,6 +112,60 @@ def _blocks():
     ]
 
 
+def ingest_blocks(spark: SparkSession, n_blocks: int = 32, n_txns: int = 20) -> float:
+    """Bench helper: ingest one n_blocks micro-batch of payment blocks
+    (full 9-table maintenance) into a fresh store; returns seconds.
+    BASELINE.md target: sustained > 0.35 blocks/s."""
+    import time
+
+    from sparkroach.chain.ingest import ChainDB
+    from sparkroach.chain.schemas import block_schema
+
+    def pay(r, i):
+        return {
+            "txid": f"T{r}_{i}",
+            "txn": {
+                "type": "pay",
+                "snd": bytes([i % 250 + 1]) * 32,
+                "rcv": bytes([(i + 1) % 250 + 1]) * 32,
+                "amt": Decimal(100 + i),
+                "fee": 1000,
+            },
+            "sig": b"\x11" * 64,
+        }
+
+    blocks = [
+        {
+            "round": r,
+            "timestamp": 1_700_000_000 + r,
+            "genesis_id": "bench",
+            "genesis_hash": GENESIS,
+            "rewards_level": 0,
+            "txn_counter": 100 + r,
+            "fee_sink": b"\xfe" * 32,
+            "rewards_pool": b"\xaa" * 32,
+            "payset": [pay(r, i) for i in range(n_txns)],
+            "delta": {
+                "accts": [
+                    {"addr": bytes([i % 250 + 1]) * 32,
+                     "microalgos": Decimal(10**6 + r * 100 + i)}
+                    for i in range(n_txns)
+                ],
+                "asset_resources": [],
+                "app_resources": [],
+                "kv_mods": [],
+            },
+        }
+        for r in range(n_blocks)
+    ]
+    base = tempfile.mkdtemp(prefix="sparkroach_ingest_bench_")
+    db = ChainDB(spark, os.path.join(base, "chain"), n_buckets=8)
+    df = spark.createDataFrame(blocks, block_schema())
+    t0 = time.perf_counter()
+    db.add_blocks(df)
+    return time.perf_counter() - t0
+
+
 @register(
     "chain_end_to_end",
     oracle=None,  # full ETL pipeline, not expressible over the oracle views
