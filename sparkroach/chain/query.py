@@ -39,6 +39,11 @@ class MaxTransactionsError(ValueError):
     """Result exceeds MaxTransactionsLimit (idb.go:418-423)."""
 
 
+class MaxResourcesError(ValueError):
+    """An account exceeds MaxResources (MaxAPIResourcesPerAccountError,
+    idb.go:278-286)."""
+
+
 @dataclass
 class TransactionFilter:
     """idb.go:180-233."""
@@ -69,6 +74,7 @@ class TransactionFilter:
     next_token: str | None = None
     limit: int | None = None
     skip_inner_transactions: bool = False
+    skip_inner_transaction_conversion: bool = False
     max_transactions_limit: int | None = None
 
     def compile(self, db: ChainDB) -> DataFrame:
@@ -189,6 +195,24 @@ class TransactionFilter:
                     f"more than {self.max_transactions_limit} results"
                 )
 
+        # inner → root resolution (idb.go:222-228: TxnRow.RootTxn): matched
+        # inner rows carry their root's stored txn alongside; only joined
+        # when inner rows can appear in the result at all
+        if self.skip_inner_transactions or self.skip_inner_transaction_conversion:
+            txn = txn.withColumn("root_txn", F.lit(None).cast("string"))
+        else:
+            roots = db.store.read("txn", min_round=lo, max_round=hi).select(
+                F.col("round").alias("rt_round"),
+                F.col("intra").alias("rt_intra"),
+                F.col("txn").alias("root_txn"),
+            )
+            ri = F.get_json_object("extra", "$['root-intra']").cast("int")
+            txn = txn.join(
+                roots,
+                (F.col("round") == F.col("rt_round")) & (ri == F.col("rt_intra")),
+                "left",
+            ).drop("rt_round", "rt_intra")
+
         txn = txn.orderBy("round", "intra")
         if self.limit is not None:
             txn = txn.limit(self.limit)
@@ -237,6 +261,24 @@ class AccountQueryOptions:
     has_app_id: int | None = None
     include_deleted: bool = False
     limit: int | None = None
+    # resource inclusion (idb.go:257-263) — left joins + per-addr array agg,
+    # the Indexer's JSON aggregation re-expressed as sort_array(collect_list)
+    include_asset_holdings: bool = False
+    include_asset_params: bool = False
+    include_app_local_state: bool = False
+    include_app_params: bool = False
+    max_resources: int | None = None
+
+    def _resource_agg(
+        self, db: ChainDB, table: str, key: str, alias: str, cols: list[str]
+    ) -> DataFrame:
+        t = db.store.read(table)
+        if not self.include_deleted:
+            t = t.where(~F.coalesce(F.col("deleted"), F.lit(False)))
+        return t.groupBy(F.col(key).alias("addr")).agg(
+            F.sort_array(F.collect_list(F.struct(*cols))).alias(alias),
+            F.count("*").alias(f"n_{alias}"),
+        )
 
     def compile(self, db: ChainDB) -> DataFrame:
         acct = db.store.read("account")
@@ -273,6 +315,34 @@ class AccountQueryOptions:
             if not self.include_deleted:
                 ap = ap.where(~F.coalesce(F.col("deleted"), F.lit(False)))
             acct = acct.join(ap.select("addr"), "addr", "left_semi")
+
+        includes = [
+            (self.include_asset_holdings, "account_asset", "addr", "assets",
+             ["assetid", "amount", "frozen", "deleted", "created_at", "closed_at"]),
+            (self.include_asset_params, "asset", "creator_addr", "created_assets",
+             ["id", "params", "deleted", "created_at", "closed_at"]),
+            (self.include_app_local_state, "account_app", "addr", "apps_local_state",
+             ["app", "localstate", "deleted", "created_at", "closed_at"]),
+            (self.include_app_params, "app", "creator", "created_apps",
+             ["id", "params", "deleted", "created_at", "closed_at"]),
+        ]
+        res_counts = []
+        for on, table, key, alias, cols in includes:
+            if not on:
+                continue
+            acct = acct.join(self._resource_agg(db, table, key, alias, cols), "addr", "left")
+            res_counts.append(F.coalesce(F.col(f"n_{alias}"), F.lit(0)))
+        if self.max_resources is not None and res_counts:
+            total = res_counts[0]
+            for c in res_counts[1:]:
+                total = total + c
+            over = acct.where(total > self.max_resources).select("addr").limit(1).collect()
+            if over:
+                raise MaxResourcesError(
+                    f"account {over[0]['addr']!r} exceeds {self.max_resources} resources"
+                )
+        acct = acct.drop(*[f"n_{a}" for _, _, _, a, _ in includes])
+
         acct = acct.orderBy("addr")
         if self.limit is not None:
             acct = acct.limit(self.limit)

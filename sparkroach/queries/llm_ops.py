@@ -653,6 +653,75 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+NEARDUP_TAU = 0.35
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+        WITH a AS (SELECT vec_id AS a_id, label AS a_label, embedding AS qe
+                   FROM embeddings),
+        b AS (SELECT vec_id AS b_id, label AS b_label, embedding AS ce
+              FROM embeddings),
+        pairs AS (
+            SELECT a_id, b_id,
+                   ROUND({_DOT_SQL}
+                         / ({_NORM_SQL.format(col="qe")} * {_NORM_SQL.format(col="ce")}),
+                         6) AS cosine
+            FROM a JOIN b ON a_label = b_label AND a_id < b_id
+        )
+        SELECT b_id AS dup_id, MIN(a_id) AS keep_id,
+               COUNT(*) AS n_matches, MAX(cosine) AS max_cosine
+        FROM pairs
+        WHERE cosine >= {NEARDUP_TAU}
+        GROUP BY b_id
+        ORDER BY dup_id
+    """,
+    survey_ref="LLM ops: embedding-cosine near-duplicate detection (dedup via "
+    "semantic similarity; completes the dedup family: exact/minhash/simhash/"
+    "jaccard/embedding)",
+    description="near-dup by embedding cosine: cluster-blocked self-join "
+    f"(pairs only within a `label` block, never the cross product), cosine "
+    f">= {NEARDUP_TAU}, then keep-lowest-id policy per duplicate — each dup "
+    "row reports its canonical survivor. At 100 TB the block key is an LSH "
+    "bucket (see ann_lsh_buckets) so pair candidates stay O(n·bucket_size)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("qe"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("embedding").alias("ce"),
+    )
+    cosine = F.round(
+        F.expr(_DOT)
+        / (F.expr(_NORM.format(col="qe")) * F.expr(_NORM.format(col="ce"))),
+        6,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a_label") == F.col("b_label")) & (F.col("a_id") < F.col("b_id")),
+        )
+        .select("a_id", "b_id", cosine.alias("cosine"))
+        .where(F.col("cosine") >= NEARDUP_TAU)
+    )
+    return (
+        pairs.groupBy(F.col("b_id").alias("dup_id"))
+        .agg(
+            F.min("a_id").alias("keep_id"),
+            F.count("*").alias("n_matches"),
+            F.max("cosine").alias("max_cosine"),
+        )
+        .orderBy("dup_id")
+    )
+
+
 @register(
     "multimodal_features",
     oracle=None,  # payload-byte features aren't SQL-expressible → rows-only check

@@ -142,6 +142,53 @@ def test_accounts_query(db):
     assert AccountQueryOptions(has_app_id=20).compile(db).count() == 1
 
 
+def test_inner_root_resolution(spark, tmp_path_factory):
+    # idb.go:222-228: matched inner rows resolve to their root txn unless
+    # SkipInnerTransactionConversion
+    d = ChainDB(spark, str(tmp_path_factory.mktemp("chainroot")), n_buckets=2)
+    inner = fx.pay_txn(None, snd=fx.ADDR_B, rcv=fx.ADDR_C, amt=7, sig=None)
+    root = fx.appl_txn("ROOT0", apid=42, inners=[inner])
+    d.add_blocks(fx.blocks_df(spark, [fx.make_block(0, payset=[root])]))
+
+    rows = {r.intra: r for r in TransactionFilter().compile(d).collect()}
+    assert rows[0].root_txn is None  # root row: nothing to resolve
+    assert rows[1].txid is None and rows[1].root_txn == rows[0].txn
+
+    raw = TransactionFilter(skip_inner_transaction_conversion=True).compile(d)
+    assert all(r.root_txn is None for r in raw.collect())
+    only_roots = TransactionFilter(skip_inner_transactions=True).compile(d)
+    assert [r.intra for r in only_roots.collect()] == [0]
+
+
+def test_account_resource_inclusion(db):
+    from sparkroach.chain.query import MaxResourcesError
+
+    out = {
+        bytes(r.addr): r
+        for r in AccountQueryOptions(
+            include_asset_holdings=True,
+            include_asset_params=True,
+            include_app_local_state=True,
+            include_app_params=True,
+        )
+        .compile(db)
+        .collect()
+    }
+    a, b = out[fx.ADDR_A], out[fx.ADDR_B]
+    assert [int(h.amount) for h in a.assets] == [900]
+    assert [c.id for c in a.created_assets] == [5]
+    assert a.created_apps is None and a.apps_local_state is None
+    assert [c.id for c in b.created_apps] == [20]
+    assert [s.app for s in b.apps_local_state] == [20]
+
+    with pytest.raises(MaxResourcesError):
+        AccountQueryOptions(
+            include_asset_holdings=True,
+            include_asset_params=True,
+            max_resources=1,
+        ).compile(db)
+
+
 def test_assets_query_ilike(db):
     assert AssetsQuery(query="goldc").compile(db).count() == 1
     assert AssetsQuery(unit="gold").compile(db).count() == 1
