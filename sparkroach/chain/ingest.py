@@ -170,6 +170,15 @@ class ChainDB:
             F.coalesce(F.size("delta.app_resources"), F.lit(0)).alias("n_apps"),
             F.coalesce(F.size("delta.kv_mods"), F.lit(0)).alias("n_boxes"),
             F.coalesce(F.size("payset"), F.lit(0)).alias("n_txns"),
+            F.coalesce(
+                F.aggregate(
+                    "payset",
+                    F.lit(0),
+                    lambda acc, t: acc
+                    + F.coalesce(F.size(t["ad"]["dt"]["itx"]), F.lit(0)),
+                ),
+                F.lit(0),
+            ).alias("n_inner"),
         ).collect()
         rounds = sorted({r["round"] for r in meta_rows})
         if not rounds:
@@ -195,8 +204,17 @@ class ChainDB:
         flat = None
         if has["n_txns"]:
             # the txn-tree flatten feeds three tables — materialize it once
-            # BEFORE fanning out so concurrent consumers hit the cache
-            flat = transforms.flatten_txns(blocks).cache()
+            # BEFORE fanning out so concurrent consumers hit the cache.
+            # Data-adaptive depth: most blocks carry no inner txns, and the
+            # depth-1 plan skips the per-level posexplode unions entirely
+            # (cheaper to plan AND to run); the batch-wide inner count came
+            # free with the gate collect above.
+            depth = None if any(r["n_inner"] > 0 for r in applied) else 1
+            flat = (
+                transforms.flatten_txns(blocks)
+                if depth is None
+                else transforms.flatten_txns(blocks, depth=1)
+            ).cache()
             flat.count()
 
         # Per-table work is independent (separate manifests), so submit the
@@ -246,15 +264,11 @@ class ChainDB:
                 else None,
             }
         )
-        meta = self.spark.createDataFrame(
-            [
-                ("accounts", accounts_v),
-                ("state", json.dumps({"next_account_round": todo[-1] + 1})),
-            ],
-            TABLE_SCHEMAS["metastate"],
-        )
-        self.store.merge_state(
-            "metastate", meta, {"k": F.col("u.k"), "v": F.col("u.v")}
+        self.store.merge_metastate(
+            {
+                "accounts": accounts_v,
+                "state": json.dumps({"next_account_round": todo[-1] + 1}),
+            }
         )
         if flat is not None:
             flat.unpersist()

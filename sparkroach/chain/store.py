@@ -150,24 +150,29 @@ class ChainStore:
     def append_facts(self, table: str, rows: DataFrame) -> int:
         """Append-only write with in-batch PK dedup (ON CONFLICT DO NOTHING
         within the batch; cross-batch idempotence comes from the ingest
-        round gate)."""
+        round gate).
+
+        File-level (min_round, max_round) stats are collected with
+        ``observe()`` during the write job itself — one pass over the data,
+        no re-scan of the output (at 100 TB a stats re-read would double
+        the append's IO)."""
         assert table in FACT_TABLES, table
+        from pyspark.sql import Observation
+
         keys = TABLE_KEYS[table]
-        rows = rows.dropDuplicates(keys)
+        obs = Observation()
+        rows = rows.dropDuplicates(keys).observe(
+            obs,
+            F.min("round").alias("lo"),
+            F.max("round").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
         m = self._manifest(table)
         version = m.version + 1
         vdir = self._new_version_dir(table, version)
         out = os.path.join(vdir, "data")
         rows.write.mode("overwrite").parquet(out)
-        stats = (
-            self.spark.read.parquet(out)
-            .agg(
-                F.min("round").alias("lo"),
-                F.max("round").alias("hi"),
-                F.count("*").alias("n"),
-            )
-            .collect()[0]
-        )
+        stats = obs.get
         if stats["n"] == 0:
             return 0
         m.files.append(
@@ -243,6 +248,9 @@ class ChainStore:
         Rows where merge_cols['__drop__'] (optional) evaluates true are
         physically removed (app_box delete).
         """
+        # metastate has its own driver-side commit path (merge_metastate);
+        # its single-file layout is incompatible with hash-bucket touch sets
+        assert table != "metastate", "use merge_metastate"
         keys = TABLE_KEYS[table]
         m = self._manifest(table)
         version = m.version + 1
@@ -306,16 +314,51 @@ class ChainStore:
 
     # -- metastate convenience -------------------------------------------------
 
+    def _read_metastate_dict(self) -> dict[str, str]:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        m = self._manifest("metastate")
+        out: dict[str, str] = {}
+        for rel in sorted(set(m.buckets.values())):
+            p = os.path.join(self.base_dir, "metastate", rel)
+            files = [p] if os.path.isfile(p) else sorted(
+                glob.glob(os.path.join(p, "*.parquet"))
+            )
+            for f in files:
+                t = pq.read_table(f, columns=["k", "v"])
+                out.update(zip(t.column("k").to_pylist(), t.column("v").to_pylist()))
+        return out
+
     def get_metastate(self, key: str) -> str | None:
-        rows = self.read("metastate").where(F.col("k") == key).collect()
-        return rows[0]["v"] if rows else None
+        return self._read_metastate_dict().get(key)
+
+    def merge_metastate(self, updates: dict[str, str]) -> None:
+        """Driver-side commit for the bounded control table (≤6 keys,
+        schema/metastate.go:4-11) — the moral equivalent of a transaction-log
+        write.  Launching a Spark MERGE job for a 2-row upsert costs ~1 s of
+        pure scheduling; a driver parquet write costs milliseconds and keeps
+        the same manifest-swap atomicity."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        kv = self._read_metastate_dict()
+        kv.update(updates)
+        m = self._manifest("metastate")
+        version = m.version + 1
+        vdir = self._new_version_dir("metastate", version)
+        out = os.path.join(vdir, "data.parquet")
+        ks = sorted(kv)
+        pq.write_table(
+            pa.table({"k": ks, "v": [kv[k] for k in ks]}),
+            out,
+        )
+        m.buckets = {
+            "0": os.path.relpath(out, os.path.join(self.base_dir, "metastate"))
+        }
+        m.version = version
+        m.save(self._manifest_path("metastate"))
 
     def set_metastate(self, key: str, value: str) -> None:
-        folded = self.spark.createDataFrame(
-            [(key, value)], TABLE_SCHEMAS["metastate"]
-        )
-        self.merge_state(
-            "metastate",
-            folded,
-            {"k": F.col("u.k"), "v": F.col("u.v")},
-        )
+        self.merge_metastate({key: value})

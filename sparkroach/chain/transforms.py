@@ -269,17 +269,13 @@ def flatten_txns(blocks: DataFrame, depth: int = TXN_DEPTH) -> DataFrame:
     w = Window.partitionBy("round").orderBy(F.array_join("path", "."))
     rows = rows.withColumn("intra", (F.row_number().over(w) - 1).cast("int"))
 
-    # root_intra = intra of the root row, joined back on (round, root_pos)
-    roots = rows.where("is_root").select(
-        F.col("round").alias("r_round"),
-        F.col("root_pos").alias("r_pos"),
-        F.col("intra").alias("root_intra"),
-    )
-    return rows.join(
-        roots,
-        (rows["round"] == roots["r_round"]) & (rows["root_pos"] == roots["r_pos"]),
-        "left",
-    ).drop("r_round", "r_pos")
+    # root_intra: the root is preorder-first within its (round, root_pos)
+    # subtree, so its intra is the group minimum.  A window over a SUPERSET
+    # of the rank window's partition keys reuses the same exchange (hash on
+    # `round` already clusters (round, root_pos)) — no join, no second
+    # shuffle, and no recomputation of the ranked branch as a join side.
+    wg = Window.partitionBy("round", "root_pos")
+    return rows.withColumn("root_intra", F.min("intra").over(wg))
 
 
 def txns(
