@@ -281,8 +281,9 @@ class ChainDB:
             sig = sig.withColumnRenamed("keytype", "keytype_delta")
         else:
             sig = None
+        upd = transforms.account_updates(blocks)
         acct = _fold(
-            transforms.account_updates(blocks),
+            upd,
             ["addr"],
             ["microalgos", "rewardsbase", "rewards_total", "account_data"],
         )
@@ -290,12 +291,11 @@ class ChainDB:
             acct = acct.join(sig, "addr", "left")
         else:
             acct = acct.withColumn("keytype_delta", F.lit(None).cast("string"))
-        self._merge_account(acct)
+        self._merge_account(acct, touch_keys=upd.select("addr"))
 
     def _merge_assets(self, blocks: DataFrame) -> None:
-        asset = _fold(
-            transforms.asset_updates(blocks), ["id"], ["creator_addr", "params"]
-        )
+        aupd = transforms.asset_updates(blocks)
+        asset = _fold(aupd, ["id"], ["creator_addr", "params"])
         self.store.merge_state(
             "asset",
             asset,
@@ -305,12 +305,10 @@ class ChainDB:
                 "params": F.col("u.last_params"),
                 **_lineage_cols(),
             },
+            touch_keys=aupd.select("id"),
         )
-        aa = _fold(
-            transforms.account_asset_updates(blocks),
-            ["addr", "assetid"],
-            ["amount", "frozen"],
-        )
+        aaupd = transforms.account_asset_updates(blocks)
+        aa = _fold(aaupd, ["addr", "assetid"], ["amount", "frozen"])
         self.store.merge_state(
             "account_asset",
             aa,
@@ -321,10 +319,12 @@ class ChainDB:
                 "frozen": F.col("u.last_frozen"),
                 **_lineage_cols(),
             },
+            touch_keys=aaupd.select("addr", "assetid"),
         )
 
     def _merge_apps(self, blocks: DataFrame) -> None:
-        app = _fold(transforms.app_updates(blocks), ["id"], ["creator", "params"])
+        aupd = transforms.app_updates(blocks)
+        app = _fold(aupd, ["id"], ["creator", "params"])
         self.store.merge_state(
             "app",
             app,
@@ -334,10 +334,10 @@ class ChainDB:
                 "params": F.col("u.last_params"),
                 **_lineage_cols(),
             },
+            touch_keys=aupd.select("id"),
         )
-        ap = _fold(
-            transforms.account_app_updates(blocks), ["addr", "app"], ["localstate"]
-        )
+        apupd = transforms.account_app_updates(blocks)
+        ap = _fold(apupd, ["addr", "app"], ["localstate"])
         self.store.merge_state(
             "account_app",
             ap,
@@ -347,10 +347,12 @@ class ChainDB:
                 "localstate": F.col("u.last_localstate"),
                 **_lineage_cols(),
             },
+            touch_keys=apupd.select("addr", "app"),
         )
 
     def _merge_boxes(self, blocks: DataFrame) -> None:
-        box = _fold(transforms.box_updates(blocks), ["app", "name"], ["value"])
+        bupd = transforms.box_updates(blocks)
+        box = _fold(bupd, ["app", "name"], ["value"])
         self.store.merge_state(
             "app_box",
             box,
@@ -360,9 +362,10 @@ class ChainDB:
                 "value": F.col("u.last_value"),
                 "__drop__": F.col("u.last_op") == "delete",
             },
+            touch_keys=bupd.select("app", "name"),
         )
 
-    def _merge_account(self, folded: DataFrame) -> None:
+    def _merge_account(self, folded: DataFrame, touch_keys=None) -> None:
         """account MERGE incl. the keytype clauses (writer.go:62-113):
         keytype updates only when a sig-type delta arrived, otherwise the
         existing value is preserved — on upserts AND deletes."""
@@ -378,6 +381,7 @@ class ChainDB:
                 "account_data": F.col("u.last_account_data"),
                 **_lineage_cols(),
             },
+            touch_keys=touch_keys,
         )
 
     # -- streaming (A1/A2) ----------------------------------------------------

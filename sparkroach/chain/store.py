@@ -238,7 +238,13 @@ class ChainStore:
 
     # -- state MERGE ----------------------------------------------------------
 
-    def merge_state(self, table: str, folded: DataFrame, merge_cols: dict[str, F.Column]) -> None:
+    def merge_state(
+        self,
+        table: str,
+        folded: DataFrame,
+        merge_cols: dict[str, F.Column],
+        touch_keys: DataFrame | None = None,
+    ) -> None:
         """Copy-on-write MERGE: ``folded`` is one row per key (the ingest
         layer folds the update stream first) with whatever helper columns
         ``merge_cols`` references via ``u.<col>`` / ``e.<col>``.
@@ -247,6 +253,14 @@ class ChainStore:
         updates (alias ``u``) left-joined to existing rows (alias ``e``).
         Rows where merge_cols['__drop__'] (optional) evaluates true are
         physically removed (app_box delete).
+
+        ``touch_keys`` (optional) is any DataFrame carrying the table's key
+        columns for every updated key (duplicates fine — typically the
+        UN-folded update stream).  When given, the touched-bucket set is
+        collected from that cheap projection (column pruning strips the
+        fold/UDF/join work) and the full fold chain runs exactly once,
+        inside the write job — instead of being materialized into cache
+        just to learn the bucket list.  One pass over the updates, not two.
         """
         # metastate has its own driver-side commit path (merge_metastate);
         # its single-file layout is incompatible with hash-bucket touch sets
@@ -255,10 +269,19 @@ class ChainStore:
         m = self._manifest(table)
         version = m.version + 1
 
-        folded = folded.withColumn("__bucket", self._bucket_col(table)).cache()
-        touched = [r["__bucket"] for r in folded.select("__bucket").distinct().collect()]
+        cached = touch_keys is None
+        if cached:
+            folded = folded.withColumn("__bucket", self._bucket_col(table)).cache()
+            key_src = folded
+        else:
+            folded = folded.withColumn("__bucket", self._bucket_col(table))
+            key_src = touch_keys.withColumn("__bucket", self._bucket_col(table))
+        touched = [
+            r["__bucket"] for r in key_src.select("__bucket").distinct().collect()
+        ]
         if not touched:
-            folded.unpersist()
+            if cached:
+                folded.unpersist()
             return
 
         # existing rows from touched buckets only
@@ -310,7 +333,8 @@ class ChainStore:
                 m.buckets.pop(str(b), None)
         m.version = version
         m.save(self._manifest_path(table))
-        folded.unpersist()
+        if cached:
+            folded.unpersist()
 
     # -- metastate convenience -------------------------------------------------
 

@@ -260,6 +260,16 @@ def flatten_txns(blocks: DataFrame, depth: int = TXN_DEPTH) -> DataFrame:
             )
         )
         parent = child
+    if len(levels) == 1:
+        # No inner-txn levels: preorder degenerates to payset order, so
+        # intra == root_pos and every row is its own root.  Skipping both
+        # windows keeps the whole flatten narrow (explode + project, zero
+        # shuffles) — the common case on payment-heavy traffic, selected
+        # data-adaptively by the ingest layer's batch-wide inner count.
+        return levels[0].withColumn(
+            "intra", F.col("root_pos").cast("int")
+        ).withColumn("root_intra", F.col("root_pos").cast("int"))
+
     rows = levels[0]
     for extra in levels[1:]:
         rows = rows.unionByName(extra)
