@@ -292,3 +292,19 @@ def test_metastate_special_accounts(db, spark):
     _ingest(db, spark, [fx.make_block(0)])
     v = json.loads(db.store.get_metastate("accounts"))
     assert set(v) == {"FeeSink", "RewardsPool"}
+
+
+def test_flatten_depth1_shortcut_matches_full_plan(db, spark):
+    """For inner-free paysets the depth-1 fast path (no windows, no
+    shuffle) must produce byte-identical rows to the general plan."""
+    from sparkroach.chain import transforms
+
+    payset = [fx.pay_txn(f"TX{i}") for i in range(5)]
+    blocks = fx.blocks_df(spark, [fx.make_block(0, payset=payset),
+                                  fx.make_block(1, payset=list(reversed(payset)))])
+    cols = ["round", "intra", "root_intra", "is_root", "input_txid", "txtype"]
+    fast = transforms.flatten_txns(blocks, depth=1).select(cols)
+    full = transforms.flatten_txns(blocks).select(cols)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, full.collect()))
+    # and the fast path really is shuffle-free
+    assert "Exchange" not in fast._jdf.queryExecution().executedPlan().toString()
