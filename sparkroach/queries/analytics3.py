@@ -231,3 +231,63 @@ def events_cumulative_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+@register(
+    "part_min_price_supplier",
+    oracle=f"""
+        WITH mp AS (
+            SELECT l_partkey,
+                   MIN({cents_sql("l_extendedprice")}) AS min_cents
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT p_partkey, p_name,
+               CAST(mp.min_cents AS DOUBLE) / 100.0 AS min_price,
+               MIN(l.l_suppkey) AS s_suppkey,
+               MIN(s.s_name) AS s_name
+        FROM part p
+        JOIN mp ON mp.l_partkey = p.p_partkey
+        JOIN lineitem l ON l.l_partkey = p.p_partkey
+              AND {cents_sql("l.l_extendedprice")} = mp.min_cents
+        JOIN supplier s ON s.s_suppkey = (
+            SELECT MIN(l2.l_suppkey) FROM lineitem l2
+            WHERE l2.l_partkey = p.p_partkey
+              AND {cents_sql("l2.l_extendedprice")} = mp.min_cents
+        )
+        WHERE p.p_brand = 'Brand#13'
+        GROUP BY p_partkey, p_name, mp.min_cents
+        ORDER BY p_partkey
+    """,
+    survey_ref="§2C joins + aggregations: correlated-scalar-subquery argmin "
+    "(TPC-H Q2's min-cost-supplier shape, adapted: no partsupp table — "
+    "lineitem links part to supplier)",
+    description="per Brand#33 part: the cheapest offered price and the "
+    "lowest-keyed supplier offering it — argmin via a single struct-min",
+)
+def part_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The oracle needs a grouped-min CTE plus a correlated scalar subquery
+    # to break ties; Spark expresses the whole argmin as ONE aggregate —
+    # min(struct(price, suppkey)) — so lineitem is shuffled once on
+    # partkey, and both the minimum price and its deterministic witness
+    # fall out of the same partial-aggregable min.  part (filtered to one
+    # brand) and supplier then BROADCAST onto the small grouped result.
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", cents("l_extendedprice").alias("pc")
+    )
+    best = (
+        li.groupBy("l_partkey")
+        .agg(F.min(F.struct("pc", "l_suppkey")).alias("b"))
+        .select(
+            "l_partkey",
+            (F.col("b.pc").cast("double") / 100.0).alias("min_price"),
+            F.col("b.l_suppkey").alias("s_suppkey"),
+        )
+    )
+    p = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(F.broadcast(p), best["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), "s_suppkey")
+        .select("p_partkey", "p_name", "min_price", "s_suppkey", "s_name")
+        .orderBy("p_partkey")
+    )
