@@ -54,6 +54,42 @@ def _normalize(value):
     return value
 
 
+def _type_class(type_name: str) -> str:
+    """Coarse type equivalence class matching the driver's hash behavior.
+
+    The driver's value-hash treats all ≤64-bit integer widths as
+    interchangeable (row_number() int32 vs BIGINT hashes identically) but
+    DISTINGUISHES DuckDB HUGEINT (int128 — what a bare SUM(BIGINT)
+    returns) from int64, and DECIMAL from DOUBLE.  Round-1 lesson: the
+    `token_count_by_source` gate slipped exactly this way — the local
+    mirror normalized Decimal→float and int128→int before comparing, so
+    it passed locally and hash-failed at the driver.  Types are now
+    compared BEFORE values."""
+    t = type_name.strip().lower()
+    base = t.split("(", 1)[0].strip()
+    if base in ("tinyint", "smallint", "int", "integer", "bigint",
+                "utinyint", "usmallint", "uinteger", "short", "long"):
+        return "int"
+    if base in ("hugeint", "uhugeint", "ubigint"):
+        return "int128"
+    if base in ("float", "double", "real"):
+        return "float"
+    if base == "decimal":
+        return "decimal"
+    if base in ("varchar", "string", "text"):
+        return "str"
+    if base in ("boolean", "bool"):
+        return "bool"
+    if base in ("timestamp", "timestamp_ntz", "timestamp_ns",
+                "timestamp with time zone", "timestamptz", "date"):
+        return "time"
+    if base in ("blob", "binary", "bytea"):
+        return "bytes"
+    if base.startswith("array") or t.endswith("[]") or base.startswith("list"):
+        return "list"
+    return base
+
+
 def _canon(rows: list[tuple], cols: list[str]) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(_normalize(r[i]) for i in order) for r in rows]
@@ -71,9 +107,10 @@ def compare(
     con = con or _duck_connection(sf_dir)
     spark_rows = df.collect()
     spark_cols = df.columns
-    cur = con.execute(oracle_sql)
-    oracle_cols = [d[0] for d in cur.description]
-    oracle_rows = cur.fetchall()
+    rel = con.sql(oracle_sql)
+    oracle_cols = list(rel.columns)
+    oracle_types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+    oracle_rows = rel.fetchall()
 
     if sorted(spark_cols) != sorted(oracle_cols):
         return CompareResult(
@@ -82,6 +119,21 @@ def compare(
             len(spark_rows),
             len(oracle_rows),
             f"column mismatch: spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}",
+        )
+    spark_types = dict(df.dtypes)
+    type_diffs = [
+        (c, spark_types[c], oracle_types[c])
+        for c in spark_cols
+        if _type_class(spark_types[c]) != _type_class(oracle_types[c])
+    ]
+    if type_diffs:
+        return CompareResult(
+            name,
+            False,
+            len(spark_rows),
+            len(oracle_rows),
+            "type mismatch (would hash-diverge at the driver): "
+            + ", ".join(f"{c}: spark={s} oracle={o}" for c, s, o in type_diffs),
         )
     if len(spark_rows) != len(oracle_rows):
         return CompareResult(

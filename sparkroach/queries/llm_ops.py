@@ -107,30 +107,14 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "word_jaccard_pairs",
-    oracle=f"""
-        WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
-        sh AS (SELECT doc_id, lang, {_SHINGLES_SQL} AS shingles FROM w)
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))
-                    AS DOUBLE)
-               / (len(a.shingles) + len(b.shingles)
-                  - len(list_filter(a.shingles, x -> list_contains(b.shingles, x))))
-                   AS jaccard
-        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))
-                   AS DOUBLE)
-              / (len(a.shingles) + len(b.shingles)
-                 - len(list_filter(a.shingles, x -> list_contains(b.shingles, x))))
-              >= 0.8
-        ORDER BY doc_a, doc_b
-    """,
-    survey_ref="LLM ops: n-gram Jaccard near-dup (blocked pairwise baseline)",
-    description="word-bigram Jaccard ≥ 0.8 within lang blocks — the exact baseline "
-    "that minhash_lsh_candidates approximates at scale",
-)
 def word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard ≥ 0.8 within ``lang`` blocks — the O(n²)
+    small-data ORACLE BASELINE, deliberately NOT a registered/graded query
+    (round-1 verdict: as registered it would run at full SF in any harness;
+    the scale path is :func:`minhash_jaccard_verified`, which computes the
+    same exact Jaccard but only on LSH candidate pairs).  Kept for
+    tests/test_llm_scale.py, which asserts the verified query agrees with
+    this baseline on every pair LSH recalls."""
     d = load(spark, sf_dir, "documents")
     sh = d.select("doc_id", "lang", F.split("text", " ").alias("ws")).select(
         "doc_id", "lang", F.expr(_SHINGLES).alias("shingles")
@@ -163,7 +147,9 @@ def word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _lsh_oracle() -> str:
+def _lsh_candidates_cte() -> str:
+    """Shared DuckDB CTE chain ending in ``cand(doc_a, doc_b)`` — used by
+    both the candidate gate and the candidate-verified Jaccard gate."""
     sig_cols = ", ".join(
         f"{_minhash_sig_sql(i)} AS s{i}" for i in range(N_MINHASH)
     )
@@ -179,11 +165,20 @@ def _lsh_oracle() -> str:
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         shing AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM w),
         sig AS (SELECT doc_id, {sig_cols} FROM shing),
-        bands AS ({bands})
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         AND a.doc_id < b.doc_id
+        bands AS ({bands}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        )
+    """
+
+
+def _lsh_oracle() -> str:
+    return f"""
+        {_lsh_candidates_cte()}
+        SELECT doc_a, doc_b FROM cand
         ORDER BY doc_a, doc_b
     """
 
@@ -199,6 +194,12 @@ def _lsh_oracle() -> str:
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    return _lsh_candidate_pairs(d).orderBy("doc_a", "doc_b")
+
+
+def _lsh_candidate_pairs(d: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) candidate pairs from the band-bucket
+    equi-join — unsorted, shared by the gate and the verify stage."""
     sh = _with_shingles(d)
     sig = sh.select(
         "doc_id",
@@ -228,6 +229,53 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+_JACCARD_TAU = 0.8
+
+
+@register(
+    "minhash_jaccard_verified",
+    oracle=f"""
+        {_lsh_candidates_cte()}
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))
+                    AS DOUBLE)
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))))
+                   AS jaccard
+        FROM cand c
+        JOIN shing sa ON sa.doc_id = c.doc_a
+        JOIN shing sb ON sb.doc_id = c.doc_b
+        WHERE CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))
+                   AS DOUBLE)
+              / (len(sa.shingles) + len(sb.shingles)
+                 - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))))
+              >= {_JACCARD_TAU}
+        ORDER BY doc_a, doc_b
+    """,
+    survey_ref="LLM ops: n-gram Jaccard near-dup — exact verify over LSH "
+    "candidates (the scale path; replaces the quadratic pairwise baseline)",
+    description=f"exact word-bigram Jaccard >= {_JACCARD_TAU}, computed ONLY on "
+    "minhash-LSH candidate pairs: the candidate set is O(n·bucket), so the "
+    "verify join never touches the n² cross product — the canonical "
+    "candidate-generate → exact-verify dedup pipeline at 100 TB",
+)
+def minhash_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cand = _lsh_candidate_pairs(d)
+    sh = _with_shingles(d)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= _JACCARD_TAU)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -341,7 +389,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT source,
                count(*) AS n_docs,
-               SUM(len(string_split_regex(text, '\\s+'))) AS total_tokens,
+               CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+                   AS total_tokens,
                CAST(SUM(len(string_split_regex(text, '\\s+'))) AS DOUBLE) / count(*)
                    AS avg_tokens_per_doc
         FROM documents
@@ -654,21 +703,66 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NEARDUP_TAU = 0.35
+N_EMB_BANDS = 4  # 4 LSH tables × 4 hyperplanes each, from _PLANES
+_PLANES_PER_BAND = len(_PLANES) // N_EMB_BANDS
 
 
-@register(
-    "dedup_embedding_cosine",
-    oracle=f"""
-        WITH a AS (SELECT vec_id AS a_id, label AS a_label, embedding AS qe
-                   FROM embeddings),
-        b AS (SELECT vec_id AS b_id, label AS b_label, embedding AS ce
-              FROM embeddings),
+def _emb_band_bucket_sql(t: int) -> str:
+    """DuckDB: the 4-bit sign bucket of band ``t``'s hyperplanes."""
+    terms = []
+    for r in range(_PLANES_PER_BAND):
+        w = _PLANES[t * _PLANES_PER_BAND + r]
+        lit = "[" + ", ".join(str(x) for x in w) + "]"
+        dot = (
+            f"list_sum([embedding[i+1]::DOUBLE * ({lit}::DOUBLE[])[i+1] "
+            f"for i in range(0, len(embedding))])"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {2 ** r} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def _emb_band_bucket_col(t: int):
+    """Spark: same 4-bit sign bucket, JVM-side higher-order functions."""
+    bucket = None
+    for r in range(_PLANES_PER_BAND):
+        w = _PLANES[t * _PLANES_PER_BAND + r]
+        lit = "array(" + ", ".join(f"{x}D" for x in w) + ")"
+        dot = (
+            f"aggregate(zip_with(embedding, {lit}, "
+            f"(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), "
+            f"(acc, v) -> acc + v)"
+        )
+        term = F.when(F.expr(dot) > 0, F.lit(2**r)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("int")
+
+
+def _emb_dedup_oracle() -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS band_idx, {_emb_band_bucket_sql(t)} AS bucket "
+        f"FROM embeddings"
+        for t in range(N_EMB_BANDS)
+    )
+    return f"""
+        WITH bands AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+        ),
+        scored AS (
+            SELECT c.a_id, c.b_id, ea.embedding AS qe, eb.embedding AS ce
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.a_id
+            JOIN embeddings eb ON eb.vec_id = c.b_id
+        ),
         pairs AS (
             SELECT a_id, b_id,
                    ROUND({_DOT_SQL}
                          / ({_NORM_SQL.format(col="qe")} * {_NORM_SQL.format(col="ce")}),
                          6) AS cosine
-            FROM a JOIN b ON a_label = b_label AND a_id < b_id
+            FROM scored
         )
         SELECT b_id AS dup_id, MIN(a_id) AS keep_id,
                COUNT(*) AS n_matches, MAX(cosine) AS max_cosine
@@ -676,38 +770,56 @@ NEARDUP_TAU = 0.35
         WHERE cosine >= {NEARDUP_TAU}
         GROUP BY b_id
         ORDER BY dup_id
-    """,
+    """
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=_emb_dedup_oracle(),
     survey_ref="LLM ops: embedding-cosine near-duplicate detection (dedup via "
     "semantic similarity; completes the dedup family: exact/minhash/simhash/"
     "jaccard/embedding)",
-    description="near-dup by embedding cosine: cluster-blocked self-join "
-    f"(pairs only within a `label` block, never the cross product), cosine "
-    f">= {NEARDUP_TAU}, then keep-lowest-id policy per duplicate — each dup "
-    "row reports its canonical survivor. At 100 TB the block key is an LSH "
-    "bucket (see ann_lsh_buckets) so pair candidates stay O(n·bucket_size)",
+    description="near-dup by embedding cosine, LSH-bucket blocked: "
+    f"{N_EMB_BANDS} hyperplane bands ({_PLANES_PER_BAND} planes each, the "
+    "same planes as ann_lsh_buckets) generate candidate pairs via a "
+    "band-bucket equi-join — never a label-wide or n² self-join; exact "
+    f"cosine >= {NEARDUP_TAU} verifies candidates, then keep-lowest-id per "
+    "duplicate. Recall is the standard banded-LSH trade (more bands → more "
+    "recall); candidates stay O(n·bucket_size) at 100 TB",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("label").alias("a_label"),
-        F.col("embedding").alias("qe"),
+    band_structs = [
+        F.struct(
+            F.lit(t).alias("band_idx"), _emb_band_bucket_col(t).alias("bucket")
+        )
+        for t in range(N_EMB_BANDS)
+    ]
+    bands = e.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("vec_id", "b.band_idx", "b.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .distinct()
     )
-    b = e.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("label").alias("b_label"),
-        F.col("embedding").alias("ce"),
-    )
+    ea = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("qe"))
+    eb = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("ce"))
     cosine = F.round(
         F.expr(_DOT)
         / (F.expr(_NORM.format(col="qe")) * F.expr(_NORM.format(col="ce"))),
         6,
     )
     pairs = (
-        a.join(
-            b,
-            (F.col("a_label") == F.col("b_label")) & (F.col("a_id") < F.col("b_id")),
-        )
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
         .select("a_id", "b_id", cosine.alias("cosine"))
         .where(F.col("cosine") >= NEARDUP_TAU)
     )

@@ -1,0 +1,79 @@
+"""Scale-path guarantees for the dedup family (round-2 verdict items 3/4).
+
+Two properties are pinned:
+1. plan shape — the embedding dedup and the candidate-verified Jaccard must
+   pair rows via equi-joins on LSH band keys, never a cartesian/nested-loop
+   or a label-wide block (the round-1 scale-killers);
+2. semantics — exact Jaccard computed on LSH candidates agrees value-for-
+   value with the quadratic oracle baseline (word_jaccard_pairs) on every
+   pair LSH recalls, and every emitted pair really is a candidate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkroach.queries import QUERIES
+from sparkroach.queries.llm_ops import (
+    _JACCARD_TAU,
+    _lsh_candidate_pairs,
+    word_jaccard_pairs,
+)
+from sparkroach.tables import load
+from tests.conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF_SMALL)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_embedding_dedup_blocks_on_lsh_not_label(spark):
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the pair join must key on the band bucket, not the 5-value label
+    assert "bucket" in plan
+    assert "label" not in plan  # label plays no role anymore
+
+
+def test_jaccard_verified_has_no_quadratic_join(spark):
+    plan = _plan(spark, "minhash_jaccard_verified")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_verified_agrees_with_exact_baseline(spark):
+    d = load(spark, SF_SMALL, "documents")
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in _lsh_candidate_pairs(d).collect()
+    }
+    baseline = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in word_jaccard_pairs(spark, SF_SMALL).collect()
+    }
+    verified = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["minhash_jaccard_verified"].fn(spark, SF_SMALL).collect()
+    }
+    # every verified pair is an LSH candidate above the threshold
+    for pair, jac in verified.items():
+        assert pair in cand
+        assert jac >= _JACCARD_TAU
+    # every baseline pair that LSH recalled is present with the same value
+    # (baseline blocks within lang, so restrict to its own universe)
+    for pair, jac in baseline.items():
+        if pair in cand:
+            assert pair in verified
+            assert abs(verified[pair] - jac) < 1e-12
+
+
+def test_verified_is_nonempty_at_test_sf(spark):
+    # guard against a silently-empty gate (bands too selective)
+    n = QUERIES["minhash_jaccard_verified"].fn(spark, SF_SMALL).count()
+    assert n > 0
+    m = QUERIES["dedup_embedding_cosine"].fn(spark, SF_SMALL).count()
+    assert m > 0
