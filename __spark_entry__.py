@@ -26,10 +26,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in QUERIES.items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Only ``gated`` registry entries are exported: the driver records a
+    bounded number of entries (50 in round 1), so near-duplicate operator
+    shapes are registered gated=False — still swept by the local oracle
+    gate (tests/test_oracle_gate.py), just not occupying driver slots.
+    Oracle-bearing entries come first; rows-only entries last."""
+    gated = {name: q for name, q in QUERIES.items() if q.gated}
+    ordered = {n: q.fn for n, q in gated.items() if q.oracle is not None}
+    ordered.update({n: q.fn for n, q in gated.items() if q.oracle is None})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+    return {
+        name: q.oracle
+        for name, q in QUERIES.items()
+        if q.gated and q.oracle is not None
+    }

@@ -182,6 +182,44 @@ def decode_txn_next_token(token: str) -> tuple[int, int]:
     return round_, intra
 
 
+def count_inner_txns(txn_obj: Any) -> int:
+    """Recursive inner-transaction count (countInner, idb.go:46-53) over a
+    stored canonical txn document (dict or JSON string): each entry of
+    ``ad.dt.itx`` counts 1 plus its own inners."""
+    if txn_obj is None:
+        return 0
+    if isinstance(txn_obj, str):
+        txn_obj = json.loads(txn_obj)
+    inners = ((txn_obj.get("ad") or {}).get("dt") or {}).get("itx") or []
+    return sum(1 + count_inner_txns(i) for i in inners)
+
+
+def txn_row_next_token(
+    round_: int,
+    intra: int,
+    root_intra: int | None,
+    ascending: bool,
+    txn_json: str | None,
+    root_txn_json: str | None,
+) -> str:
+    """TxnRow.Next (idb.go:56-84): the keyset token for the page AFTER this
+    row.
+
+    - an inner row initializes intra to its ROOT's intra (so a descending
+      page skips the whole subtree — inners sort after the root DESC);
+    - ascending adds countInner(root) so the next ascending page starts
+      past every inner of the root instead of re-returning resolved inners.
+    """
+    if root_intra is not None:
+        intra = root_intra
+    if ascending:
+        stxn = root_txn_json if root_txn_json is not None else txn_json
+        if stxn is None:
+            raise ValueError("Next() was not given transaction")
+        intra += count_inner_txns(stxn)
+    return encode_txn_next_token(round_, intra)
+
+
 # ---------------------------------------------------------------------------
 # sig-type classification (sig_type.go:45-64)
 # ---------------------------------------------------------------------------

@@ -33,6 +33,12 @@ from sparkroach.chain.schemas import TABLE_SCHEMAS, block_schema
 from sparkroach.chain.store import ChainStore
 
 
+# LoadGenesis writes this sentinel so the schema is compatible with the
+# upstream indexer's migration machinery: "no migration needed"
+# (cockroach.go:227-232, MigrationState{NextMigration: math.MaxInt}).
+MIGRATION_DONE_SENTINEL = (1 << 63) - 1
+
+
 class RoundGateError(ValueError):
     """Block round does not match the expected next round (cockroach.go:142-146)."""
 
@@ -43,7 +49,10 @@ class GenesisHashMismatch(ValueError):
 
 
 def _fold(
-    updates: DataFrame, keys: list[str], value_cols: list[str]
+    updates: DataFrame,
+    keys: list[str],
+    value_cols: list[str],
+    extra_aggs: list[Column] | None = None,
 ) -> DataFrame:
     """Reduce an op-tagged update stream to one row per key, preserving
     statement-order semantics via (round, pos) ordering."""
@@ -56,6 +65,7 @@ def _fold(
         ),
     ]
     aggs += [F.max_by(c, ord_).alias(f"last_{c}") for c in value_cols]
+    aggs += list(extra_aggs or [])
     return updates.groupBy(*keys).agg(*aggs)
 
 
@@ -132,12 +142,21 @@ class ChainDB:
             F.col("rewards_total").alias("last_rewards_total"),
             F.col("account_data").alias("last_account_data"),
             F.lit(None).cast("string").alias("keytype_delta"),
+            F.lit(False).alias("delta_present"),
         )
         self._merge_account(folded)
-        self.store.set_metastate(
-            "network", json.dumps({"genesis-hash": _b64(genesis_hash), "network": network})
+        # one metastate commit: network guard + migration sentinel + import
+        # state (cockroach.go:213-280 writes all three inside LoadGenesis's
+        # transaction)
+        self.store.merge_metastate(
+            {
+                "network": json.dumps(
+                    {"genesis-hash": _b64(genesis_hash), "network": network}
+                ),
+                "migration": json.dumps({"next": MIGRATION_DONE_SENTINEL}),
+                "state": json.dumps({"next_account_round": 0}),
+            }
         )
-        self._set_next_round(0)
 
     def check_genesis_hash(self, genesis_hash: bytes) -> None:
         stored = self.store.get_metastate("network")
@@ -195,11 +214,19 @@ class ChainDB:
                 if b != a + 1:
                     raise RoundGateError(f"non-consecutive rounds {a} → {b}")
         applied = [r for r in meta_rows if r["round"] in set(todo)]
+        # AddBlock0 semantics (cockroach.go:159-165): round 0 writes ONLY
+        # the block header and special accounts — its payset/delta (genesis
+        # allocations arrive via LoadGenesis) must NOT reach the txn/state
+        # tables, or created_at/keytype would double-apply and diverge.
+        nz_applied = [r for r in applied if r["round"] != 0]
         has = {
-            k: any(r[k] > 0 for r in applied)
+            k: any(r[k] > 0 for r in nz_applied)
             for k in ("n_accts", "n_assets", "n_apps", "n_boxes", "n_txns")
         }
         blocks = blocks.where(F.col("round").isin(todo)).cache()
+        nz_blocks = (
+            blocks.where(F.col("round") != 0) if 0 in todo else blocks
+        )
 
         flat = None
         if has["n_txns"]:
@@ -209,11 +236,11 @@ class ChainDB:
             # depth-1 plan skips the per-level posexplode unions entirely
             # (cheaper to plan AND to run); the batch-wide inner count came
             # free with the gate collect above.
-            depth = None if any(r["n_inner"] > 0 for r in applied) else 1
+            depth = None if any(r["n_inner"] > 0 for r in nz_applied) else 1
             flat = (
-                transforms.flatten_txns(blocks)
+                transforms.flatten_txns(nz_blocks)
                 if depth is None
-                else transforms.flatten_txns(blocks, depth=1)
+                else transforms.flatten_txns(nz_blocks, depth=1)
             ).cache()
             flat.count()
 
@@ -229,23 +256,23 @@ class ChainDB:
         if has["n_txns"]:
             tasks.append(
                 lambda: self.store.append_facts(
-                    "txn", transforms.txns(blocks, rows=flat)
+                    "txn", transforms.txns(nz_blocks, rows=flat)
                 )
             )
             tasks.append(
                 lambda: self.store.append_facts(
                     "txn_participation",
-                    transforms.participation(blocks, rows=flat),
+                    transforms.participation(nz_blocks, rows=flat),
                 )
             )
         if has["n_accts"]:
-            tasks.append(lambda: self._merge_account_batch(blocks, flat))
+            tasks.append(lambda: self._merge_account_batch(nz_blocks, flat))
         if has["n_assets"]:
-            tasks.append(lambda: self._merge_assets(blocks))
+            tasks.append(lambda: self._merge_assets(nz_blocks))
         if has["n_apps"]:
-            tasks.append(lambda: self._merge_apps(blocks))
+            tasks.append(lambda: self._merge_apps(nz_blocks))
         if has["n_boxes"]:
-            tasks.append(lambda: self._merge_boxes(blocks))
+            tasks.append(lambda: self._merge_boxes(nz_blocks))
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -289,8 +316,13 @@ class ChainDB:
         )
         if sig is not None:
             acct = acct.join(sig, "addr", "left")
+            acct = acct.withColumn(
+                "delta_present", F.coalesce(F.col("delta_present"), F.lit(False))
+            )
         else:
-            acct = acct.withColumn("keytype_delta", F.lit(None).cast("string"))
+            acct = acct.withColumn(
+                "keytype_delta", F.lit(None).cast("string")
+            ).withColumn("delta_present", F.lit(False))
         self._merge_account(acct, touch_keys=upd.select("addr"))
 
     def _merge_assets(self, blocks: DataFrame) -> None:
@@ -308,7 +340,23 @@ class ChainDB:
             touch_keys=aupd.select("id"),
         )
         aaupd = transforms.account_asset_updates(blocks)
-        aa = _fold(aaupd, ["addr", "assetid"], ["amount", "frozen"])
+        # deleteAccountAsset's ON CONFLICT updates only amount/deleted/
+        # closed_at (writer.go:95-98): an existing row's frozen survives a
+        # delete; FALSE applies only to newly-inserted tombstones.  The fold
+        # therefore tracks the last frozen set by an UPSERT separately
+        # (statement-order: upsert-then-delete in one batch keeps the
+        # upsert's frozen).
+        ord_ = F.struct(F.col("round"), F.col("pos"))
+        aa = _fold(
+            aaupd,
+            ["addr", "assetid"],
+            ["amount", "frozen"],
+            extra_aggs=[
+                F.max_by(
+                    "frozen", F.when(F.col("op") == "upsert", ord_)
+                ).alias("last_upsert_frozen")
+            ],
+        )
         self.store.merge_state(
             "account_asset",
             aa,
@@ -316,7 +364,14 @@ class ChainDB:
                 "addr": F.col("u.addr"),
                 "assetid": F.col("u.assetid"),
                 "amount": F.col("u.last_amount"),
-                "frozen": F.col("u.last_frozen"),
+                "frozen": F.when(
+                    F.col("u.last_op") == "delete",
+                    F.coalesce(
+                        F.col("u.last_upsert_frozen"),
+                        F.col("e.frozen"),
+                        F.lit(False),
+                    ),
+                ).otherwise(F.col("u.last_frozen")),
                 **_lineage_cols(),
             },
             touch_keys=aaupd.select("addr", "assetid"),
@@ -366,9 +421,13 @@ class ChainDB:
         )
 
     def _merge_account(self, folded: DataFrame, touch_keys=None) -> None:
-        """account MERGE incl. the keytype clauses (writer.go:62-113):
-        keytype updates only when a sig-type delta arrived, otherwise the
-        existing value is preserved — on upserts AND deletes."""
+        """account MERGE incl. the keytype clauses (writer.go:62-113,
+        :155-179): when a sig-type delta arrived the column takes the delta
+        VALUE — which is NULL for a sender whose last root txn was rekeyed
+        or stateproof (deleteAccountUpdateKeytype / upsertAccountWithKeytype
+        with nil clears it); with no delta the existing value is preserved —
+        on upserts AND deletes.  coalesce() cannot express the clear, hence
+        the explicit delta_present CASE."""
         self.store.merge_state(
             "account",
             folded,
@@ -377,7 +436,9 @@ class ChainDB:
                 "microalgos": F.col("u.last_microalgos"),
                 "rewardsbase": F.col("u.last_rewardsbase"),
                 "rewards_total": F.col("u.last_rewards_total"),
-                "keytype": F.coalesce(F.col("u.keytype_delta"), F.col("e.keytype")),
+                "keytype": F.when(
+                    F.col("u.delta_present"), F.col("u.keytype_delta")
+                ).otherwise(F.col("e.keytype")),
                 "account_data": F.col("u.last_account_data"),
                 **_lineage_cols(),
             },
@@ -408,12 +469,37 @@ class ChainDB:
 
     # -- health / pruning (A23, A25) -------------------------------------------
 
+    def get_network_state(self) -> dict | None:
+        """GetNetworkState (cockroach.go:395-414): the stored genesis hash,
+        or None when accounting is not initialized."""
+        raw = self.store.get_metastate("network")
+        return None if raw is None else json.loads(raw)
+
+    def set_network_state(self, genesis_hash: bytes, network: str = "") -> None:
+        """SetNetworkState (cockroach.go:395-400)."""
+        self.store.set_metastate(
+            "network",
+            json.dumps({"genesis-hash": _b64(genesis_hash), "network": network}),
+        )
+
+    def migration_state(self) -> dict | None:
+        raw = self.store.get_metastate("migration")
+        return None if raw is None else json.loads(raw)
+
     def health(self) -> dict:
+        """Health (cockroach.go:416-459): max accounted round, migration
+        status derived from the metastate sentinel, availability.  A
+        missing migration key or one below the done-sentinel means the
+        schema still needs migration work — surfaced, not hardcoded."""
         nxt = self.next_round()
+        mig = self.migration_state()
+        migration_required = mig is None or mig.get("next", 0) < MIGRATION_DONE_SENTINEL
         return {
             "round": (nxt - 1) if nxt else 0,
-            "is-migrating": False,
-            "db-available": True,
+            "is-migrating": migration_required,
+            "db-available": not migration_required,
+            "data": {"migration-required": migration_required},
+            "error": "",
         }
 
     def delete_transactions(self, keep: int) -> int:

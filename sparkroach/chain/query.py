@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from sparkroach.chain.encoding import (
     decode_txn_next_token,
-    encode_txn_next_token,
+    txn_row_next_token as encoding_next_token,
 )
 from sparkroach.chain.ingest import ChainDB
 
@@ -76,6 +76,10 @@ class TransactionFilter:
     skip_inner_transactions: bool = False
     skip_inner_transaction_conversion: bool = False
     max_transactions_limit: int | None = None
+    # result order (idb.go:56-84 TxnRow.Next(ascending); the reference ships
+    # a DESC participation index, setup_cockroachdb.sql:33-40, precisely so
+    # this path is cheap)
+    ascending: bool = True
 
     def compile(self, db: ChainDB) -> DataFrame:
         lo = self.round if self.round is not None else self.min_round
@@ -181,13 +185,20 @@ class TransactionFilter:
             if self.address_role:
                 txn = txn.where(self._role_predicate())
 
-        # keyset pagination (idb.go:56-100)
+        # keyset pagination (idb.go:56-100); the comparison flips with the
+        # result order
         if self.next_token is not None:
             r, i = decode_txn_next_token(self.next_token)
-            txn = txn.where(
-                (F.col("round") > r)
-                | ((F.col("round") == r) & (F.col("intra") > i))
-            )
+            if self.ascending:
+                txn = txn.where(
+                    (F.col("round") > r)
+                    | ((F.col("round") == r) & (F.col("intra") > i))
+                )
+            else:
+                txn = txn.where(
+                    (F.col("round") < r)
+                    | ((F.col("round") == r) & (F.col("intra") < i))
+                )
 
         if self.max_transactions_limit is not None:
             if txn.limit(self.max_transactions_limit + 1).count() > self.max_transactions_limit:
@@ -213,7 +224,10 @@ class TransactionFilter:
                 "left",
             ).drop("rt_round", "rt_intra")
 
-        txn = txn.orderBy("round", "intra")
+        if self.ascending:
+            txn = txn.orderBy("round", "intra")
+        else:
+            txn = txn.orderBy(F.col("round").desc(), F.col("intra").desc())
         if self.limit is not None:
             txn = txn.limit(self.limit)
         return txn
@@ -241,9 +255,32 @@ class TransactionFilter:
         return pred
 
     @staticmethod
-    def page_token(last_row) -> str:
-        """Next-token from the last returned row (TxnRow.Next, idb.go:56-84)."""
-        return encode_txn_next_token(last_row["round"], last_row["intra"])
+    def page_token(last_row, ascending: bool = True) -> str:
+        """Next-token from the last returned row (TxnRow.Next, idb.go:56-84).
+
+        An inner row's token carries its ROOT's intra; ascending tokens add
+        countInner(root) so the next page skips the whole inner subtree.
+        Raises if ascending and the row carries no txn document (an inner
+        row fetched with skip_inner_transaction_conversion — the
+        reference's "Next() was not given transaction" case)."""
+        import json as _json
+
+        root_intra = None
+        extra = last_row["extra"]
+        if extra:
+            ri = _json.loads(extra).get("root-intra")
+            root_intra = int(ri) if ri is not None else None
+        root_txn = (
+            last_row["root_txn"] if "root_txn" in last_row.__fields__ else None
+        )
+        return encoding_next_token(
+            last_row["round"],
+            last_row["intra"],
+            root_intra,
+            ascending,
+            last_row["txn"],
+            root_txn,
+        )
 
 
 @dataclass

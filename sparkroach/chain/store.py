@@ -148,9 +148,18 @@ class ChainStore:
     # -- fact append ----------------------------------------------------------
 
     def append_facts(self, table: str, rows: DataFrame) -> int:
-        """Append-only write with in-batch PK dedup (ON CONFLICT DO NOTHING
-        within the batch; cross-batch idempotence comes from the ingest
-        round gate).
+        """Append-only write, idempotent across redelivery.
+
+        In-batch PK dedup (ON CONFLICT DO NOTHING within the batch) PLUS a
+        per-table applied-round watermark: rows at or below the highest
+        round already in the manifest are dropped before writing.  Fact
+        rounds are strictly monotone (the ingest gate orders them), so the
+        watermark makes a replayed batch a no-op even when the crash
+        happened AFTER this table's append but BEFORE the metastate commit
+        — the reference's "txn tables can only be ahead, never behind"
+        invariant (cockroach.go:189-199, unique-violation tolerance).  The
+        watermark is free: it is the max over the manifest's per-file
+        max_round stats, no data read.
 
         File-level (min_round, max_round) stats are collected with
         ``observe()`` during the write job itself — one pass over the data,
@@ -158,6 +167,11 @@ class ChainStore:
         the append's IO)."""
         assert table in FACT_TABLES, table
         from pyspark.sql import Observation
+
+        m = self._manifest(table)
+        watermark = max((e["max_round"] for e in m.files), default=None)
+        if watermark is not None:
+            rows = rows.where(F.col("round") > watermark)
 
         keys = TABLE_KEYS[table]
         obs = Observation()
@@ -167,7 +181,6 @@ class ChainStore:
             F.max("round").alias("hi"),
             F.count(F.lit(1)).alias("n"),
         )
-        m = self._manifest(table)
         version = m.version + 1
         vdir = self._new_version_dir(table, version)
         out = os.path.join(vdir, "data")

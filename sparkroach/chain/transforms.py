@@ -198,6 +198,7 @@ def _level_columns(txn_col: str) -> list[Column]:
         t["txn"]["apid"].alias("apid"),
         t["ad"]["caid"].alias("ad_caid"),
         t["ad"]["apid"].alias("ad_apid"),
+        t["ad"]["aca"].alias("ad_aca"),
         t["sig"].alias("sig"),
         t["msig_present"].alias("msig_present"),
         t["lsig_present"].alias("lsig_present"),
@@ -310,6 +311,14 @@ def txns(
         .when(F.col("txtype") == "afrz", F.coalesce(nz("faid"), F.lit(0)))
         .otherwise(F.lit(0))
     )
+    # extra is written for EVERY row (write_txn.go:136-142): root rows carry
+    # TxnExtra{AssetCloseAmount} (omit-empty → "{}" when zero), inner rows
+    # carry {root-intra, root-txid}.  aca is decimal(20,0) so the string
+    # cast renders the bare integer.
+    root_extra = F.when(
+        F.col("ad_aca").isNotNull() & (F.col("ad_aca") != 0),
+        F.concat(F.lit('{"aca":'), F.col("ad_aca").cast("string"), F.lit("}")),
+    ).otherwise(F.lit("{}"))
     extra = F.when(
         ~F.col("is_root"),
         F.to_json(
@@ -318,7 +327,7 @@ def txns(
                 F.col("root_txid").alias("root-txid"),
             )
         ),
-    )
+    ).otherwise(root_extra)
     return rows.select(
         "round",
         "intra",
@@ -377,8 +386,21 @@ def participation(
 def sigtype_deltas(
     blocks: DataFrame, depth: int = TXN_DEPTH, rows: DataFrame | None = None
 ) -> DataFrame:
-    """Per-sender last-wins keytype from ROOT txns; rekeyed and stateproof
-    txns are skipped (writer.go:163-179; sig_type.go:45-64)."""
+    """Per-sender last-wins keytype delta from ROOT txns (writer.go:155-179;
+    sig_type.go:45-64).
+
+    The reference emits an entry for EVERY root txn's sender: a rekeyed or
+    stateproof txn contributes an EMPTY delta (present=false → keytype is
+    set to NULL), a signed txn contributes its sig/msig/lsig class, and the
+    sender's LAST root txn in payset order wins — so sig-txn-then-rekey in
+    one batch must CLEAR keytype, not keep 'sig'.  Output is one row per
+    sender with a nullable ``keytype`` (NULL = clear the column); the mere
+    presence of a row means "a delta arrived" (writeAccount's
+    optionalSigTypeDelta.present).
+
+    Fixture-only corner: an eligible root txn carrying no signature at all
+    is a hard error in the reference (sig_type.go:63); here such rows are
+    excluded from the delta stream rather than failing the batch."""
     rows = rows if rows is not None else flatten_txns(blocks, depth)
     rows = rows.where("is_root")
     keytype = (
@@ -388,17 +410,33 @@ def sigtype_deltas(
         .when(F.col("lsig_present") & F.col("lsig_msig_present"), F.lit("msig"))
         .when(F.col("lsig_present"), F.lit("lsig"))
     )
-    eligible = rows.where(
-        (F.col("rekey").isNull() | (F.length("rekey") == 0))
-        & (F.col("txtype") != "stpf")
-    ).select("round", "intra", F.col("snd").alias("addr"), keytype.alias("keytype"))
+    cleared = (
+        (F.col("rekey").isNotNull() & (F.length("rekey") > 0))
+        | (F.col("txtype") == "stpf")
+    )
+    deltas = rows.select(
+        "round",
+        "intra",
+        F.col("snd").alias("addr"),
+        F.when(cleared, F.lit(None).cast("string"))
+        .otherwise(keytype)
+        .alias("keytype"),
+        (cleared | keytype.isNotNull()).alias("has_delta"),
+    ).where("has_delta")
+    # last-wins over ALL delta-bearing root txns; the value rides inside a
+    # (non-null) struct so max_by can carry a NULL keytype out of the agg
     return (
-        eligible.where(F.col("keytype").isNotNull())
-        .groupBy("addr")
+        deltas.groupBy("addr")
         .agg(
             F.max_by(
-                "keytype", F.struct(F.col("round"), F.col("intra"))
-            ).alias("keytype")
+                F.struct(F.col("keytype")),
+                F.struct(F.col("round"), F.col("intra")),
+            ).alias("d")
+        )
+        .select(
+            "addr",
+            F.col("d.keytype").alias("keytype"),
+            F.lit(True).alias("delta_present"),
         )
     )
 

@@ -215,6 +215,7 @@ def events_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_top_per_user",
+    gated=False,  # near-duplicate shape; local-oracle-swept, driver slot yielded
     oracle="""
         SELECT user_id, event_id, CAST(value AS DOUBLE) AS value, rn
         FROM (

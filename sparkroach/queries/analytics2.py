@@ -74,6 +74,7 @@ def account_no_resources_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "brand_type_set_ops",
+    gated=False,  # near-duplicate shape; local-oracle-swept, driver slot yielded
     oracle="""
         SELECT p_brand FROM part WHERE p_type = 'ECONOMY'
         INTERSECT
@@ -119,6 +120,7 @@ def events_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_distinct_users",
+    gated=False,  # near-duplicate shape; local-oracle-swept, driver slot yielded
     oracle="""
         SELECT event_type,
                count(DISTINCT user_id) AS n_users,

@@ -25,6 +25,7 @@ from sparkroach.tables import load
 
 @register(
     "q4_order_priority",
+    gated=False,  # near-duplicate shape; local-oracle-swept, driver slot yielded
     oracle="""
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders
@@ -69,6 +70,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q10_returned_revenue",
+    gated=False,  # near-duplicate shape; local-oracle-swept, driver slot yielded
     oracle=f"""
         SELECT c_custkey, c_name,
                CAST(SUM({cents_sql("l_extendedprice")}
@@ -128,6 +130,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q18_large_orders",
+    gated=False,  # near-duplicate shape; local-oracle-swept, driver slot yielded
     oracle="""
         SELECT c_name, c_custkey, o_orderkey,
                o_orderdate,
@@ -184,6 +187,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_cumulative_value",
+    gated=False,  # near-duplicate shape; local-oracle-swept, driver slot yielded
     oracle="""
         SELECT user_id, event_id, ts,
                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE)

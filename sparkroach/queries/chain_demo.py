@@ -43,9 +43,25 @@ def _blocks():
         "sig": b"\x11" * 64,
         "ad": {"dt": {"itx": [inner, inner]}},
     }
+    bare0 = {
+        # round 0 takes the AddBlock0 path (header + special accounts only,
+        # cockroach.go:159-165) — payloads start at round 1
+        "round": 0,
+        "timestamp": 1_699_999_990,
+        "genesis_id": "demo",
+        "genesis_hash": GENESIS,
+        "rewards_level": 0,
+        "txn_counter": 99,
+        "fee_sink": b"\xfe" * 32,
+        "rewards_pool": b"\xaa" * 32,
+        "payset": [],
+        "delta": {"accts": [], "asset_resources": [], "app_resources": [],
+                  "kv_mods": []},
+    }
     return [
+        bare0,
         {
-            "round": 0,
+            "round": 1,
             "timestamp": 1_700_000_000,
             "genesis_id": "demo",
             "genesis_hash": GENESIS,
@@ -65,7 +81,7 @@ def _blocks():
             },
         },
         {
-            "round": 1,
+            "round": 2,
             "timestamp": 1_700_000_010,
             "genesis_id": "demo",
             "genesis_hash": GENESIS,
@@ -93,7 +109,7 @@ def _blocks():
             },
         },
         {
-            "round": 2,
+            "round": 3,
             "timestamp": 1_700_000_020,
             "genesis_id": "demo",
             "genesis_hash": GENESIS,
@@ -172,7 +188,8 @@ def ingest_blocks(spark: SparkSession, n_blocks: int = 32, n_txns: int = 20) -> 
     survey_ref="§2A A1-A25 end-to-end: genesis, round-gated ingest (payments, "
     "inner-txn tree, asset, box, account close), then a read over the "
     "maintained tables",
-    description="builds a 3-block chain through the real ingest path in a "
+    description="builds a 4-block chain (round 0 header-only per AddBlock0) "
+    "through the real ingest path in a "
     "temp store, returns per-round txn/participation counts joined with "
     "the final account states — the whole §2A plane in one call",
 )

@@ -186,6 +186,7 @@ def _lsh_oracle() -> str:
 @register(
     "minhash_lsh_candidates",
     oracle=_lsh_oracle(),
+    bench=True,  # r02: heavy LLM op in the headline set (VERDICT #8)
     survey_ref="LLM ops: MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join)",
     description=f"{N_MINHASH}-hash MinHash signature, {N_BANDS} LSH bands; candidate "
     "pairs = docs sharing a band bucket. Signature is map-side; the only "
@@ -317,6 +318,7 @@ def _simhash_oracle() -> str:
 @register(
     "simhash_docs",
     oracle=_simhash_oracle(),
+    bench=True,  # r02: heavy LLM op in the headline set (VERDICT #8)
     survey_ref="LLM ops: SimHash document signatures",
     description=f"{N_SIMHASH_BITS}-bit SimHash over distinct tokens — per-doc "
     "signature is one explode + grouped bit-vote agg; near-dups share "

@@ -109,6 +109,46 @@ def txn_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_keyset_page_desc",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_partkey,
+               CAST(l_extendedprice AS DOUBLE) AS l_extendedprice
+        FROM lineitem
+        WHERE (l_orderkey < 500) OR (l_orderkey = 500 AND l_linenumber < 2)
+        ORDER BY l_orderkey DESC, l_linenumber DESC, l_partkey DESC,
+                 l_extendedprice DESC
+        LIMIT 100
+    """,
+    survey_ref="§2B descending keyset page (TxnRow.Next(ascending=false) "
+    "idb.go:56-84; DESC participation index sql:33-40)",
+    description="composite-key keyset page in DESCENDING order: WHERE "
+    "(round,intra) < (r,i) ORDER BY round DESC, intra DESC LIMIT — the "
+    "newest-first paging path every indexer client uses",
+)
+def txn_keyset_page_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    before = (F.col("l_orderkey") < 500) | (
+        (F.col("l_orderkey") == 500) & (F.col("l_linenumber") < 2)
+    )
+    return (
+        li.where(before)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+        )
+        .orderBy(
+            F.col("l_orderkey").desc(),
+            F.col("l_linenumber").desc(),
+            F.col("l_partkey").desc(),
+            F.col("l_extendedprice").desc(),
+        )
+        .limit(100)
+    )
+
+
+@register(
     "txn_type_filter",
     oracle="""
         SELECT event_type, count(*) AS n,
@@ -240,6 +280,7 @@ def txn_time_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "participation_semijoin",
+    bench=True,  # r02: the chain-read path (address+range semi-join page) in the headline set
     oracle="""
         SELECT o_orderkey, o_custkey, o_orderdate
         FROM orders

@@ -21,6 +21,14 @@ def _ingest(db, spark, blocks):
     return db.add_blocks(fx.blocks_df(spark, blocks))
 
 
+def _init0(db, spark):
+    """Ingest a bare round-0 block.  AddBlock routes round 0 to AddBlock0
+    (cockroach.go:159-165), which writes only the header + special
+    accounts — so payload-bearing fixtures start at round 1, like the
+    reference's writer tests do."""
+    return db.add_blocks(fx.blocks_df(spark, [fx.make_block(0)]))
+
+
 # -- txn flatten: preorder intra, inner txid/extra (writer_test.go:1386-1449) --
 
 
@@ -32,7 +40,8 @@ def test_inner_txn_flatten_preorder(db, spark):
               "ad": {"dt": {"itx": [nested]}}}
     root0 = fx.pay_txn("TXID0")
     root1 = fx.appl_txn("TXID1", apid=42, inners=[inner1, inner2])
-    _ingest(db, spark, [fx.make_block(0, payset=[root0, root1])])
+    _init0(db, spark)
+    _ingest(db, spark, [fx.make_block(1, payset=[root0, root1])])
 
     rows = (
         db.store.read("txn")
@@ -60,7 +69,8 @@ def test_inner_txns_pruned_from_stored_json(db, spark):
     inner = {**fx.appl_txn(None, apid=9, snd=fx.ADDR_B),
              "ad": {"dt": {"itx": [nested]}}}
     root = fx.appl_txn("R", apid=1, inners=[inner])
-    _ingest(db, spark, [fx.make_block(0, payset=[root])])
+    _init0(db, spark)
+    _ingest(db, spark, [fx.make_block(1, payset=[root])])
     rows = db.store.read("txn").orderBy("intra").collect()
     assert '"itx"' in rows[0].txn  # root keeps the tree
     assert '"itx"' not in rows[1].txn  # inner stored without its own inners
@@ -75,7 +85,8 @@ def test_creatable_id_from_counter(db, spark):
         "txn": {"type": "acfg", "snd": fx.ADDR_A, "fee": 1000},
         "sig": b"\x11" * 64,
     }
-    _ingest(db, spark, [fx.make_block(0, payset=[acfg], txn_counter=1000)])
+    _init0(db, spark)
+    _ingest(db, spark, [fx.make_block(1, payset=[acfg], txn_counter=1000)])
     row = db.store.read("txn").collect()[0]
     assert row.asset == 1000 - 1 + 0 + 1
 
@@ -89,15 +100,16 @@ def test_participation_roles_and_dedup(db, spark):
     axfer = fx.axfer_txn("T1", xaid=5, aamt=10, snd=fx.ADDR_B, arcv=fx.ADDR_B,
                          asnd=fx.ADDR_D)
     appl = fx.appl_txn("T2", apid=7, snd=fx.ADDR_A, apat=[fx.ADDR_A, fx.ADDR_D])
-    _ingest(db, spark, [fx.make_block(0, payset=[pay, axfer, appl])])
+    _init0(db, spark)
+    _ingest(db, spark, [fx.make_block(1, payset=[pay, axfer, appl])])
     got = {
         (bytes(r.addr), r.round, r.intra)
         for r in db.store.read("txn_participation").collect()
     }
     assert got == {
-        (fx.ADDR_A, 0, 0), (fx.ADDR_B, 0, 0), (fx.ADDR_C, 0, 0),
-        (fx.ADDR_B, 0, 1), (fx.ADDR_D, 0, 1),
-        (fx.ADDR_A, 0, 2), (fx.ADDR_D, 0, 2),
+        (fx.ADDR_A, 1, 0), (fx.ADDR_B, 1, 0), (fx.ADDR_C, 1, 0),
+        (fx.ADDR_B, 1, 1), (fx.ADDR_D, 1, 1),
+        (fx.ADDR_A, 1, 2), (fx.ADDR_D, 1, 2),
     }
 
 
@@ -105,49 +117,53 @@ def test_participation_roles_and_dedup(db, spark):
 
 
 def test_account_create_then_delete(db, spark):
-    _ingest(db, spark, [fx.make_block(0, accts=[fx.acct_delta(fx.ADDR_A, 5000)])])
-    _ingest(db, spark, [fx.make_block(1, accts=[fx.acct_delta(fx.ADDR_A, 0)])])
+    _init0(db, spark)
+    _ingest(db, spark, [fx.make_block(1, accts=[fx.acct_delta(fx.ADDR_A, 5000)])])
+    _ingest(db, spark, [fx.make_block(2, accts=[fx.acct_delta(fx.ADDR_A, 0)])])
     row = db.store.read("account").collect()[0]
     assert row.deleted is True
     assert int(row.microalgos) == 0
-    assert row.created_at == 0
-    assert row.closed_at == 1
+    assert row.created_at == 1
+    assert row.closed_at == 2
     assert row.account_data == "null"
 
 
 def test_account_create_delete_same_round(db, spark):
+    _init0(db, spark)
     _ingest(
         db, spark,
-        [fx.make_block(0, accts=[fx.acct_delta(fx.ADDR_A, 777),
+        [fx.make_block(1, accts=[fx.acct_delta(fx.ADDR_A, 777),
                                  fx.acct_delta(fx.ADDR_A, 0)])],
     )
     row = db.store.read("account").collect()[0]
-    assert row.deleted is True and row.created_at == 0 and row.closed_at == 0
+    assert row.deleted is True and row.created_at == 1 and row.closed_at == 1
 
 
 def test_delete_preserves_keytype(db, spark):
-    # round 0: pay txn from A (sig) establishes keytype
+    _init0(db, spark)
+    # round 1: pay txn from A (sig) establishes keytype
     _ingest(
         db, spark,
-        [fx.make_block(0, payset=[fx.pay_txn("T0", snd=fx.ADDR_A)],
+        [fx.make_block(1, payset=[fx.pay_txn("T0", snd=fx.ADDR_A)],
                        accts=[fx.acct_delta(fx.ADDR_A, 100)])],
     )
     assert db.store.read("account").collect()[0].keytype == "sig"
-    # round 1: account closed with no new signature
-    _ingest(db, spark, [fx.make_block(1, accts=[fx.acct_delta(fx.ADDR_A, 0)])])
+    # round 2: account closed with no new signature
+    _ingest(db, spark, [fx.make_block(2, accts=[fx.acct_delta(fx.ADDR_A, 0)])])
     row = db.store.read("account").collect()[0]
     assert row.deleted is True and row.keytype == "sig"
 
 
 def test_account_reopen_preserves_created_at(db, spark):
-    _ingest(db, spark, [fx.make_block(0, accts=[fx.acct_delta(fx.ADDR_A, 10)])])
-    _ingest(db, spark, [fx.make_block(1, accts=[fx.acct_delta(fx.ADDR_A, 0)])])
-    _ingest(db, spark, [fx.make_block(2, accts=[fx.acct_delta(fx.ADDR_A, 99)])])
+    _init0(db, spark)
+    _ingest(db, spark, [fx.make_block(1, accts=[fx.acct_delta(fx.ADDR_A, 10)])])
+    _ingest(db, spark, [fx.make_block(2, accts=[fx.acct_delta(fx.ADDR_A, 0)])])
+    _ingest(db, spark, [fx.make_block(3, accts=[fx.acct_delta(fx.ADDR_A, 99)])])
     row = db.store.read("account").collect()[0]
     assert row.deleted is False
     assert int(row.microalgos) == 99
-    assert row.created_at == 0  # preserved across delete + reopen
-    assert row.closed_at == 1  # upsert does not clear closed_at
+    assert row.created_at == 1  # preserved across delete + reopen
+    assert row.closed_at == 2  # upsert does not clear closed_at
 
 
 # -- asset / holding lifecycle incl. uint64 max (writer_test.go:693-1032) -----
@@ -159,40 +175,42 @@ def test_asset_and_holding_lifecycle_uint64(db, spark):
     max_u64 = 2**64 - 1
     params = {"total": Decimal(max_u64), "decimals": 0, "unit_name": b"COIN",
               "asset_name": b"MyCoin", "manager": fx.ADDR_A}
+    _init0(db, spark)
     _ingest(
         db, spark,
-        [fx.make_block(0, asset_resources=[
+        [fx.make_block(1, asset_resources=[
             fx.asset_resource(5, fx.ADDR_A, params=params,
                               holding={"amount": Decimal(max_u64),
                                        "frozen": False}),
         ])],
     )
     arow = db.store.read("asset").collect()[0]
-    assert arow.id == 5 and arow.deleted is False and arow.created_at == 0
+    assert arow.id == 5 and arow.deleted is False and arow.created_at == 1
     assert '"total":18446744073709551615' in arow.params
     hrow = db.store.read("account_asset").collect()[0]
     assert int(hrow.amount) == max_u64  # decimal(20,0) end-to-end
 
     _ingest(
         db, spark,
-        [fx.make_block(1, asset_resources=[
+        [fx.make_block(2, asset_resources=[
             fx.asset_resource(5, fx.ADDR_A, params_deleted=True,
                               holding_deleted=True),
         ])],
     )
     arow = db.store.read("asset").collect()[0]
-    assert arow.deleted is True and arow.params == "null" and arow.closed_at == 1
+    assert arow.deleted is True and arow.params == "null" and arow.closed_at == 2
     hrow = db.store.read("account_asset").collect()[0]
-    assert hrow.deleted is True and int(hrow.amount) == 0 and hrow.closed_at == 1
+    assert hrow.deleted is True and int(hrow.amount) == 0 and hrow.closed_at == 2
 
 
 # -- app / local state (writer_test.go:1033-1350) -----------------------------
 
 
 def test_app_and_localstate_lifecycle(db, spark):
+    _init0(db, spark)
     _ingest(
         db, spark,
-        [fx.make_block(0, app_resources=[
+        [fx.make_block(1, app_resources=[
             fx.app_resource(9, fx.ADDR_A,
                             params={"approv": b"\x01", "clearp": b"\x02"},
                             local_state={"schema": {"num_uint": 1,
@@ -203,14 +221,14 @@ def test_app_and_localstate_lifecycle(db, spark):
     assert db.store.read("account_app").collect()[0].deleted is False
     _ingest(
         db, spark,
-        [fx.make_block(1, app_resources=[
+        [fx.make_block(2, app_resources=[
             fx.app_resource(9, fx.ADDR_A, params_deleted=True,
                             state_deleted=True),
         ])],
     )
     a = db.store.read("app").collect()[0]
     s = db.store.read("account_app").collect()[0]
-    assert a.deleted is True and a.params == "null" and a.closed_at == 1
+    assert a.deleted is True and a.params == "null" and a.closed_at == 2
     assert s.deleted is True and s.localstate == "null"
 
 
@@ -219,14 +237,15 @@ def test_app_and_localstate_lifecycle(db, spark):
 
 def test_box_lifecycle(db, spark):
     k = fx.box_key(12, b"box-name")
-    _ingest(db, spark, [fx.make_block(0, kv_mods=[(k, b"v1")])])
+    _init0(db, spark)
+    _ingest(db, spark, [fx.make_block(1, kv_mods=[(k, b"v1")])])
     row = db.store.read("app_box").collect()[0]
     assert row.app == 12 and bytes(row.name) == b"box-name" and bytes(row.value) == b"v1"
-    _ingest(db, spark, [fx.make_block(1, kv_mods=[(k, b"v2")])])  # mutate
+    _ingest(db, spark, [fx.make_block(2, kv_mods=[(k, b"v2")])])  # mutate
     assert bytes(db.store.read("app_box").collect()[0].value) == b"v2"
-    _ingest(db, spark, [fx.make_block(2, kv_mods=[(k, None)])])  # delete
+    _ingest(db, spark, [fx.make_block(3, kv_mods=[(k, None)])])  # delete
     assert db.store.read("app_box").count() == 0
-    _ingest(db, spark, [fx.make_block(3, kv_mods=[(k, b"v3")])])  # re-insert
+    _ingest(db, spark, [fx.make_block(4, kv_mods=[(k, b"v3")])])  # re-insert
     assert bytes(db.store.read("app_box").collect()[0].value) == b"v3"
 
 
@@ -279,19 +298,188 @@ def test_genesis_health_prune(db, spark):
     with pytest.raises(GenesisHashMismatch):
         db.check_genesis_hash(b"\x00" * 32)
 
+    # migration sentinel written by LoadGenesis (cockroach.go:227-232):
+    # "no migration needed" → health reports available, not migrating
+    from sparkroach.chain.ingest import MIGRATION_DONE_SENTINEL
+    assert db.migration_state() == {"next": MIGRATION_DONE_SENTINEL}
+    assert db.get_network_state()["genesis-hash"] is not None
+
     for r in range(3):
         _ingest(db, spark, [fx.make_block(r, payset=[fx.pay_txn(f"T{r}")])])
-    assert db.health()["round"] == 2
+    h = db.health()
+    assert h["round"] == 2
+    assert h["is-migrating"] is False and h["db-available"] is True
+    assert h["data"]["migration-required"] is False
+    # round 0 wrote only header + special accounts (AddBlock0), so the txn
+    # table holds T1, T2
+    assert db.store.read("txn").count() == 2
     deleted = db.delete_transactions(keep=2)
-    assert deleted == 2
+    assert deleted == 1
     assert db.store.read("txn").count() == 1
     assert json.loads(db.store.get_metastate("pruned"))["last_pruned_round"] == 2
+
+
+def test_keytype_cleared_by_rekey_last_wins(db, spark):
+    """getSigTypeDeltas (writer.go:155-179): a rekeyed sender's delta sets
+    keytype to NULL, and the sender's LAST root txn wins — sig-then-rekey
+    in one batch clears, rekey-then-sig re-establishes."""
+    _init0(db, spark)
+    # sig txn then rekey txn from the same sender in ONE block → cleared
+    _ingest(
+        db, spark,
+        [fx.make_block(1,
+                       payset=[fx.pay_txn("S0", snd=fx.ADDR_A),
+                               fx.pay_txn("S1", snd=fx.ADDR_A,
+                                          rekey=fx.ADDR_B)],
+                       accts=[fx.acct_delta(fx.ADDR_A, 100)])],
+    )
+    assert db.store.read("account").collect()[0].keytype is None
+    # rekey then sig → last wins re-establishes 'sig'
+    _ingest(
+        db, spark,
+        [fx.make_block(2,
+                       payset=[fx.pay_txn("S2", snd=fx.ADDR_A,
+                                          rekey=fx.ADDR_B),
+                               fx.pay_txn("S3", snd=fx.ADDR_A)],
+                       accts=[fx.acct_delta(fx.ADDR_A, 101)])],
+    )
+    assert db.store.read("account").collect()[0].keytype == "sig"
+    # stateproof txn also clears (writer.go:166 Type != StateProofTx)
+    stpf = {"txid": "SP", "txn": {"type": "stpf", "snd": fx.ADDR_A},
+            "sig": b"\x11" * 64}
+    _ingest(
+        db, spark,
+        [fx.make_block(3, payset=[stpf],
+                       accts=[fx.acct_delta(fx.ADDR_A, 102)])],
+    )
+    assert db.store.read("account").collect()[0].keytype is None
+
+
+def test_holding_delete_preserves_frozen(db, spark):
+    """deleteAccountAsset updates only amount/deleted/closed_at on conflict
+    (writer.go:95-98): an existing row's frozen survives the delete; FALSE
+    applies only to newly-inserted tombstones."""
+    from decimal import Decimal
+
+    _init0(db, spark)
+    _ingest(
+        db, spark,
+        [fx.make_block(1, asset_resources=[
+            fx.asset_resource(7, fx.ADDR_A,
+                              holding={"amount": Decimal(10), "frozen": True}),
+        ])],
+    )
+    _ingest(
+        db, spark,
+        [fx.make_block(2, asset_resources=[
+            fx.asset_resource(7, fx.ADDR_A, holding_deleted=True),
+        ])],
+    )
+    row = db.store.read("account_asset").collect()[0]
+    assert row.deleted is True and row.frozen is True  # preserved
+    # delete of a row that never existed → tombstone inserts frozen=FALSE
+    _ingest(
+        db, spark,
+        [fx.make_block(3, asset_resources=[
+            fx.asset_resource(8, fx.ADDR_B, holding_deleted=True),
+        ])],
+    )
+    fresh = [r for r in db.store.read("account_asset").collect()
+             if r.assetid == 8][0]
+    assert fresh.deleted is True and fresh.frozen is False
+
+
+def test_root_txn_extra_carries_asset_close_amount(db, spark):
+    """Root rows store TxnExtra for every txn (write_txn.go:136-142): the
+    asset-close-amount under 'aca' (omit-empty → '{}' when zero); inner
+    rows keep {root-intra, root-txid}."""
+    from decimal import Decimal
+
+    _init0(db, spark)
+    ax = fx.axfer_txn("AX", xaid=5, aamt=100, snd=fx.ADDR_A, aclose=fx.ADDR_C)
+    ax["ad"] = {"aca": Decimal(250)}
+    plain = fx.pay_txn("P0")
+    _ingest(db, spark, [fx.make_block(1, payset=[ax, plain])])
+    rows = {r.txid: r for r in db.store.read("txn").collect()}
+    assert json.loads(rows["AX"].extra) == {"aca": 250}
+    assert rows["P0"].extra == "{}"
+
+
+def test_round0_block_payload_is_skipped(db, spark):
+    """AddBlock0 (cockroach.go:159-165): a round-0 block carrying a payset
+    or delta writes ONLY the header + special accounts — genesis
+    allocations arrive via LoadGenesis, never via block 0."""
+    _ingest(
+        db, spark,
+        [fx.make_block(0, payset=[fx.pay_txn("T0")],
+                       accts=[fx.acct_delta(fx.ADDR_A, 123)])],
+    )
+    assert db.store.read("block_header").count() == 1
+    assert db.store.read("txn").count() == 0
+    assert db.store.read("txn_participation").count() == 0
+    assert db.store.read("account").count() == 0
+    assert db.store.get_metastate("accounts") is not None
+    assert db.next_round() == 1
 
 
 def test_metastate_special_accounts(db, spark):
     _ingest(db, spark, [fx.make_block(0)])
     v = json.loads(db.store.get_metastate("accounts"))
     assert set(v) == {"FeeSink", "RewardsPool"}
+
+
+def test_crash_after_fact_append_replays_exactly_once(db, spark):
+    """Reference invariant 'txn tables can only be ahead, never behind'
+    (cockroach.go:189-199): kill ingest AFTER the fact appends but BEFORE
+    the metastate commit, then replay the batch.  The replay must apply the
+    skipped metastate without duplicating a single fact row, and the state
+    tables must converge to the same values."""
+    _init0(db, spark)
+    _ingest(
+        db, spark,
+        [fx.make_block(1, payset=[fx.pay_txn("T1")],
+                       accts=[fx.acct_delta(fx.ADDR_A, 100)])],
+    )
+
+    # crash injection: the metastate merge at the end of add_blocks fails
+    batch = [
+        fx.make_block(2, payset=[fx.pay_txn("T2"), fx.pay_txn("T2B")],
+                      accts=[fx.acct_delta(fx.ADDR_A, 200)]),
+        fx.make_block(3, payset=[fx.pay_txn("T3")],
+                      accts=[fx.acct_delta(fx.ADDR_B, 50)]),
+    ]
+    real_merge = db.store.merge_metastate
+    calls = {"n": 0}
+
+    def exploding_merge(updates):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before metastate commit")
+
+    db.store.merge_metastate = exploding_merge
+    with pytest.raises(RuntimeError, match="injected crash"):
+        _ingest(db, spark, batch)
+    db.store.merge_metastate = real_merge
+
+    # facts are AHEAD of the gate: rows applied, high-water mark not
+    assert calls["n"] == 1
+    assert db.next_round() == 2
+    assert db.store.read("txn").count() == 4  # T1 + T2,T2B,T3
+
+    # Structured Streaming redelivers the same batch; the gate still sees
+    # next=2 so the rounds re-apply — fact appends must be no-ops
+    assert _ingest(db, spark, batch) == 2
+    assert db.next_round() == 4
+    txn = db.store.read("txn").collect()
+    assert len(txn) == 4  # no duplicate (round, intra) rows
+    assert len({(r.round, r.intra) for r in txn}) == 4
+    hdr = db.store.read("block_header").collect()
+    assert sorted(r.round for r in hdr) == [0, 1, 2, 3]
+    part = db.store.read("txn_participation").collect()
+    assert len(part) == len({(bytes(r.addr), r.round, r.intra) for r in part})
+    # state converged: the replayed MERGEs are deterministic
+    accts = {bytes(r.addr): r for r in db.store.read("account").collect()}
+    assert int(accts[fx.ADDR_A].microalgos) == 200
+    assert int(accts[fx.ADDR_B].microalgos) == 50
 
 
 def test_flatten_depth1_shortcut_matches_full_plan(db, spark):

@@ -28,8 +28,8 @@ from tests import chain_fixtures as fx
 def db(spark, tmp_path_factory):
     """A small chain: 3 blocks with txns, accounts, assets, apps, boxes."""
     d = ChainDB(spark, str(tmp_path_factory.mktemp("chainq")), n_buckets=4)
-    b0 = fx.make_block(
-        0,
+    b1 = fx.make_block(
+        1,
         payset=[
             fx.pay_txn("PAY0", snd=fx.ADDR_A, rcv=fx.ADDR_B, amt=500,
                        note=b"hello-world"),
@@ -55,23 +55,23 @@ def db(spark, tmp_path_factory):
         kv_mods=[(fx.box_key(20, b"alpha"), b"v-alpha"),
                  (fx.box_key(20, b"beta"), b"v-beta")],
     )
-    b1 = fx.make_block(
-        1,
+    b2 = fx.make_block(
+        2,
         payset=[fx.pay_txn("PAY1", snd=fx.ADDR_B, rcv=fx.ADDR_A, amt=9000)],
         timestamp=1_700_003_600,
     )
-    b2 = fx.make_block(
-        2,
+    b3 = fx.make_block(
+        3,
         payset=[fx.pay_txn("PAY2", snd=fx.ADDR_C, rcv=fx.ADDR_A, amt=10)],
         timestamp=1_700_007_200,
     )
-    d.add_blocks(fx.blocks_df(d.spark, [b0, b1, b2]))
+    d.add_blocks(fx.blocks_df(d.spark, [fx.make_block(0), b1, b2, b3]))
     return d
 
 
 def test_txn_filter_round_range(db):
-    assert TransactionFilter(min_round=1).compile(db).count() == 2
-    assert TransactionFilter(round=0).compile(db).count() == 2
+    assert TransactionFilter(min_round=2).compile(db).count() == 2
+    assert TransactionFilter(round=1).compile(db).count() == 2
 
 
 def test_txn_filter_txid_and_type(db):
@@ -148,7 +148,8 @@ def test_inner_root_resolution(spark, tmp_path_factory):
     d = ChainDB(spark, str(tmp_path_factory.mktemp("chainroot")), n_buckets=2)
     inner = fx.pay_txn(None, snd=fx.ADDR_B, rcv=fx.ADDR_C, amt=7, sig=None)
     root = fx.appl_txn("ROOT0", apid=42, inners=[inner])
-    d.add_blocks(fx.blocks_df(spark, [fx.make_block(0, payset=[root])]))
+    d.add_blocks(fx.blocks_df(spark, [fx.make_block(0),
+                                      fx.make_block(1, payset=[root])]))
 
     rows = {r.intra: r for r in TransactionFilter().compile(d).collect()}
     assert rows[0].root_txn is None  # root row: nothing to resolve
@@ -219,12 +220,12 @@ def test_applications_and_boxes(db):
 
 
 def test_get_block(db):
-    hdr = GetBlockOptions(round=1).compile(db).collect()
-    assert len(hdr) == 1 and hdr[0].round == 1
-    full = GetBlockOptions(round=0, transactions=True).compile(db).collect()
+    hdr = GetBlockOptions(round=2).compile(db).collect()
+    assert len(hdr) == 1 and hdr[0].round == 2
+    full = GetBlockOptions(round=1, transactions=True).compile(db).collect()
     assert len(full) == 2
     with pytest.raises(MaxTransactionsError):
-        GetBlockOptions(round=0, transactions=True, max_transactions_limit=1).compile(db)
+        GetBlockOptions(round=1, transactions=True, max_transactions_limit=1).compile(db)
 
 
 # -- encoding goldens (encoding_test.go analogs) ------------------------------
@@ -254,6 +255,86 @@ def test_pagination_token_codec():
     assert encoding.decode_txn_next_token(tok) == (7, 3)
     tok = encoding.encode_txn_next_token(2**40, 2**31)
     assert encoding.decode_txn_next_token(tok) == (2**40, 2**31)
+
+
+def _app_call_with_inner_txns() -> str:
+    """Canonical JSON analog of test.MakeAppCallWithInnerTxn: an appl whose
+    eval delta carries 2 inner txns, the second of which carries 2 nested
+    inners → countInner == 4 (idb_test.go:17 comment says 2+2)."""
+    import json as _json
+
+    nested = {"txn": {"type": "pay", "amt": 1}}
+    inner_pay = {"txn": {"type": "pay", "amt": 5}}
+    inner_appl = {
+        "txn": {"type": "appl", "apid": 9},
+        "ad": {"dt": {"itx": [nested, nested]}},
+    }
+    root = {
+        "txn": {"type": "appl", "apid": 7},
+        "ad": {"dt": {"itx": [inner_pay, inner_appl]}},
+    }
+    return _json.dumps(root)
+
+
+def test_txn_row_next_matrix():
+    """Port of TestTxnRowNext (idb_test.go:14-99)."""
+    # simple 1: root row, descending — token is the row's own position
+    tok = encoding.txn_row_next_token(0, 0, None, False, '{"txn":{}}', None)
+    assert encoding.decode_txn_next_token(tok) == (0, 0)
+    # simple 2
+    tok = encoding.txn_row_next_token(
+        1_234_567_890, 500, None, False, '{"txn":{}}', None
+    )
+    assert encoding.decode_txn_next_token(tok) == (1_234_567_890, 500)
+    root_json = _app_call_with_inner_txns()
+    assert encoding.count_inner_txns(root_json) == 4
+    # inner txns descending: token = RootIntra
+    tok = encoding.txn_row_next_token(1_234_567_890, 51, 50, False, None, root_json)
+    assert encoding.decode_txn_next_token(tok) == (1_234_567_890, 50)
+    # inner txns ascending: token = RootIntra + countInner(root) = 54
+    tok = encoding.txn_row_next_token(1_234_567_890, 51, 50, True, None, root_json)
+    assert encoding.decode_txn_next_token(tok) == (1_234_567_890, 54)
+    # root txn absent ascending → error
+    with pytest.raises(ValueError, match="was not given transaction"):
+        encoding.txn_row_next_token(1_234_567_890, 51, 50, True, None, None)
+
+
+def test_paging_over_inner_txns_skips_subtree(spark, tmp_path_factory):
+    """End-to-end: an ascending token taken on ANY row of a root's subtree
+    resumes past the whole subtree; a descending token from an inner row
+    resumes before the root."""
+    d = ChainDB(spark, str(tmp_path_factory.mktemp("chainpage")), n_buckets=2)
+    inner = fx.pay_txn(None, snd=fx.ADDR_B, rcv=fx.ADDR_C, amt=7, sig=None)
+    root0 = fx.appl_txn("ROOT0", apid=42, inners=[inner, inner])  # intra 0,1,2
+    root1 = fx.pay_txn("PAY3")  # intra 3
+    d.add_blocks(fx.blocks_df(spark, [fx.make_block(0),
+                                      fx.make_block(1, payset=[root0, root1])]))
+
+    # ascending, page size 2 → last row of page 1 is the first inner
+    page1 = TransactionFilter(limit=2).compile(d).collect()
+    assert [r.intra for r in page1] == [0, 1]
+    tok = TransactionFilter.page_token(page1[-1], ascending=True)
+    # inner row: token = root_intra(0) + countInner(2) = 2 → next page
+    # starts past the subtree at PAY3, never re-returning inner #2
+    assert encoding.decode_txn_next_token(tok) == (1, 2)
+    page2 = TransactionFilter(next_token=tok, limit=2).compile(d).collect()
+    assert [r.txid for r in page2] == ["PAY3"]
+
+    # token on the root row itself also skips its inners
+    tok0 = TransactionFilter.page_token(page1[0], ascending=True)
+    assert encoding.decode_txn_next_token(tok0) == (1, 2)
+
+    # descending: page 1 returns PAY3 then inner #2 (resolved to root)
+    dpage1 = TransactionFilter(limit=2, ascending=False).compile(d).collect()
+    assert [r.intra for r in dpage1] == [3, 2]
+    dtok = TransactionFilter.page_token(dpage1[-1], ascending=False)
+    # inner row descending → token = root intra → next page precedes the
+    # whole subtree (here: nothing, since ROOT0 is the block's first txn)
+    assert encoding.decode_txn_next_token(dtok) == (1, 0)
+    dpage2 = TransactionFilter(
+        next_token=dtok, ascending=False
+    ).compile(d).collect()
+    assert dpage2 == []
 
 
 def test_asset_params_printable_vs_b64():

@@ -35,3 +35,26 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_driver_window_budget():
+    """Every gated query must land inside the driver's recorded window
+    (round-1 lesson: entries past position 50 got no CORRECTNESS row and
+    counted as unverified), with oracle-bearing entries ordered first."""
+    import __spark_entry__ as e
+    from sparkroach.queries.registry import DRIVER_WINDOW
+
+    qs = list(e.queries())
+    assert len(qs) <= DRIVER_WINDOW, (
+        f"{len(qs)} gated queries exceed the driver's {DRIVER_WINDOW}-entry "
+        "window — mark near-duplicates gated=False"
+    )
+    oracles = e.oracle_sql()
+    seen_rows_only = False
+    for name in qs:
+        if name not in oracles:
+            seen_rows_only = True
+        else:
+            assert not seen_rows_only, (
+                f"oracle-bearing {name} is ordered after a rows-only entry"
+            )
