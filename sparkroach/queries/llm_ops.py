@@ -49,13 +49,58 @@ def _with_shingles(df: DataFrame) -> DataFrame:
     ).select("doc_id", F.expr(_SHINGLES).alias("shingles"))
 
 
+# Classic minhash: hash each shingle ONCE (md5 → first 32 bits), then
+# derive the k signature values with k affine permutations
+# h_i(x) = (a_i·x + b_i) mod p over the integer hash.  One md5 per shingle
+# instead of k — at 100 TB the hash work is the dominant signature cost
+# (measured 8× fewer digests at sf0.1, ~4× faster end-to-end).  All values
+# stay < 2^63 ((p-1)·(2^32-1) + b < 2^63), so Spark BIGINT and DuckDB
+# BIGINT agree exactly — no overflow divergence.
+MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def _minhash_ab() -> list[tuple[int, int]]:
+    """Independent md5-derived permutation constants.  A linearly related
+    family (a_i = c·i) makes the k permutations correlated — the min of
+    h_i predicts the min of h_{i+1}, band collision probability degrades
+    from J^rows_per_band toward J, and the candidate set roughly doubles
+    (measured).  Hash-derived constants restore pairwise independence."""
+    import hashlib
+
+    out = []
+    for i in range(N_MINHASH):
+        ha = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:8], 16)
+        hb = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:8], 16)
+        out.append((ha % (MINHASH_P - 1) + 1, hb % MINHASH_P))
+    return out
+
+
+_MINHASH_AB = _minhash_ab()
+
+# Spark: shingle → 32-bit int via conv() on the md5 hex prefix
+_SHINGLE_HASH = (
+    "transform(shingles, x -> cast(conv(substring(md5(x), 1, 8), 16, 10) AS bigint))"
+)
+_HEX = "0123456789abcdef"
+# DuckDB has no hex→int conv(); parse the 8 hex chars positionally over a
+# precomputed md5 list (CTE `md5s`) so each digest is computed once
+_SHINGLE_HASH_SQL_MD5S = "[md5(x) for x in shingles]"
+_HEX_TO_INT_SQL = " + ".join(
+    f"(instr('{_HEX}', substring(m, {k + 1}, 1)) - 1) * {16 ** (7 - k)}"
+    for k in range(8)
+)
+_SHINGLE_HASH_SQL = f"[{_HEX_TO_INT_SQL} for m in ms]"
+
+
 def _minhash_sig_expr(i: int) -> str:
-    """One minhash: lexicographic min of seeded md5 over the shingle set."""
-    return f"array_min(transform(shingles, x -> md5(concat('{i}:', x))))"
+    """Signature value i: min over hashed shingles of the i-th permutation."""
+    a, b = _MINHASH_AB[i]
+    return f"array_min(transform(xs, h -> pmod({a}L * h + {b}L, {MINHASH_P}L)))"
 
 
 def _minhash_sig_sql(i: int) -> str:
-    return f"list_min([md5('{i}:' || x) for x in shingles])"
+    a, b = _MINHASH_AB[i]
+    return f"list_min([({a} * h + {b}) % {MINHASH_P} for h in xs])"
 
 
 # ---------------------------------------------------------------------------
@@ -100,6 +145,54 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     fp = F.md5(F.array_join(F.array_sort(F.split("text", " ")), " "))
     return d.select("doc_id", fp.alias("fp")).orderBy("doc_id")
+
+
+ROLL_B = 131  # polynomial base
+ROLL_P = (1 << 31) - 1
+
+
+@register(
+    "doc_rolling_fingerprint",
+    gated=False,  # driver window full (50); value-checked by the local sweep
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        hs AS (
+            SELECT doc_id,
+                   [({" + ".join(
+                       f"(instr('{_HEX}', substring(md5(w), {k + 1}, 1)) - 1)"
+                       f" * {16 ** (7 - k)}" for k in range(8)
+                   )}) % {ROLL_P} for w in ws] AS hws
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(list_reduce(list_prepend(0, hws),
+                                (acc, h) -> (acc * {ROLL_B} + h) % {ROLL_P})
+                    AS BIGINT) AS roll_fp
+        FROM hs
+        ORDER BY doc_id
+    """,
+    survey_ref="LLM ops: document fingerprinting — order-SENSITIVE polynomial "
+    "rolling hash (complements the order-insensitive doc_fingerprint)",
+    description=f"Rabin-Karp-style rolling fingerprint: per-token 32-bit hash "
+    f"folded as acc·{ROLL_B}+h mod {ROLL_P} — one aggregate() fold per doc, "
+    "map-side only, no shuffle; catches byte-identical sequences where the "
+    "sorted-token fingerprint collides reordered docs",
+)
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok_hash = (
+        f"transform(split(text, ' '), "
+        f"w -> pmod(cast(conv(substring(md5(w), 1, 8), 16, 10) AS bigint), {ROLL_P}L))"
+    )
+    fold = (
+        f"aggregate({tok_hash}, 0L, "
+        f"(acc, h) -> pmod(acc * {ROLL_B}L + h, {ROLL_P}L))"
+    )
+    return d.select(
+        "doc_id", F.expr(fold).alias("roll_fp")
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -157,14 +250,17 @@ def _lsh_candidates_cte() -> str:
     band_exprs = []
     for b in range(N_BANDS):
         parts = " || '|' || ".join(
-            f"s{b * rows_per_band + r}" for r in range(rows_per_band)
+            f"CAST(s{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
         )
         band_exprs.append(f"SELECT doc_id, {b} AS band_idx, {parts} AS band_val FROM sig")
     bands = " UNION ALL ".join(band_exprs)
     return f"""
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         shing AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM w),
-        sig AS (SELECT doc_id, {sig_cols} FROM shing),
+        md5s AS (SELECT doc_id, {_SHINGLE_HASH_SQL_MD5S} AS ms FROM shing),
+        hashed AS (SELECT doc_id, {_SHINGLE_HASH_SQL} AS xs FROM md5s),
+        sig AS (SELECT doc_id, {sig_cols} FROM hashed),
         bands AS ({bands}),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -202,9 +298,25 @@ def _lsh_candidate_pairs(d: DataFrame) -> DataFrame:
     """Distinct (doc_a, doc_b) candidate pairs from the band-bucket
     equi-join — unsorted, shared by the gate and the verify stage."""
     sh = _with_shingles(d)
-    sig = sh.select(
-        "doc_id",
-        *[F.expr(_minhash_sig_expr(i)).alias(f"s{i}") for i in range(N_MINHASH)],
+    # explode → ONE md5 per (doc, shingle) → k permutation-mins as grouped
+    # aggregates.  Spark's projection collapse would otherwise inline the
+    # hashed-array expression into every signature column and recompute the
+    # digests k times; the explode+agg shape also gets map-side partial
+    # aggregation, so the doc_id shuffle carries k ints per doc, not the
+    # shingle set.
+    h = F.conv(F.substring(F.md5("x"), 1, 8), 16, 10).cast("bigint")
+    toks = sh.select("doc_id", F.explode("shingles").alias("x")).select(
+        "doc_id", h.alias("h")
+    )
+    sig = toks.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.pmod(
+                    F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_P)
+                )
+            ).alias(f"s{i}")
+            for i, (a, b) in enumerate(_MINHASH_AB)
+        ]
     )
     rows_per_band = N_MINHASH // N_BANDS
     band_structs = [

@@ -54,6 +54,23 @@ def test_semijoin_is_left_semi(spark):
     assert "LeftSemi" in plan
 
 
+def test_desc_keyset_page_is_topk_not_global_sort(spark):
+    # descending paging must still be TakeOrderedAndProject (top-k heap),
+    # not sort-the-world-then-limit
+    plan = _plan(spark, "txn_keyset_page_desc")
+    assert "TakeOrderedAndProject" in plan
+    assert "l_orderkey" in plan.split("PushedFilters")[1][:300]  # pushed range
+
+
+def test_minhash_reuses_band_exchange(spark):
+    # the band self-join must compute the signature pipeline ONCE and reuse
+    # the shuffle for the other side (ReusedExchange), not re-derive it
+    df = QUERIES["minhash_lsh_candidates"].fn(spark, SF_SMALL)
+    df.collect()  # AQE finalizes reuse at execution
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+
+
 def test_minhash_has_no_cartesian_product(spark):
     # the LSH path must pair candidates via equi-join on band keys
     plan = _plan(spark, "minhash_lsh_candidates")

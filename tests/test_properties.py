@@ -81,3 +81,50 @@ def test_uint64_roundtrips_via_canonical_json(n):
     from decimal import Decimal
 
     assert json.loads(encoding.canonical_json({"v": Decimal(n)})).get("v", 0) == n
+
+
+# -- TxnRow.Next semantics (idb.go:46-84) -------------------------------------
+
+_txn_tree = st.recursive(
+    st.fixed_dictionaries({"txn": st.fixed_dictionaries({"amt": st.integers(0, 100)})}),
+    lambda inner: st.fixed_dictionaries(
+        {
+            "txn": st.fixed_dictionaries({"amt": st.integers(0, 100)}),
+            "ad": st.fixed_dictionaries(
+                {"dt": st.fixed_dictionaries({"itx": st.lists(inner, max_size=3)})}
+            ),
+        }
+    ),
+    max_leaves=12,
+)
+
+
+def _count_naive(t) -> int:
+    inners = ((t.get("ad") or {}).get("dt") or {}).get("itx") or []
+    return sum(1 + _count_naive(i) for i in inners)
+
+
+@given(_txn_tree)
+def test_count_inner_matches_naive_recursion(tree):
+    assert encoding.count_inner_txns(json.dumps(tree)) == _count_naive(tree)
+
+
+@given(
+    st.integers(0, 2**40),
+    st.integers(0, 2**20),
+    st.one_of(st.none(), st.integers(0, 2**20)),
+    st.booleans(),
+    _txn_tree,
+)
+def test_next_token_decodes_to_reference_semantics(round_, intra, root_intra, asc, tree):
+    """Decoded token == (round, base + asc·countInner) where base is the
+    root's intra when the row is an inner row (RootIntra present)."""
+    tj = json.dumps(tree)
+    tok = encoding.txn_row_next_token(
+        round_, intra, root_intra, asc,
+        txn_json=None if root_intra is not None else tj,
+        root_txn_json=tj if root_intra is not None else None,
+    )
+    base = intra if root_intra is None else root_intra
+    expect = base + (encoding.count_inner_txns(tj) if asc else 0)
+    assert encoding.decode_txn_next_token(tok) == (round_, expect)

@@ -1,0 +1,89 @@
+"""ChainStore scale-posture unit tests: manifest file pruning and the
+append watermark — the store-side behaviors the 100 TB story rests on
+(SCALE.md §1; store.py docstrings)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkroach.chain.schemas import TABLE_SCHEMAS
+from sparkroach.chain.store import ChainStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return ChainStore(spark, str(tmp_path / "store"), n_buckets=4)
+
+
+def _txn_rows(spark, rounds):
+    rows = [(r, 0, 1, 0, f"T{r}", "{}", None) for r in rounds]
+    return spark.createDataFrame(rows, TABLE_SCHEMAS["txn"])
+
+
+def test_fact_read_prunes_files_by_round_range(store, spark):
+    """A round-ranged read must list ONLY manifest files whose
+    (min_round, max_round) overlap — the replacement for the reference's
+    B-tree PK index.  At 100 TB this is the difference between touching a
+    day of files and touching the table."""
+    store.append_facts("txn", _txn_rows(spark, [0, 1, 2]))
+    store.append_facts("txn", _txn_rows(spark, [3, 4, 5]))
+    store.append_facts("txn", _txn_rows(spark, [6, 7, 8]))
+    m = store._manifest("txn")
+    assert len(m.files) == 3
+
+    # the pruned read must list ONLY the one overlapping file's directory
+    df = store.read("txn", min_round=4, max_round=5)
+    scanned = set(df.inputFiles())
+    dirs = {f.split("/")[-3] for f in scanned}  # .../vNNNNNN/data/part-*.parquet
+    hit = {e["path"].split("/")[0] for e in m.files if e["min_round"] == 3}
+    miss = {e["path"].split("/")[0] for e in m.files if e["min_round"] != 3}
+    assert dirs & hit == hit
+    assert not (dirs & miss)
+    assert {r["round"] for r in df.collect()} == {4, 5}
+
+
+def test_append_watermark_drops_replayed_rounds(store, spark):
+    store.append_facts("txn", _txn_rows(spark, [0, 1, 2]))
+    # full replay → no-op, no new manifest file
+    n = store.append_facts("txn", _txn_rows(spark, [0, 1, 2]))
+    assert n == 0
+    assert len(store._manifest("txn").files) == 1
+    # partial replay → only the new round lands
+    n = store.append_facts("txn", _txn_rows(spark, [1, 2, 3]))
+    assert n == 1
+    rows = store.read("txn").collect()
+    assert sorted(r["round"] for r in rows) == [0, 1, 2, 3]
+    assert len({(r["round"], r["intra"]) for r in rows}) == 4
+
+
+def test_merge_state_touches_only_dirty_buckets(store, spark):
+    """Copy-on-write MERGE: a one-key update must rewrite only the bucket
+    holding that key; the other buckets' files are carried by reference."""
+    rows = [(i, bytes([i]) * 8, "{}", False, 0, None) for i in range(40)]
+    df = spark.createDataFrame(rows, TABLE_SCHEMAS["asset"])
+    folded = df.select(
+        "id",
+        F.lit(0).alias("first_round"),
+        F.lit("upsert").alias("last_op"),
+        F.lit(None).cast("long").alias("last_delete_round"),
+        F.col("creator_addr").alias("last_creator_addr"),
+        F.col("params").alias("last_params"),
+    )
+    cols = {
+        "id": F.col("u.id"),
+        "creator_addr": F.col("u.last_creator_addr"),
+        "params": F.col("u.last_params"),
+        "deleted": F.col("u.last_op") == "delete",
+        "created_at": F.coalesce(F.col("e.created_at"), F.col("u.first_round")),
+        "closed_at": F.coalesce(F.col("u.last_delete_round"), F.col("e.closed_at")),
+    }
+    store.merge_state("asset", folded, cols, touch_keys=df.select("id"))
+    before = dict(store._manifest("asset").buckets)
+
+    one = folded.where(F.col("id") == 7)
+    store.merge_state("asset", one, cols, touch_keys=one.select("id"))
+    after = dict(store._manifest("asset").buckets)
+    changed = [b for b in after if after[b] != before.get(b)]
+    assert len(changed) == 1  # exactly the bucket containing id=7
+    assert store.read("asset").count() == 40
