@@ -438,17 +438,18 @@ def _simhash_oracle() -> str:
 )
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # one md5 + hex→int conv per (doc, token); bit j of the signature is
+    # bit (31-j) of that 32-bit value, extracted with shifts instead of 32
+    # per-bit substring/instr string ops (same values — the hex-digit
+    # arithmetic in the oracle SQL decomposes the identical integer)
+    hv = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
     toks = d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
-    )
-    h = F.md5(F.col("tok"))
+    ).select("doc_id", hv.alias("hv"))
     bit_cols = []
     for j in range(N_SIMHASH_BITS):
-        p = j // 4 + 1
-        shift = 3 - (j % 4)
-        digit = F.instr(F.lit(_HEXDIGITS), F.substring(h, p, 1)) - 1
-        bit = (digit / (2**shift)).cast("int") % 2
+        bit = F.shiftright(F.col("hv"), 31 - j).bitwiseAND(F.lit(1))
         bit_cols.append(F.sum(bit * 2 - 1).alias(f"c{j}"))
     bits = toks.groupBy("doc_id").agg(*bit_cols)
     value = None

@@ -355,6 +355,16 @@ def test_keytype_cleared_by_rekey_last_wins(db, spark):
     assert db.store.read("account").collect()[0].keytype is None
 
 
+def test_sigtype_delta_without_account_delta_writes_nothing(db, spark):
+    """writeAccountDeltas applies sig-type deltas only to accounts present
+    in delta.Accts (writer.go:181-225 iterates the account deltas, not the
+    sigtype map) — a sender with a txn but no balance change must not
+    materialize an account row."""
+    _init0(db, spark)
+    _ingest(db, spark, [fx.make_block(1, payset=[fx.pay_txn("T0")])])
+    assert db.store.read("account").count() == 0
+
+
 def test_holding_delete_preserves_frozen(db, spark):
     """deleteAccountAsset updates only amount/deleted/closed_at on conflict
     (writer.go:95-98): an existing row's frozen survives the delete; FALSE

@@ -103,6 +103,18 @@ def test_txn_filter_note_prefix_and_amounts(db):
     assert TransactionFilter(sig_type="msig").compile(db).count() == 1
 
 
+def test_txn_filter_offset_rekey_appid(db):
+    # Offset / OffsetLT / OffsetGT (idb.go:199-201)
+    assert TransactionFilter(round=1, offset=1).compile(db).count() == 1
+    assert TransactionFilter(round=1, offset_lt=1).compile(db).count() == 1
+    assert TransactionFilter(round=1, offset_gt=0).compile(db).count() == 1
+    # RekeyTo presence/absence (idb.go:206)
+    assert TransactionFilter(rekey_to=True).compile(db).count() == 0
+    assert TransactionFilter(rekey_to=False).compile(db).count() == 4
+    # ApplicationID scopes to appl txns only (idb.go:212)
+    assert TransactionFilter(application_id=5).compile(db).count() == 0
+
+
 def test_txn_filter_time_window(db):
     t0 = datetime(2023, 11, 14, 22, 30, tzinfo=timezone.utc)
     out = TransactionFilter(after_time=t0).compile(db)
