@@ -265,14 +265,25 @@ class ChainDB:
                     transforms.participation(nz_blocks, rows=flat),
                 )
             )
+        # dense-update heuristic: the gate collect already counted updates
+        # per plane; when a batch averages >=4 keys per bucket every bucket
+        # collides anyway, so the merge skips its touched-bucket discovery
+        # job (store.merge_state touch_all)
+        dense = 4 * self.store.n_buckets
+        n_upd = {k: sum(r[k] for r in nz_applied) for k in
+                 ("n_accts", "n_assets", "n_apps", "n_boxes")}
         if has["n_accts"]:
-            tasks.append(lambda: self._merge_account_batch(nz_blocks, flat))
+            tasks.append(lambda: self._merge_account_batch(
+                nz_blocks, flat, touch_all=n_upd["n_accts"] >= dense))
         if has["n_assets"]:
-            tasks.append(lambda: self._merge_assets(nz_blocks))
+            tasks.append(lambda: self._merge_assets(
+                nz_blocks, touch_all=n_upd["n_assets"] >= dense))
         if has["n_apps"]:
-            tasks.append(lambda: self._merge_apps(nz_blocks))
+            tasks.append(lambda: self._merge_apps(
+                nz_blocks, touch_all=n_upd["n_apps"] >= dense))
         if has["n_boxes"]:
-            tasks.append(lambda: self._merge_boxes(nz_blocks))
+            tasks.append(lambda: self._merge_boxes(
+                nz_blocks, touch_all=n_upd["n_boxes"] >= dense))
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -302,7 +313,9 @@ class ChainDB:
         blocks.unpersist()
         return len(todo)
 
-    def _merge_account_batch(self, blocks: DataFrame, flat: DataFrame | None) -> None:
+    def _merge_account_batch(
+        self, blocks: DataFrame, flat: DataFrame | None, touch_all: bool = False
+    ) -> None:
         if flat is not None:
             sig = transforms.sigtype_deltas(blocks, rows=flat)
             sig = sig.withColumnRenamed("keytype", "keytype_delta")
@@ -323,9 +336,9 @@ class ChainDB:
             acct = acct.withColumn(
                 "keytype_delta", F.lit(None).cast("string")
             ).withColumn("delta_present", F.lit(False))
-        self._merge_account(acct, touch_keys=upd.select("addr"))
+        self._merge_account(acct, touch_keys=upd.select("addr"), touch_all=touch_all)
 
-    def _merge_assets(self, blocks: DataFrame) -> None:
+    def _merge_assets(self, blocks: DataFrame, touch_all: bool = False) -> None:
         aupd = transforms.asset_updates(blocks)
         asset = _fold(aupd, ["id"], ["creator_addr", "params"])
         self.store.merge_state(
@@ -338,6 +351,7 @@ class ChainDB:
                 **_lineage_cols(),
             },
             touch_keys=aupd.select("id"),
+            touch_all=touch_all,
         )
         aaupd = transforms.account_asset_updates(blocks)
         # deleteAccountAsset's ON CONFLICT updates only amount/deleted/
@@ -375,9 +389,10 @@ class ChainDB:
                 **_lineage_cols(),
             },
             touch_keys=aaupd.select("addr", "assetid"),
+            touch_all=touch_all,
         )
 
-    def _merge_apps(self, blocks: DataFrame) -> None:
+    def _merge_apps(self, blocks: DataFrame, touch_all: bool = False) -> None:
         aupd = transforms.app_updates(blocks)
         app = _fold(aupd, ["id"], ["creator", "params"])
         self.store.merge_state(
@@ -390,6 +405,7 @@ class ChainDB:
                 **_lineage_cols(),
             },
             touch_keys=aupd.select("id"),
+            touch_all=touch_all,
         )
         apupd = transforms.account_app_updates(blocks)
         ap = _fold(apupd, ["addr", "app"], ["localstate"])
@@ -403,9 +419,10 @@ class ChainDB:
                 **_lineage_cols(),
             },
             touch_keys=apupd.select("addr", "app"),
+            touch_all=touch_all,
         )
 
-    def _merge_boxes(self, blocks: DataFrame) -> None:
+    def _merge_boxes(self, blocks: DataFrame, touch_all: bool = False) -> None:
         bupd = transforms.box_updates(blocks)
         box = _fold(bupd, ["app", "name"], ["value"])
         self.store.merge_state(
@@ -418,9 +435,10 @@ class ChainDB:
                 "__drop__": F.col("u.last_op") == "delete",
             },
             touch_keys=bupd.select("app", "name"),
+            touch_all=touch_all,
         )
 
-    def _merge_account(self, folded: DataFrame, touch_keys=None) -> None:
+    def _merge_account(self, folded: DataFrame, touch_keys=None, touch_all: bool = False) -> None:
         """account MERGE incl. the keytype clauses (writer.go:62-113,
         :155-179): when a sig-type delta arrived the column takes the delta
         VALUE — which is NULL for a sender whose last root txn was rekeyed
@@ -443,6 +461,7 @@ class ChainDB:
                 **_lineage_cols(),
             },
             touch_keys=touch_keys,
+            touch_all=touch_all,
         )
 
     # -- streaming (A1/A2) ----------------------------------------------------
@@ -503,11 +522,22 @@ class ChainDB:
         }
 
     def delete_transactions(self, keep: int) -> int:
-        """A25: drop txn rows with round < keep; record prune status."""
+        """A25: drop txn rows with round < keep; record prune status in the
+        reference's DeleteStatus shape — keys ``last_pruned`` (timestamp
+        text) and ``oldest_txn_round`` (types.go:32-36, metastate key
+        ``pruned`` schema/metastate.go:10)."""
+        from datetime import datetime, timezone
+
         n = self.store.delete_facts_below("txn", keep)
         self.store.delete_facts_below("txn_participation", keep)
         self.store.set_metastate(
-            "pruned", json.dumps({"last_pruned_round": keep, "deleted_rows": n})
+            "pruned",
+            json.dumps(
+                {
+                    "last_pruned": datetime.now(timezone.utc).isoformat(),
+                    "oldest_txn_round": keep,
+                }
+            ),
         )
         return n
 

@@ -257,6 +257,7 @@ class ChainStore:
         folded: DataFrame,
         merge_cols: dict[str, F.Column],
         touch_keys: DataFrame | None = None,
+        touch_all: bool = False,
     ) -> None:
         """Copy-on-write MERGE: ``folded`` is one row per key (the ingest
         layer folds the update stream first) with whatever helper columns
@@ -274,6 +275,13 @@ class ChainStore:
         fold/UDF/join work) and the full fold chain runs exactly once,
         inside the write job — instead of being materialized into cache
         just to learn the bucket list.  One pass over the updates, not two.
+
+        ``touch_all`` skips the touched-bucket discovery job entirely and
+        treats every bucket as dirty.  The ingest layer sets it when its
+        (already-collected) update count says the batch is dense enough
+        that essentially every bucket collides anyway — the discovery job
+        would cost a Spark job to learn "all of them".  Sparse updates (the
+        100 TB steady state, thousands of buckets) keep the pruned path.
         """
         # metastate has its own driver-side commit path (merge_metastate);
         # its single-file layout is incompatible with hash-bucket touch sets
@@ -282,16 +290,20 @@ class ChainStore:
         m = self._manifest(table)
         version = m.version + 1
 
-        cached = touch_keys is None
-        if cached:
-            folded = folded.withColumn("__bucket", self._bucket_col(table)).cache()
-            key_src = folded
-        else:
+        cached = touch_keys is None and not touch_all
+        if touch_all:
             folded = folded.withColumn("__bucket", self._bucket_col(table))
-            key_src = touch_keys.withColumn("__bucket", self._bucket_col(table))
-        touched = [
-            r["__bucket"] for r in key_src.select("__bucket").distinct().collect()
-        ]
+            touched = list(range(self.n_buckets))
+        else:
+            if cached:
+                folded = folded.withColumn("__bucket", self._bucket_col(table)).cache()
+                key_src = folded
+            else:
+                folded = folded.withColumn("__bucket", self._bucket_col(table))
+                key_src = touch_keys.withColumn("__bucket", self._bucket_col(table))
+            touched = [
+                r["__bucket"] for r in key_src.select("__bucket").distinct().collect()
+            ]
         if not touched:
             if cached:
                 folded.unpersist()

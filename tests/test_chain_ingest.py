@@ -316,7 +316,11 @@ def test_genesis_health_prune(db, spark):
     deleted = db.delete_transactions(keep=2)
     assert deleted == 1
     assert db.store.read("txn").count() == 1
-    assert json.loads(db.store.get_metastate("pruned"))["last_pruned_round"] == 2
+    pruned = json.loads(db.store.get_metastate("pruned"))
+    # DeleteStatus shape (types.go:32-36): last_pruned timestamp text +
+    # oldest_txn_round
+    assert pruned["oldest_txn_round"] == 2
+    assert "last_pruned" in pruned
 
 
 def test_keytype_cleared_by_rekey_last_wins(db, spark):

@@ -87,3 +87,39 @@ def test_merge_state_touches_only_dirty_buckets(store, spark):
     changed = [b for b in after if after[b] != before.get(b)]
     assert len(changed) == 1  # exactly the bucket containing id=7
     assert store.read("asset").count() == 40
+
+
+def test_merge_touch_all_preserves_untouched_rows(store, spark):
+    """touch_all skips bucket discovery but must not lose rows in buckets
+    that happen to carry no updates (they are rewritten by reference)."""
+    rows = [(i, bytes([i]) * 8, "{}", False, 0, None) for i in range(40)]
+    df = spark.createDataFrame(rows, TABLE_SCHEMAS["asset"])
+
+    def fold(src):
+        return src.select(
+            "id",
+            F.lit(0).alias("first_round"),
+            F.lit("upsert").alias("last_op"),
+            F.lit(None).cast("long").alias("last_delete_round"),
+            F.col("creator_addr").alias("last_creator_addr"),
+            F.col("params").alias("last_params"),
+        )
+
+    cols = {
+        "id": F.col("u.id"),
+        "creator_addr": F.col("u.last_creator_addr"),
+        "params": F.col("u.last_params"),
+        "deleted": F.col("u.last_op") == "delete",
+        "created_at": F.coalesce(F.col("e.created_at"), F.col("u.first_round")),
+        "closed_at": F.coalesce(F.col("u.last_delete_round"), F.col("e.closed_at")),
+    }
+    store.merge_state("asset", fold(df), cols, touch_keys=df.select("id"))
+    # dense path: update a single key with touch_all=True
+    one = fold(df.where(F.col("id") == 3)).withColumn(
+        "last_params", F.lit('{"x":1}')
+    )
+    store.merge_state("asset", one, cols, touch_all=True)
+    out = {r["id"]: r for r in store.read("asset").collect()}
+    assert len(out) == 40
+    assert out[3]["params"] == '{"x":1}'
+    assert out[5]["params"] == "{}"
