@@ -755,6 +755,180 @@ def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_K = 8  # trained-centroid count
+EMB_DIMS = 64
+
+
+def _ivf_kmeans_oracle() -> str:
+    """Deterministic one-iteration Lloyd k-means IVF, DuckDB side.
+
+    Seeds = the first K vectors; assign by rounded cosine (ties → lower
+    centroid id); recompute element-wise means with DECIMAL sums (exact,
+    order-insensitive) cast to DOUBLE; reassign; probe = query's final
+    cluster only, top-k by cosine.  Every float crossing an aggregation is
+    decimal-summed so Spark and DuckDB hash-match bit for bit."""
+    dot = "list_sum([ve[i+1]::DOUBLE * ce[i+1]::DOUBLE for i in range(0, len(ve))])"
+    nv = _NORM_SQL.format(col="ve")
+    nc = _NORM_SQL.format(col="ce")
+    return f"""
+        WITH seeds AS (
+            SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+            WHERE vec_id < {IVF_K}
+        ),
+        assign1 AS (
+            SELECT vec_id, c_id, ROUND({dot} / ({nv} * {nc}), 6) AS cos,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY
+                       ROUND({dot} / ({nv} * {nc}), 6) DESC, c_id
+                   ) AS rn
+            FROM (SELECT vec_id, embedding AS ve FROM embeddings)
+            CROSS JOIN seeds
+        ),
+        a1 AS (SELECT vec_id, c_id AS cluster FROM assign1 WHERE rn = 1),
+        dims AS (
+            SELECT a1.cluster, t.i,
+                   CAST(SUM(CAST(e.embedding[t.i + 1] AS DECIMAL(18,9)))
+                        AS DOUBLE) / COUNT(*) AS v
+            FROM a1 JOIN embeddings e ON e.vec_id = a1.vec_id
+            CROSS JOIN range(0, {EMB_DIMS}) t(i)
+            GROUP BY a1.cluster, t.i
+        ),
+        centroids AS (
+            SELECT cluster AS c_id, list(v ORDER BY i) AS ce
+            FROM dims GROUP BY cluster
+        ),
+        assign2 AS (
+            SELECT vec_id, c_id, ROUND({dot} / ({nv} * {nc}), 6) AS cos,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY
+                       ROUND({dot} / ({nv} * {nc}), 6) DESC, c_id
+                   ) AS rn
+            FROM (SELECT vec_id, embedding AS ve FROM embeddings)
+            CROSS JOIN centroids
+        ),
+        a2 AS (SELECT vec_id, c_id AS cluster FROM assign2 WHERE rn = 1),
+        q AS (
+            SELECT a2.vec_id AS q_id, a2.cluster, e.embedding AS qe
+            FROM a2 JOIN embeddings e ON e.vec_id = a2.vec_id
+            WHERE a2.vec_id < {N_QUERIES}
+        ),
+        scored AS (
+            SELECT q.q_id, c.vec_id AS c_id,
+                   ROUND({_DOT_SQL}
+                         / ({_NORM_SQL.format(col="qe")} * {_NORM_SQL.format(col="ce")}),
+                         6) AS cosine
+            FROM q
+            JOIN a2 m ON m.cluster = q.cluster AND m.vec_id <> q.q_id
+            JOIN (SELECT vec_id, embedding AS ce FROM embeddings) c
+              ON c.vec_id = m.vec_id
+        ),
+        ranked AS (
+            SELECT q_id, c_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY cosine DESC, c_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT q_id, c_id, cosine, rank FROM ranked
+        WHERE rank <= {TOP_K}
+        ORDER BY q_id, rank
+    """
+
+
+@register(
+    "ann_ivf_kmeans",
+    gated=False,  # driver window full (50); value-checked by the local sweep
+    oracle=_ivf_kmeans_oracle(),
+    survey_ref="LLM ops: ANN — IVF with TRAINED centroids (deterministic "
+    "one-iteration Lloyd k-means; the production IVF shape where no "
+    "precomputed label exists)",
+    description=f"k-means IVF end to end: seed {IVF_K} centroids, assign by "
+    "cosine (broadcast centroids — the corpus never shuffles), recompute "
+    "element-wise means via posexplode + DECIMAL-summed per-dimension agg, "
+    "reassign, then probe only the query's cluster for top-k. At 100 TB "
+    "assignment is one broadcast-join pass per Lloyd iteration and the "
+    "final table is cluster-partitioned so probes are partition-pruned",
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+
+    def assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+        """(vec_id, cluster): nearest centroid by rounded cosine, ties to
+        the lower centroid id.  Centroids broadcast; corpus unshuffled."""
+        cos = F.round(
+            F.expr(
+                "aggregate(zip_with(ve, ce, (x, y) -> CAST(x AS DOUBLE) * "
+                "CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            / (F.expr(_NORM.format(col="ve")) * F.expr(_NORM.format(col="ce"))),
+            6,
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+        return (
+            vectors.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "c_id", cos.alias("cos"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", F.col("c_id").alias("cluster"))
+        )
+
+    vecs = e.select("vec_id", F.col("embedding").alias("ve"))
+    seeds = e.where(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce")
+    )
+    a1 = assign(vecs, seeds)
+    # element-wise mean per cluster: posexplode + decimal-exact sums
+    dims = (
+        a1.join(e, "vec_id")
+        .select("cluster", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("cluster", "i")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+                / F.count("*")
+            ).alias("v")
+        )
+    )
+    centroids = dims.groupBy("cluster").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "v"))), lambda s: s["v"]
+        ).alias("ce")
+    ).select(F.col("cluster").alias("c_id"), "ce")
+    a2 = assign(vecs, centroids)
+
+    q = (
+        a2.where(F.col("vec_id") < N_QUERIES)
+        .join(e, "vec_id")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "cluster",
+            F.col("embedding").alias("qe"),
+        )
+    )
+    members = a2.select(F.col("vec_id").alias("c_id"), "cluster")
+    cand = (
+        F.broadcast(q)
+        .join(members, "cluster")
+        .where(F.col("c_id") != F.col("q_id"))
+        .join(
+            e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce")),
+            "c_id",
+        )
+    )
+    cosine = F.round(
+        F.expr(_DOT)
+        / (F.expr(_NORM.format(col="qe")) * F.expr(_NORM.format(col="ce"))),
+        6,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        cand.select("q_id", "c_id", cosine.alias("cosine"))
+        .select("q_id", "c_id", "cosine", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
 def _lsh_planes(n_planes: int = 16, dims: int = 64) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 — identical constants
     are embedded into the Spark plan and the oracle SQL."""
