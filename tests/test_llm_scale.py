@@ -77,3 +77,12 @@ def test_verified_is_nonempty_at_test_sf(spark):
     assert n > 0
     m = QUERIES["dedup_embedding_cosine"].fn(spark, SF_SMALL).count()
     assert m > 0
+
+
+def test_ivf_kmeans_broadcasts_centroids_not_corpus(spark):
+    """Lloyd assignment must broadcast the K centroids against an
+    unshuffled corpus scan — no sort-merge join anywhere in the plan."""
+    plan = _plan(spark, "ann_ivf_kmeans")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
