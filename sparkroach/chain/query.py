@@ -318,7 +318,12 @@ class AccountQueryOptions:
         )
 
     def compile(self, db: ChainDB) -> DataFrame:
-        acct = db.store.read("account")
+        # point lookup by PK → bucket-pruned read (one bucket's files, the
+        # B-tree point-read analog); the predicate still applies below
+        point = (
+            (self.equal_to_address,) if self.equal_to_address is not None else None
+        )
+        acct = db.store.read("account", key=point)
         if not self.include_deleted:
             acct = acct.where(~F.coalesce(F.col("deleted"), F.lit(False)))
         if self.equal_to_address is not None:
@@ -400,7 +405,8 @@ class AssetsQuery:
     limit: int | None = None
 
     def compile(self, db: ChainDB) -> DataFrame:
-        a = db.store.read("asset")
+        point = (self.asset_id,) if self.asset_id is not None else None
+        a = db.store.read("asset", key=point)
         if not self.include_deleted:
             a = a.where(~F.coalesce(F.col("deleted"), F.lit(False)))
         if self.asset_id is not None:
@@ -506,7 +512,14 @@ class ApplicationBoxQuery:
     limit: int | None = None
 
     def compile(self, db: ChainDB) -> DataFrame:
-        b = db.store.read("app_box").where(F.col("app") == self.application_id)
+        point = (
+            (self.application_id, self.box_name)
+            if self.box_name is not None
+            else None
+        )
+        b = db.store.read("app_box", key=point).where(
+            F.col("app") == self.application_id
+        )
         if self.box_name is not None:
             b = b.where(F.col("name") == F.lit(self.box_name))
         if self.prev_final_box is not None:

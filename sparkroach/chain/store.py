@@ -110,8 +110,37 @@ class ChainStore:
         return self.spark.createDataFrame([], TABLE_SCHEMAS[table])
 
     def _bucket_col(self, table: str) -> F.Column:
-        keys = TABLE_KEYS[table]
-        return F.pmod(F.hash(*keys), F.lit(self.n_buckets))
+        """PK → bucket id, via a PORTABLE hash (md5 of a canonical key
+        string) rather than Spark's Murmur3: the same function is
+        computable driver-side (:meth:`bucket_of`), which is what lets a
+        point read open ONE bucket instead of scanning the table — the
+        store-side replacement for the reference's B-tree PK point reads
+        (setup_cockroachdb.sql PKs)."""
+        parts = []
+        for k in TABLE_KEYS[table]:
+            f = TABLE_SCHEMAS[table][k]
+            if isinstance(f.dataType, T.BinaryType):
+                parts.append(F.hex(F.col(k)))
+            else:
+                parts.append(F.col(k).cast("string"))
+        canon = F.concat_ws("\x1f", *parts)
+        h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+        return F.pmod(h, F.lit(self.n_buckets))
+
+    def bucket_of(self, table: str, key: tuple) -> int:
+        """Driver-side mirror of :meth:`_bucket_col` for point reads."""
+        import hashlib
+
+        parts = []
+        for k, v in zip(TABLE_KEYS[table], key):
+            f = TABLE_SCHEMAS[table][k]
+            if isinstance(f.dataType, T.BinaryType):
+                parts.append(bytes(v).hex().upper())  # Spark hex() is uppercase
+            else:
+                parts.append(str(v))
+        canon = "\x1f".join(parts)
+        h = int(hashlib.md5(canon.encode("utf-8")).hexdigest()[:8], 16)
+        return h % self.n_buckets
 
     # -- reads ----------------------------------------------------------------
 
@@ -120,13 +149,23 @@ class ChainStore:
         table: str,
         min_round: int | None = None,
         max_round: int | None = None,
+        key: tuple | None = None,
     ) -> DataFrame:
         """Current snapshot.  For fact tables a round range prunes files
-        before Spark ever lists them (manifest min/max stats)."""
+        before Spark ever lists them (manifest min/max stats).  For state
+        tables a full PK ``key`` prunes to the ONE bucket that can hold it
+        (portable-hash bucketing) — a point read touches 1/n_buckets of
+        the table, like the reference's B-tree PK lookup.  The key
+        predicate itself is still applied by the caller; this only narrows
+        the file listing."""
         m = self._manifest(table)
         schema = TABLE_SCHEMAS[table]
         if table in STATE_TABLES:
-            paths = sorted(set(m.buckets.values()))
+            if key is not None:
+                b = str(self.bucket_of(table, key))
+                paths = [m.buckets[b]] if b in m.buckets else []
+            else:
+                paths = sorted(set(m.buckets.values()))
         else:
             paths = [
                 e["path"]

@@ -123,3 +123,56 @@ def test_merge_touch_all_preserves_untouched_rows(store, spark):
     assert len(out) == 40
     assert out[3]["params"] == '{"x":1}'
     assert out[5]["params"] == "{}"
+
+
+def test_point_read_opens_one_bucket(store, spark):
+    """The driver-side bucket mirror must agree with the Spark-side bucket
+    assignment for every key, and a point read must list only that one
+    bucket's files — the B-tree PK point-read analog."""
+    rows = [(i, bytes([i % 251]) * 8, "{}", False, 0, None) for i in range(40)]
+    df = spark.createDataFrame(rows, TABLE_SCHEMAS["asset"])
+    folded = df.select(
+        "id",
+        F.lit(0).alias("first_round"),
+        F.lit("upsert").alias("last_op"),
+        F.lit(None).cast("long").alias("last_delete_round"),
+        F.col("creator_addr").alias("last_creator_addr"),
+        F.col("params").alias("last_params"),
+    )
+    cols = {
+        "id": F.col("u.id"),
+        "creator_addr": F.col("u.last_creator_addr"),
+        "params": F.col("u.last_params"),
+        "deleted": F.col("u.last_op") == "delete",
+        "created_at": F.coalesce(F.col("e.created_at"), F.col("u.first_round")),
+        "closed_at": F.coalesce(F.col("u.last_delete_round"), F.col("e.closed_at")),
+    }
+    store.merge_state("asset", folded, cols, touch_keys=df.select("id"))
+
+    # Spark-side assignment == Python-side mirror, for every key
+    spark_buckets = {
+        r["id"]: r["b"]
+        for r in df.select(
+            "id", store._bucket_col("asset").alias("b")
+        ).collect()
+    }
+    for i in range(40):
+        assert store.bucket_of("asset", (i,)) == spark_buckets[i], i
+
+    # point read opens exactly one bucket dir and still finds the row
+    pt = store.read("asset", key=(17,)).where(F.col("id") == 17)
+    dirs = {f.split("/__bucket=")[-1].split("/")[0] for f in pt.inputFiles()}
+    assert dirs == {str(store.bucket_of("asset", (17,)))}
+    assert pt.count() == 1
+
+    # binary + composite keys mirror too (account_asset: (addr, assetid))
+    aa_rows = [(bytes([i]) * 32, i, None, False, False, 0, None) for i in range(10)]
+    aa = spark.createDataFrame(aa_rows, TABLE_SCHEMAS["account_asset"])
+    got = {
+        bytes(r["addr"]): r["b"]
+        for r in aa.select(
+            "addr", "assetid", store._bucket_col("account_asset").alias("b")
+        ).collect()
+    }
+    for i in range(10):
+        assert store.bucket_of("account_asset", (bytes([i]) * 32, i)) == got[bytes([i]) * 32]
