@@ -240,6 +240,67 @@ class ChainStore:
         m.save(self._manifest_path(table))
         return stats["n"]
 
+    def compact_facts(
+        self, table: str, target_rows: int = 1_000_000
+    ) -> tuple[int, int]:
+        """OPTIMIZE-style small-file compaction for a fact table.
+
+        Per-micro-batch appends necessarily create one file set per batch;
+        at mainnet cadence that is thousands of small files per day — the
+        classic lakehouse ingest pathology.  This maintenance pass greedily
+        groups round-adjacent manifest files until ``target_rows`` and
+        rewrites each group as one file set, preserving the per-file
+        (min_round, max_round) stats the reader prunes on.  Round ranges
+        stay disjoint (appends are round-monotone), so pruning selectivity
+        is unchanged; the round watermark (max over max_round) is
+        byte-identical before and after.  Runs out-of-band like any
+        OPTIMIZE job; the manifest swap is atomic.
+
+        Returns (files_before, files_after)."""
+        assert table in FACT_TABLES, table
+        m = self._manifest(table)
+        before = len(m.files)
+        ordered = sorted(m.files, key=lambda e: e["min_round"])
+        groups: list[list[dict]] = []
+        cur: list[dict] = []
+        cur_rows = 0
+        for e in ordered:
+            if cur and cur_rows + e["rows"] > target_rows:
+                groups.append(cur)
+                cur, cur_rows = [], 0
+            cur.append(e)
+            cur_rows += e["rows"]
+        if cur:
+            groups.append(cur)
+        if all(len(g) == 1 for g in groups):
+            return before, before  # nothing to merge
+
+        version = m.version + 1
+        vdir = self._new_version_dir(table, version)
+        new_files: list[dict] = []
+        for gi, g in enumerate(groups):
+            if len(g) == 1:
+                new_files.append(g[0])
+                continue
+            paths = [os.path.join(self.base_dir, table, e["path"]) for e in g]
+            out = os.path.join(vdir, f"g{gi:04d}")
+            self.spark.read.schema(TABLE_SCHEMAS[table]).parquet(*paths).write.mode(
+                "overwrite"
+            ).parquet(out)
+            new_files.append(
+                {
+                    "path": os.path.relpath(out, os.path.join(self.base_dir, table)),
+                    "min_round": min(e["min_round"] for e in g),
+                    "max_round": max(e["max_round"] for e in g),
+                    "rows": sum(e["rows"] for e in g),
+                    "ts": time.time(),
+                }
+            )
+        m.files = new_files
+        m.version = version
+        m.save(self._manifest_path(table))
+        return before, len(new_files)
+
     def delete_facts_below(self, table: str, keep_round: int) -> int:
         """Pruning (A25): drop whole files above the cutoff for free; rewrite
         the single boundary-straddling file."""

@@ -176,3 +176,33 @@ def test_point_read_opens_one_bucket(store, spark):
     }
     for i in range(10):
         assert store.bucket_of("account_asset", (bytes([i]) * 32, i)) == got[bytes([i]) * 32]
+
+
+def test_compact_facts_merges_small_files(store, spark):
+    """Compaction merges round-adjacent small files, preserves every row,
+    keeps pruning stats and the append watermark intact."""
+    for lo in range(0, 10, 2):
+        store.append_facts("txn", _txn_rows(spark, [lo, lo + 1]))
+    assert len(store._manifest("txn").files) == 5
+    before_rows = sorted(
+        (r["round"], r["intra"]) for r in store.read("txn").collect()
+    )
+
+    nb, na = store.compact_facts("txn", target_rows=6)
+    assert (nb, na) == (5, 2)  # 3 files (6 rows) + 2 files (4 rows)
+    m = store._manifest("txn")
+    assert max(e["max_round"] for e in m.files) == 9  # watermark unchanged
+    # disjoint, ordered round ranges survive for pruning
+    spans = sorted((e["min_round"], e["max_round"]) for e in m.files)
+    assert spans == [(0, 5), (6, 9)]
+    after_rows = sorted(
+        (r["round"], r["intra"]) for r in store.read("txn").collect()
+    )
+    assert after_rows == before_rows
+    # pruned read touches only the overlapping compacted file
+    df = store.read("txn", min_round=7, max_round=8)
+    dirs = {f.split("/")[-3] + "/" + f.split("/")[-2] for f in df.inputFiles()}
+    assert len(dirs) == 1
+    # appends continue seamlessly after compaction
+    store.append_facts("txn", _txn_rows(spark, [10]))
+    assert store.read("txn").count() == 11
