@@ -377,6 +377,17 @@ _JACCARD_TAU = 0.8
 )
 def minhash_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    return (
+        _verified_pairs(d)
+        .where(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _verified_pairs(d: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for every LSH candidate pair — the shared
+    candidate-generate → exact-verify stage (unthresholded, unsorted)."""
     cand = _lsh_candidate_pairs(d)
     sh = _with_shingles(d)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
@@ -388,7 +399,195 @@ def minhash_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering: connected components over verified near-dup pairs
+# ---------------------------------------------------------------------------
+
+# Near-dup pairs only say "A ~ B"; an actual dedup pass has to group the
+# pairs into clusters and keep one canonical survivor per cluster (A~B and
+# B~C must collapse to ONE kept doc even when A~C was never emitted).  That
+# is connected components over the pair graph — computed here with
+# iterative min-label propagation (each sweep: label(v) := min(label(v),
+# min label over v's neighbors), a bounded driver loop of two shuffles per
+# sweep, converging in O(component diameter) sweeps).  Duplicate clusters
+# from LSH are near-cliques, so convergence is 2-3 sweeps in practice; the
+# loop still checks a fixpoint instead of assuming it.  At 100 TB this is
+# the standard MapReduce-CC shape (cf. Kiveris et al., "Connected
+# Components in MapReduce and Beyond"): the edge set (LSH-verified pairs)
+# is a vanishing fraction of the corpus, each sweep is two equi-join
+# shuffles on doc_id, and lineage is truncated per sweep (localCheckpoint
+# locally; a reliable checkpoint dir on a cluster) so plans stay flat.
+
+N_CC_MAX_SWEEPS = 15
+
+_JACC_INTER_SQL = "len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))"
+_JACC_SQL = (
+    f"CAST({_JACC_INTER_SQL} AS DOUBLE) "
+    f"/ (len(sa.shingles) + len(sb.shingles) - {_JACC_INTER_SQL})"
+)
+
+
+def _cc_oracle() -> str:
+    """Recursive-CTE min-label closure: reach(node, r) holds every node r
+    that can reach `node` through the symmetric edge set; MIN(r) per node
+    is the component id (the component's minimum doc_id)."""
+    lsh = _lsh_candidates_cte().strip()
+    assert lsh.startswith("WITH ")
+    return f"""
+        WITH RECURSIVE {lsh[len("WITH "):]},
+        edges AS (
+            SELECT c.doc_a, c.doc_b
+            FROM cand c
+            JOIN shing sa ON sa.doc_id = c.doc_a
+            JOIN shing sb ON sb.doc_id = c.doc_b
+            WHERE {_JACC_SQL} >= {_JACCARD_TAU}
+        ),
+        sym AS (
+            SELECT doc_a AS src, doc_b AS dst FROM edges
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM edges
+        ),
+        reach(node, r) AS (
+            SELECT DISTINCT src, src FROM sym
+            UNION
+            SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.node
+        ),
+        comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+        SELECT node AS doc_id,
+               cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               (node = cluster_id) AS is_canonical
+        FROM comp
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "dedup_cc_clusters",
+    oracle=_cc_oracle(),
+    survey_ref="LLM ops: near-dup clustering — connected components over "
+    "LSH-verified pairs, canonical survivor per cluster",
+    description="groups verified near-dup pairs into duplicate clusters via "
+    "iterative min-label propagation (MapReduce-CC shape: two equi-join "
+    "shuffles per sweep, O(diameter) sweeps, lineage truncated per sweep) "
+    "and marks the minimum doc_id of each cluster as the canonical "
+    "survivor — the step that turns pairwise similarity into an actual "
+    "keep/drop decision",
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    edges = (
+        _verified_pairs(d)
         .where(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # LSH+verify runs once, not per sweep
+    )
+    sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        edges.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(N_CC_MAX_SWEEPS):
+        nbr = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        upd = (
+            labels.join(nbr, labels["node"] == nbr["dst"], "left")
+            .select(
+                labels["node"],
+                F.least(
+                    labels["label"], F.coalesce(nbr["nbr_min"], labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            upd.join(labels.withColumnRenamed("label", "old"), "node")
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = upd
+        if changed == 0:
+            break
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+        .withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
+_CHAR_N = 3
+
+
+@register(
+    "ngram_char_jaccard",
+    gated=False,  # driver window full; value-checked by the local sweep
+    oracle=f"""
+        {_lsh_candidates_cte()},
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) >= {_CHAR_N}
+                        THEN list_distinct([substring(text, i, {_CHAR_N})
+                                            for i in range(1, length(text) - {_CHAR_N - 2})])
+                        ELSE [] END AS grams
+            FROM documents
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_filter(ga.grams, x -> list_contains(gb.grams, x)))
+                    AS DOUBLE)
+               / (len(ga.grams) + len(gb.grams)
+                  - len(list_filter(ga.grams, x -> list_contains(gb.grams, x))))
+                   AS char_jaccard
+        FROM cand c
+        JOIN g ga ON ga.doc_id = c.doc_a
+        JOIN g gb ON gb.doc_id = c.doc_b
+        ORDER BY doc_a, doc_b
+    """,
+    survey_ref="LLM ops: n-gram Jaccard near-dup — character-trigram variant "
+    "scored over LSH candidate pairs",
+    description=f"character {_CHAR_N}-gram Jaccard on LSH candidate pairs: the "
+    "char-level complement to the word-bigram verify (robust to tokenizer "
+    "differences); gram sets are map-side array exprs, the only shuffles "
+    "are the candidate join itself",
+)
+def ngram_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    grams = F.when(
+        F.length("text") >= _CHAR_N,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, length(text) - {_CHAR_N - 1}), "
+                f"i -> substring(text, i, {_CHAR_N}))"
+            )
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    g = d.select("doc_id", grams.alias("grams"))
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("g_a"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    union = F.size(F.col("g_a")) + F.size(F.col("g_b")) - inter
+    return (
+        _lsh_candidate_pairs(d)
+        .join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union).alias("char_jaccard"),
+        )
         .orderBy("doc_a", "doc_b")
     )
 
@@ -537,6 +736,9 @@ _BPE_PAT = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 @register(
     "token_count_bpe_regex",
+    # r03: gated slot handed to dedup_cc_clusters — token-count coverage is
+    # already carried by token_count_by_source; still swept locally.
+    gated=False,
     oracle=f"""
         SELECT doc_id,
                len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe_tokens,
@@ -556,6 +758,48 @@ def token_count_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(_BPE_PAT)).alias("n_bpe_tokens"),
         F.size(F.split(F.col("text"), r"\s+")).alias("n_ws_tokens"),
     ).orderBy("doc_id")
+
+
+@register(
+    "token_quantiles_by_source",
+    gated=False,  # driver window full; value-checked by the local sweep
+    oracle="""
+        SELECT source,
+               ROUND(quantile_cont(len(string_split_regex(text, '\\s+')), 0.5), 6)
+                   AS p50_tokens,
+               ROUND(quantile_cont(len(string_split_regex(text, '\\s+')), 0.9), 6)
+                   AS p90_tokens,
+               ROUND(quantile_cont(len(string_split_regex(text, '\\s+')), 0.99), 6)
+                   AS p99_tokens
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """,
+    survey_ref="LLM ops: token counting — per-source length distribution "
+    "(exact continuous quantiles)",
+    description="p50/p90/p99 token-count quantiles per source: the sequence-"
+    "length budgeting query (context-window fit, padding waste). Exact "
+    "percentile here (per-group sort); at 100 TB swap to approx_percentile "
+    "— same plan shape, bounded-memory sketch",
+)
+def token_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), r"\s+"))
+    q = d.select("source", n.alias("n_tokens"))
+    return (
+        q.groupBy("source")
+        .agg(
+            *[
+                F.round(F.expr(f"percentile(n_tokens, {p})"), 6).alias(name)
+                for p, name in [
+                    (0.5, "p50_tokens"),
+                    (0.9, "p90_tokens"),
+                    (0.99, "p99_tokens"),
+                ]
+            ]
+        )
+        .orderBy("source")
+    )
 
 
 _LEXICON: list[tuple[str, str]] = [

@@ -86,3 +86,58 @@ def test_ivf_kmeans_broadcasts_centroids_not_corpus(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_cc_clusters_semantics(spark):
+    """Round-3: connected components over verified pairs must be exactly
+    the transitive closure — same partition a union-find over the edge
+    list produces — with min-id canonical survivors and correct sizes."""
+    edges = [
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["minhash_jaccard_verified"].fn(spark, SF_SMALL).collect()
+    ]
+    assert edges  # non-trivial input
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+    # path-compress fully: find() after all unions gives the root, and the
+    # union rule (larger root points at smaller) makes the root the min id
+    got = QUERIES["dedup_cc_clusters"].fn(spark, SF_SMALL).collect()
+    assert {r["doc_id"]: r["cluster_id"] for r in got} == expect
+    from collections import Counter
+
+    sizes = Counter(expect.values())
+    for r in got:
+        assert r["cluster_size"] == sizes[r["cluster_id"]]
+        assert r["is_canonical"] == (r["doc_id"] == r["cluster_id"])
+    # at least one cluster must be a genuine multi-edge merge for the test
+    # to exercise transitivity
+    assert max(sizes.values()) >= 3
+
+
+def test_cc_clusters_plan_is_bucketed(spark):
+    plan = _plan(spark, "dedup_cc_clusters")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_char_jaccard_only_scores_candidates(spark):
+    d = load(spark, SF_SMALL, "documents")
+    cand = {
+        (r["doc_a"], r["doc_b"]) for r in _lsh_candidate_pairs(d).collect()
+    }
+    rows = QUERIES["ngram_char_jaccard"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == len(cand)
+    for r in rows:
+        assert (r["doc_a"], r["doc_b"]) in cand
+        assert 0.0 <= r["char_jaccard"] <= 1.0
