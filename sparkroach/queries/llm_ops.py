@@ -494,12 +494,18 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     for _ in range(N_CC_MAX_SWEEPS):
         nbr = (
             sym.join(labels, sym["src"] == labels["node"])
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_min"))
         )
+        # fold the fixpoint check into the same job as the label update
+        # (observe() rides the localCheckpoint materialization) — one job
+        # per sweep instead of update-job + convergence-count-job
+        obs = Observation()
         upd = (
             labels.join(nbr, labels["node"] == nbr["dst"], "left")
             .select(
@@ -507,16 +513,19 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     labels["label"], F.coalesce(nbr["nbr_min"], labels["label"])
                 ).alias("label"),
+                labels["label"].alias("prev"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("label") != F.col("prev")).cast("long")
+                ).alias("changed"),
+            )
+            .select("node", "label")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            upd.join(labels.withColumnRenamed("label", "old"), "node")
-            .where(F.col("label") != F.col("old"))
-            .count()
-        )
         labels = upd
-        if changed == 0:
+        if obs.get["changed"] == 0:
             break
     w = Window.partitionBy("cluster_id")
     return (

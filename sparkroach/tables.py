@@ -57,11 +57,20 @@ def ensure_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
 
 
-# fact tables worth re-laying-out: name → (sort key, target files per SF unit)
+# tables worth re-laying-out: name → (sort key, target rows per file).
+# Rows-per-file is per-table because per-row work differs by orders of
+# magnitude: a lineitem row is a few scalar compares, while a documents row
+# fans out into ~100 shingle hashes (minhash/simhash) and an embeddings row
+# into 64-float vector math — narrow files keep those scans wide.  Without
+# a layout entry the driver's single-row-group parquet pins every
+# documents/embeddings scan to ONE task regardless of cores (measured: the
+# whole minhash signature stage ran single-threaded at sf0.1).
 _LAYOUT = {
-    "lineitem": "l_shipdate",
-    "orders": "o_orderdate",
-    "events": "ts",
+    "lineitem": ("l_shipdate", 25_000),
+    "orders": ("o_orderdate", 25_000),
+    "events": ("ts", 25_000),
+    "documents": ("doc_id", 500),
+    "embeddings": ("vec_id", 250),
 }
 _CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".data_cache")
 
@@ -83,13 +92,16 @@ def _cached_layout(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if not os.path.isdir(dest):
         df = _raw(spark, sf_dir, name)
         n = df.count()
-        n_files = max(2, min(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), n // 25_000))
+        key, rows_per_file = _LAYOUT[name]
+        n_files = max(
+            2, min(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), n // rows_per_file)
+        )
         tmp = f"{dest}.tmp.{uuid.uuid4().hex[:8]}"
         # range-sort by the pruning key: each output file covers a disjoint
         # key range → parquet footer min/max skips files for range filters
         (
-            df.repartitionByRange(n_files, _LAYOUT[name])
-            .sortWithinPartitions(_LAYOUT[name])
+            df.repartitionByRange(n_files, key)
+            .sortWithinPartitions(key)
             .write.mode("overwrite")
             .parquet(tmp)
         )
