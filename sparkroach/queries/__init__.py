@@ -19,5 +19,6 @@ from sparkroach.queries import analytics3  # noqa: E402,F401
 from sparkroach.queries import analytics4  # noqa: E402,F401
 from sparkroach.queries import llm_ops  # noqa: E402,F401
 from sparkroach.queries import chain_demo  # noqa: E402,F401
+from sparkroach.streaming import dedup as _streaming_dedup  # noqa: E402,F401
 
 __all__ = ["QUERIES", "Query", "register"]

@@ -294,16 +294,17 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_candidate_pairs(d).orderBy("doc_a", "doc_b")
 
 
-def _lsh_candidate_pairs(d: DataFrame) -> DataFrame:
-    """Distinct (doc_a, doc_b) candidate pairs from the band-bucket
-    equi-join — unsorted, shared by the gate and the verify stage."""
-    sh = _with_shingles(d)
-    # explode → ONE md5 per (doc, shingle) → k permutation-mins as grouped
-    # aggregates.  Spark's projection collapse would otherwise inline the
-    # hashed-array expression into every signature column and recompute the
-    # digests k times; the explode+agg shape also gets map-side partial
-    # aggregation, so the doc_id shuffle carries k ints per doc, not the
-    # shingle set.
+def lsh_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_val) LSH band keys from a (doc_id, shingles)
+    frame — the map-side signature stage, shared by the batch pair
+    generator and the streaming dedup state store.
+
+    explode → ONE md5 per (doc, shingle) → k permutation-mins as grouped
+    aggregates.  Spark's projection collapse would otherwise inline the
+    hashed-array expression into every signature column and recompute the
+    digests k times; the explode+agg shape also gets map-side partial
+    aggregation, so the doc_id shuffle carries k ints per doc, not the
+    shingle set."""
     h = F.conv(F.substring(F.md5("x"), 1, 8), 16, 10).cast("bigint")
     toks = sh.select("doc_id", F.explode("shingles").alias("x")).select(
         "doc_id", h.alias("h")
@@ -328,9 +329,15 @@ def _lsh_candidate_pairs(d: DataFrame) -> DataFrame:
         )
         for b in range(N_BANDS)
     ]
-    bands = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("band")
     ).select("doc_id", "band.band_idx", "band.band_val")
+
+
+def _lsh_candidate_pairs(d: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) candidate pairs from the band-bucket
+    equi-join — unsorted, shared by the gate and the verify stage."""
+    bands = lsh_bands(_with_shingles(d))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -423,6 +430,59 @@ def _verified_pairs(d: DataFrame) -> DataFrame:
 
 N_CC_MAX_SWEEPS = 15
 
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """(node, label) for every node in ``edges`` (doc_a, doc_b), where
+    label is the minimum node id of the node's connected component.
+    Iterative min-label propagation; see the module comment above for the
+    100 TB shape.  ``edges`` is materialized once up front (localCheckpoint)
+    so the expensive upstream (LSH + verify) never re-runs per sweep."""
+    edges = edges.localCheckpoint(eager=True)
+    sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        edges.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Observation
+
+    for _ in range(N_CC_MAX_SWEEPS):
+        nbr = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        # fold the fixpoint check into the same job as the label update
+        # (observe() rides the localCheckpoint materialization) — one job
+        # per sweep instead of update-job + convergence-count-job
+        obs = Observation()
+        upd = (
+            labels.join(nbr, labels["node"] == nbr["dst"], "left")
+            .select(
+                labels["node"],
+                F.least(
+                    labels["label"], F.coalesce(nbr["nbr_min"], labels["label"])
+                ).alias("label"),
+                labels["label"].alias("prev"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("label") != F.col("prev")).cast("long")
+                ).alias("changed"),
+            )
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+        labels = upd
+        if obs.get["changed"] == 0:
+            break
+    return labels
+
+
 _JACC_INTER_SQL = "len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))"
 _JACC_SQL = (
     f"CAST({_JACC_INTER_SQL} AS DOUBLE) "
@@ -483,50 +543,8 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _verified_pairs(d)
         .where(F.col("jaccard") >= _JACCARD_TAU)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)  # LSH+verify runs once, not per sweep
     )
-    sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
-        edges.selectExpr("doc_b AS src", "doc_a AS dst")
-    )
-    labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
-    )
-    from pyspark.sql import Observation
-
-    for _ in range(N_CC_MAX_SWEEPS):
-        nbr = (
-            sym.join(labels, sym["src"] == labels["node"])
-            .groupBy("dst")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        # fold the fixpoint check into the same job as the label update
-        # (observe() rides the localCheckpoint materialization) — one job
-        # per sweep instead of update-job + convergence-count-job
-        obs = Observation()
-        upd = (
-            labels.join(nbr, labels["node"] == nbr["dst"], "left")
-            .select(
-                labels["node"],
-                F.least(
-                    labels["label"], F.coalesce(nbr["nbr_min"], labels["label"])
-                ).alias("label"),
-                labels["label"].alias("prev"),
-            )
-            .observe(
-                obs,
-                F.sum(
-                    (F.col("label") != F.col("prev")).cast("long")
-                ).alias("changed"),
-            )
-            .select("node", "label")
-            .localCheckpoint(eager=True)
-        )
-        labels = upd
-        if obs.get["changed"] == 0:
-            break
+    labels = connected_components(edges)
     w = Window.partitionBy("cluster_id")
     return (
         labels.select(
