@@ -893,6 +893,45 @@ def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STOPWORDS = sorted({w for _, w in _LEXICON})
+
+
+@register(
+    "text_stopword_quality",
+    gated=False,  # driver window full; value-checked by the local sweep
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                        w -> list_contains({_STOPWORDS}, w))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS stopword_ratio,
+               (CAST(len(list_filter(string_split(text, ' '),
+                         w -> list_contains({_STOPWORDS}, w))) AS DOUBLE)
+                    / len(string_split(text, ' ')) >= 0.02
+                AND len(string_split(text, ' ')) BETWEEN 5 AND 10000)
+                   AS passes_quality
+        FROM documents
+        ORDER BY doc_id
+    """,
+    survey_ref="LLM ops: quality scoring — stopword-ratio filter "
+    "(complements text_quality's length/punct features)",
+    description="per-doc stopword ratio against the shared 20-word lexicon "
+    "+ the standard keep/drop gate (ratio ≥ 2%, sane token count). The "
+    "lexicon is a literal array in the row expression — no join, no "
+    "shuffle, pure map-side scan at any scale",
+)
+def text_stopword_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    arr = "array(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+    hits = F.expr(f"size(filter(split(text, ' '), w -> array_contains({arr}, w)))")
+    n = F.size(F.split(F.col("text"), " "))
+    ratio = hits.cast("double") / n
+    return d.select(
+        "doc_id",
+        ratio.alias("stopword_ratio"),
+        ((ratio >= 0.02) & n.between(5, 10000)).alias("passes_quality"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
