@@ -41,8 +41,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Runtime SQL confs every query depends on, applied defensively because the
 # caller (e.g. the driver harness) may hand us a vanilla SparkSession:
-# - nanosAsLong: events.parquet stores ts as TIMESTAMP(NANOS), which Spark
-#   otherwise refuses to read (load() converts the long back to a timestamp);
+# - nanosAsLong: older testdata generations stored events.ts as
+#   TIMESTAMP(NANOS), which Spark otherwise refuses to read; harmless for
+#   the current timestamp[us] testdata but kept so both shapes load.
+#   (load() normalizes whichever shape arrives to TimestampType — see
+#   _normalize_events_ts.)
 # - UTC session tz: parquet timestamps are naive-UTC and the DuckDB oracle
 #   reads them naively — any other session tz would shift collected values.
 _REQUIRED_CONFS = {
@@ -75,14 +78,36 @@ _LAYOUT = {
 _CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".data_cache")
 
 
-def _raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # parquet TIMESTAMP(NANOS) arrives as long (nanosAsLong); truncate
-        # to micros exactly like DuckDB's ns→us conversion so oracles agree.
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Pin ``events.ts`` to TimestampType whichever way the parquet presents
+    it.  The testdata generator has shipped two shapes so far:
+
+    - TIMESTAMP(NANOS) → read as ``bigint`` under nanosAsLong; truncate to
+      micros exactly like DuckDB's ns→us conversion so oracles agree;
+    - timestamp[us] with no tz → read as TIMESTAMP_NTZ; cast to TIMESTAMP
+      under the forced-UTC session tz (values are naive-UTC on both the
+      Spark and DuckDB side, so collected values and hashes are unchanged).
+
+    NTZ-strict expressions (``unix_micros`` et al.) reject TIMESTAMP_NTZ, so
+    normalizing at the single load site keeps every downstream query free of
+    per-call-site type guards.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def _raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _normalize_events_ts(df)
     return df
 
 
@@ -110,7 +135,12 @@ def _cached_layout(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             os.rename(tmp, dest)  # atomic: concurrent builders race benignly
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(dest)
+    df = spark.read.parquet(dest)
+    if name == "events":
+        # caches built before the dtype normalization may persist NTZ;
+        # normalizing on read keeps old caches valid without a rebuild.
+        df = _normalize_events_ts(df)
+    return df
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
