@@ -49,6 +49,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "account_no_resources_antijoin",
+    gated=False,  # r3: rotated OUT — driver-verified green in r1/r2; local-oracle-swept
     oracle="""
         SELECT c_custkey, c_name
         FROM customer c
@@ -93,6 +94,7 @@ def brand_type_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_rollup_cube",
+    gated=False,  # r3: rotated OUT — driver-verified green in r1/r2; local-oracle-swept
     oracle="""
         SELECT event_type,
                CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_bucket,

@@ -24,7 +24,7 @@ from sparkroach.tables import load
 
 @register(
     "q7_volume_shipping",
-    gated=False,  # driver window full; value-checked by the local sweep
+    # r3: rotated INTO the driver gate window (never driver-recorded in r1/r2)
     oracle=f"""
         SELECT n1.n_name AS supp_nation,
                n2.n_name AS cust_nation,
@@ -94,7 +94,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q14_promo_revenue",
-    gated=False,  # driver window full; value-checked by the local sweep
+    # r3: rotated INTO the driver gate window (never driver-recorded in r1/r2)
     oracle=f"""
         SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
                              THEN {cents_sql("l_extendedprice")}
@@ -148,7 +148,7 @@ _Q16_SIZES = (1, 9, 17, 25, 33, 41, 49)
 
 @register(
     "q16_supplier_part_count",
-    gated=False,  # driver window full; value-checked by the local sweep
+    # r3: rotated INTO the driver gate window (never driver-recorded in r1/r2)
     oracle=f"""
         SELECT p_brand, p_type, p_size,
                count(DISTINCT l_suppkey) AS supplier_cnt
@@ -193,7 +193,7 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q19_disjunctive_revenue",
-    gated=False,  # driver window full; value-checked by the local sweep
+    # r3: rotated INTO the driver gate window (never driver-recorded in r1/r2)
     oracle=f"""
         SELECT CAST(SUM({cents_sql("l_extendedprice")}
                         * (100 - {cents_sql("l_discount")})) AS DOUBLE) / 10000.0

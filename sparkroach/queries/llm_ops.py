@@ -131,6 +131,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_fingerprint",
+    gated=False,  # r3: rotated OUT — driver-verified green in r1/r2; local-oracle-swept
     oracle="""
         SELECT doc_id,
                md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp
@@ -153,7 +154,7 @@ ROLL_P = (1 << 31) - 1
 
 @register(
     "doc_rolling_fingerprint",
-    gated=False,  # driver window full (50); value-checked by the local sweep
+    # r3: rotated INTO the driver gate window (never driver-recorded in r1/r2)
     oracle=f"""
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -561,7 +562,7 @@ _CHAR_N = 3
 
 @register(
     "ngram_char_jaccard",
-    gated=False,  # driver window full; value-checked by the local sweep
+    # r3: rotated INTO the driver gate window (never driver-recorded in r1/r2)
     oracle=f"""
         {_lsh_candidates_cte()},
         g AS (
@@ -789,7 +790,7 @@ def token_count_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "token_quantiles_by_source",
-    gated=False,  # driver window full; value-checked by the local sweep
+    # r3: rotated INTO the driver gate window (never driver-recorded in r1/r2)
     oracle="""
         SELECT source,
                ROUND(quantile_cont(len(string_split_regex(text, '\\s+')), 0.5), 6)
@@ -898,7 +899,7 @@ _STOPWORDS = sorted({w for _, w in _LEXICON})
 
 @register(
     "text_stopword_quality",
-    gated=False,  # driver window full; value-checked by the local sweep
+    # r3: rotated INTO the driver gate window (never driver-recorded in r1/r2)
     oracle=f"""
         SELECT doc_id,
                CAST(len(list_filter(string_split(text, ' '),
@@ -1147,7 +1148,7 @@ def _ivf_kmeans_oracle() -> str:
 
 @register(
     "ann_ivf_kmeans",
-    gated=False,  # driver window full (50); value-checked by the local sweep
+    # r3: rotated INTO the driver gate window (never driver-recorded in r1/r2)
     oracle=_ivf_kmeans_oracle(),
     survey_ref="LLM ops: ANN — IVF with TRAINED centroids (deterministic "
     "one-iteration Lloyd k-means; the production IVF shape where no "

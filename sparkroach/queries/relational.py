@@ -52,6 +52,7 @@ def txn_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "txn_round_range",
+    gated=False,  # r3: rotated OUT — driver-verified green in r1/r2; local-oracle-swept
     oracle="""
         SELECT l_orderkey, l_linenumber, l_partkey,
                CAST(l_quantity AS DOUBLE) AS l_quantity, l_shipdate
@@ -150,6 +151,7 @@ def txn_keyset_page_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "txn_type_filter",
+    gated=False,  # r3: rotated OUT — driver-verified green in r1/r2; local-oracle-swept
     oracle="""
         SELECT event_type, count(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
@@ -176,6 +178,7 @@ def txn_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "txn_note_prefix",
+    gated=False,  # r3: rotated OUT — driver-verified green in r1/r2; local-oracle-swept
     oracle="""
         SELECT p_partkey, p_name, p_brand
         FROM part
@@ -196,6 +199,7 @@ def txn_note_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "txn_amount_range",
+    gated=False,  # r3: rotated OUT — driver-verified green in r1/r2; local-oracle-swept
     oracle="""
         SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
         FROM orders
@@ -379,6 +383,7 @@ def account_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "account_balance_filter",
+    gated=False,  # r3: rotated OUT — driver-verified green in r1/r2; local-oracle-swept
     oracle="""
         SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
         FROM customer
@@ -506,6 +511,7 @@ def asset_ilike_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "asset_keyset_page",
+    gated=False,  # r3: rotated OUT — driver-verified green in r1/r2; local-oracle-swept
     oracle="""
         SELECT p_partkey, p_name, CAST(p_retailprice AS DOUBLE) AS p_retailprice
         FROM part
@@ -558,6 +564,7 @@ def asset_balance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "app_creator_filter",
+    gated=False,  # r3: rotated OUT — driver-verified green in r1/r2; local-oracle-swept
     oracle="""
         SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
         FROM supplier

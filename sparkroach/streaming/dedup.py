@@ -275,7 +275,7 @@ def _streaming_oracle() -> str:
 
 @register(
     "dedup_streaming_kept",
-    gated=False,  # driver window full; value-checked by the local sweep
+    # r3: rotated INTO the driver gate window (never driver-recorded in r1/r2)
     oracle=_streaming_oracle(),
     survey_ref="LLM ops: incremental streaming dedup — greedy kept-set "
     "filter (cross-batch LSH vs signature store + within-batch CC)",
