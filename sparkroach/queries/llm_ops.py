@@ -335,22 +335,65 @@ def lsh_bands(sh: DataFrame) -> DataFrame:
     ).select("doc_id", "band.band_idx", "band.band_val")
 
 
+# Bucket-cardinality guard for every LSH band self-join in the repo.  A
+# band self-join generates C(n,2) pairs per bucket: fine at 2-5 rows per
+# bucket, quadratic-and-skewed the moment a web corpus puts 10^5
+# boilerplate near-identical docs in one bucket (one reducer gets 10^10
+# pairs).  Buckets at or under the cap keep the EXACT all-pairs join;
+# over-cap buckets degrade to adjacent-rank chain pairs (doc[i], doc[i+1])
+# in deterministic id order — n-1 pairs instead of C(n,2), and since the
+# downstream consumers are connectivity-shaped (CC clustering, greedy
+# kept-set), a chain keeps every true duplicate cluster connected while
+# bounding pair count LINEARLY in bucket size.  The cap is far above any
+# bucket the testdata produces, so oracle agreement is unchanged on normal
+# data; tests/test_llm_scale.py constructs a degenerate bucket to pin the
+# bound.
+LSH_BUCKET_CAP = 64
+
+
+def capped_band_pairs(
+    bands: DataFrame,
+    id_col: str,
+    key_cols: tuple[str, ...] = ("band_idx", "band_val"),
+    cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """Distinct (doc_a, doc_b) candidate pairs (doc_a < doc_b) from a
+    band-bucket self-join with the LSH_BUCKET_CAP guard (see above).
+
+    One extra shuffle vs the naive self-join (the window over band keys),
+    but the join itself shuffles on the same keys so the sorted exchange
+    is reusable; at scale the window is what makes the plan survive a
+    degenerate bucket at all.
+    """
+    from pyspark.sql.window import Window
+
+    keys = list(key_cols)
+    wb = Window.partitionBy(*keys)
+    wo = wb.orderBy(id_col)
+    ranked = bands.select(
+        F.col(id_col).alias("_id"),
+        *keys,
+        F.count("*").over(wb).alias("_bn"),
+        F.lead(id_col).over(wo).alias("_next"),
+    )
+    small = ranked.where(F.col("_bn") <= cap)
+    a = small.alias("a")
+    b = small.alias("b")
+    exact = a.join(
+        b,
+        [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys]
+        + [F.col("a._id") < F.col("b._id")],
+    ).select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+    chained = ranked.where(
+        (F.col("_bn") > cap) & F.col("_next").isNotNull()
+    ).select(F.col("_id").alias("doc_a"), F.col("_next").alias("doc_b"))
+    return exact.unionByName(chained).distinct()
+
+
 def _lsh_candidate_pairs(d: DataFrame) -> DataFrame:
     """Distinct (doc_a, doc_b) candidate pairs from the band-bucket
     equi-join — unsorted, shared by the gate and the verify stage."""
-    bands = lsh_bands(_with_shingles(d))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return capped_band_pairs(lsh_bands(_with_shingles(d)), "doc_id")
 
 
 _JACCARD_TAU = 0.8
@@ -1398,18 +1441,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = e.select(
         "vec_id", F.explode(F.array(*band_structs)).alias("b")
     ).select("vec_id", "b.band_idx", "b.bucket")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
-        .distinct()
-    )
+    cand = capped_band_pairs(
+        bands, "vec_id", key_cols=("band_idx", "bucket")
+    ).select(F.col("doc_a").alias("a_id"), F.col("doc_b").alias("b_id"))
     ea = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("qe"))
     eb = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("ce"))
     cosine = F.round(

@@ -46,11 +46,14 @@ from pyspark.sql import functions as F
 from sparkroach.queries.llm_ops import (
     _JACC_SQL,
     _JACCARD_TAU,
+    LSH_BUCKET_CAP,
     _lsh_candidates_cte,
     _with_shingles,
+    capped_band_pairs,
     connected_components,
     lsh_bands,
 )
+from pyspark.sql.window import Window
 from sparkroach.queries.registry import register
 from sparkroach.tables import load
 
@@ -91,6 +94,21 @@ class StreamingDeduper:
         if self._have_state():
             kept_bands = self.spark.read.parquet(self.bands_dir)
             kept_sh = self.spark.read.parquet(self.shingle_dir)
+            # Bucket-cardinality guard (see llm_ops.LSH_BUCKET_CAP): a
+            # degenerate band bucket in the kept store (boilerplate-heavy
+            # corpora) would otherwise multiply EVERY colliding new doc by
+            # the full bucket.  Cap the kept side at the lowest-id
+            # LSH_BUCKET_CAP representatives per band key — any true
+            # near-dup of an over-cap bucket matches the representatives
+            # (the bucket members are near-dups of one another), so the
+            # greedy kept-set semantics are preserved while the join stays
+            # O(new × cap).
+            wo = Window.partitionBy("band_idx", "band_val").orderBy("doc_id")
+            kept_bands = (
+                kept_bands.withColumn("_rk", F.row_number().over(wo))
+                .where(F.col("_rk") <= LSH_BUCKET_CAP)
+                .drop("_rk")
+            )
             # cross-batch candidates: band-key equi-join against the kept
             # signature store (bucket-pruned at scale), then exact verify
             cand = (
@@ -130,21 +148,9 @@ class StreamingDeduper:
             )
 
         # within-batch: verified pair graph → CC → keep min id per cluster
-        b2 = lsh_bands(sh)
-        a = b2.alias("a")
-        b = b2.alias("b")
-        pairs = (
-            a.join(
-                b,
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_val") == F.col("b.band_val"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-            )
-            .distinct()
-        )
+        # (capped_band_pairs applies the bucket-cardinality guard: exact
+        # pairs under the cap, chain pairs above — CC connectivity intact)
+        pairs = capped_band_pairs(lsh_bands(sh), "doc_id")
         edges = (
             pairs.join(
                 sh.select(

@@ -141,3 +141,79 @@ def test_ngram_char_jaccard_only_scores_candidates(spark):
     for r in rows:
         assert (r["doc_a"], r["doc_b"]) in cand
         assert 0.0 <= r["char_jaccard"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# round-3: LSH bucket-cardinality guard (verdict "What's wrong #2")
+# ---------------------------------------------------------------------------
+
+
+def _degenerate_docs(spark, n_dup: int, n_distinct: int = 5):
+    """n_dup identical docs (one degenerate LSH bucket per band) plus a few
+    genuinely distinct docs."""
+    dup_text = "the same boilerplate footer text repeated on every page of the site"
+    rows = [(i, dup_text) for i in range(n_dup)]
+    rows += [
+        (n_dup + j, f"unique document number {j} with its own words {j * 17} {j * 31}")
+        for j in range(n_distinct)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_capped_band_pairs_bounds_degenerate_bucket(spark):
+    """N identical docs put all N in one bucket per band: uncapped that is
+    C(N,2) pairs; the guard must emit O(N) chain pairs that still connect
+    the whole cluster."""
+    from sparkroach.queries.llm_ops import LSH_BUCKET_CAP, N_BANDS
+
+    n = 4 * LSH_BUCKET_CAP  # 256 — far over the cap
+    d = _degenerate_docs(spark, n)
+    pairs = _lsh_candidate_pairs(d).collect()
+    dup_pairs = [(r["doc_a"], r["doc_b"]) for r in pairs if r["doc_a"] < n and r["doc_b"] < n]
+    # bounded: n-1 chain pairs, NOT C(n,2)=32640 (identical docs share every
+    # band, so each band emits the same id-ordered chain and distinct folds
+    # them into one)
+    assert len(dup_pairs) == n - 1
+    # connectivity: the chain must span all n duplicates in one component
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in dup_pairs:
+        parent[find(max(a, b))] = find(min(a, b))
+    assert {find(i) for i in range(n)} == {0}
+    assert N_BANDS > 1  # sanity: multiple bands really did collapse
+
+
+def test_capped_band_pairs_exact_below_cap(spark):
+    """Buckets at or under the cap keep the exact all-pairs join: a small
+    group of identical docs yields every C(n,2) pair."""
+    from sparkroach.queries.llm_ops import LSH_BUCKET_CAP
+
+    n = 6
+    assert n <= LSH_BUCKET_CAP
+    d = _degenerate_docs(spark, n)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in _lsh_candidate_pairs(d).collect()
+        if r["doc_a"] < n and r["doc_b"] < n
+    }
+    assert pairs == {(a, b) for a in range(n) for b in range(a + 1, n)}
+
+
+def test_embedding_dedup_capped_band_pairs(spark):
+    """The embedding-band variant of the guard: one degenerate bucket of
+    identical vectors stays linear in pairs."""
+    from sparkroach.queries.llm_ops import LSH_BUCKET_CAP, capped_band_pairs
+
+    n = 3 * LSH_BUCKET_CAP
+    rows = [(i, 0, "deadbeef") for i in range(n)]  # one bucket, one band
+    rows += [(n + j, 0, f"bucket{j}") for j in range(4)]  # singletons
+    bands = spark.createDataFrame(rows, "vec_id long, band_idx int, bucket string")
+    pairs = capped_band_pairs(bands, "vec_id", key_cols=("band_idx", "bucket")).collect()
+    assert len(pairs) == n - 1
+    assert all(r["doc_a"] < r["doc_b"] for r in pairs)
