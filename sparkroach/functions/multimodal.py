@@ -54,6 +54,7 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("kind", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
         T.StructField("byte_mean", T.DoubleType()),
         T.StructField("histogram16", T.ArrayType(T.LongType())),
         T.StructField("width", T.IntegerType()),
@@ -142,6 +143,10 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
                         "media_id": mid,
                         "kind": kind,
                         "n_bytes": len(buf),
+                        # exact integer byte sum: lets aggregates stay
+                        # hash-comparable (float means don't round-trip
+                        # through an SQL oracle bit-exactly; int sums do)
+                        "byte_sum": int(buf.sum(dtype=np.int64)),
                         "byte_mean": float(buf.mean()) if len(buf) else 0.0,
                         "histogram16": hist.tolist(),
                         "width": decoded["width"],

@@ -1470,7 +1470,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # payload-byte features aren't SQL-expressible → rows-only check
+    # r3: hash-checkable oracle (was rows-only).  The synthesized payload is
+    # the UTF-8 bytes of documents.text (ASCII in this corpus, so DuckDB
+    # codepoints == bytes); every compared aggregate is an EXACT integer sum
+    # and byte_mean is one double division of those integers at the very end
+    # on both sides — bit-identical, no float-rounding drift.  The codec
+    # stubs stay stubs; what the oracle checks is the mapInPandas plumbing:
+    # Arrow batch → numpy byte features → grouped rollup.
+    oracle="""
+        WITH feat AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   octet_length(encode(text)) AS n_bytes,
+                   list_sum(list_transform(range(1, length(text) + 1),
+                                           i -> unicode(text[i]))) AS byte_sum
+            FROM documents
+        )
+        SELECT kind,
+               CAST(count(*) AS BIGINT) AS n_media,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(SUM(byte_sum) AS DOUBLE) / CAST(SUM(n_bytes) AS BIGINT)
+                   AS byte_mean
+        FROM feat
+        GROUP BY kind
+        ORDER BY kind
+    """,
     survey_ref="LLM ops: multimodal columns (binary payload + typed metadata, "
     "mapInPandas decode/feature pipeline; codec stubbed)",
     description="synthesize a binary media table from documents, run the "
@@ -1489,9 +1516,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_media"),
             F.sum("n_bytes").alias("total_bytes"),
-            F.sum(F.col("byte_mean").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("sum_byte_mean"),
+            (F.sum("byte_sum").cast("double") / F.sum("n_bytes")).alias(
+                "byte_mean"
+            ),
         )
         .orderBy("kind")
     )
