@@ -131,9 +131,14 @@ def merge_from_staging_sql(table: str, staging: str | None = None) -> str:
             f"ON CONFLICT DO NOTHING"
         )
     sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in set_cols)
+    # box staging rows carry an op flag; delete-marked rows are handled by
+    # box_delete_sql and must NOT be re-inserted by the merge (found by the
+    # real-database test: the golden-SQL unit tests never executed the
+    # delete-then-merge pair against live state)
+    where = " WHERE op IS DISTINCT FROM 'delete'" if table == "app_box" else ""
     return (
         f"INSERT INTO {table} ({', '.join(cols)}) "
-        f"SELECT {', '.join(cols)} FROM {staging} "
+        f"SELECT {', '.join(cols)} FROM {staging}{where} "
         f"ON CONFLICT ({', '.join(keys)}) DO UPDATE SET {sets}"
     )
 
@@ -201,6 +206,15 @@ class JdbcMirror:
     ``execute`` is an injected ``Callable[[str], None]`` running one SQL
     statement on the target (psycopg/pg8000/JDBC — whatever the deployment
     has); Spark's own parallel JDBC writer moves the bulk rows.
+
+    ``bulk_write`` optionally overrides the bulk row path: a
+    ``Callable[[str, DataFrame, str], None]`` receiving (table, df, mode
+    in {"append", "overwrite"}).  The default is Spark's parallel JDBC
+    writer; deployments without a JDBC driver on the classpath (or tests
+    against an ephemeral database reached over a unix socket, see
+    tests/test_jdbc_postgres.py) inject their own mover — COPY FROM
+    STDIN being the production-faithful choice, matching the reference's
+    bulk path (write_txn.go:172-176).
     """
 
     def __init__(
@@ -209,6 +223,7 @@ class JdbcMirror:
         properties: dict[str, str] | None = None,
         execute: Callable[[str], None] | None = None,
         batchsize: int = 10_000,
+        bulk_write: Callable[[str, DataFrame, str], None] | None = None,
     ) -> None:
         self.url = url
         self.properties = {
@@ -218,19 +233,26 @@ class JdbcMirror:
             **(properties or {}),
         }
         self.execute = execute
+        self.bulk_write = bulk_write
 
     def init_schema(self) -> None:
         assert self.execute is not None, "init_schema needs an execute callable"
         for stmt in schema_ddl():
             self.execute(stmt)
 
+    def _move(self, table: str, df: DataFrame, mode: str) -> None:
+        if self.bulk_write is not None:
+            self.bulk_write(table, df, mode)
+        else:
+            df.write.mode(mode).jdbc(self.url, table, properties=self.properties)
+
     def append_facts(self, table: str, df: DataFrame) -> None:
-        df.write.mode("append").jdbc(self.url, table, properties=self.properties)
+        self._move(table, df, "append")
 
     def apply_state_batch(self, table: str, folded: DataFrame) -> None:
         """Stage the folded updates, then merge server-side with retry."""
         staging = f"{table}_staging"
-        folded.write.mode("overwrite").jdbc(self.url, staging, properties=self.properties)
+        self._move(staging, folded, "overwrite")
         assert self.execute is not None
 
         def _merge() -> None:
