@@ -475,12 +475,26 @@ def _verified_pairs(d: DataFrame) -> DataFrame:
 N_CC_MAX_SWEEPS = 15
 
 
-def connected_components(edges: DataFrame) -> DataFrame:
+def connected_components(edges: DataFrame, algorithm: str = "label") -> DataFrame:
     """(node, label) for every node in ``edges`` (doc_a, doc_b), where
     label is the minimum node id of the node's connected component.
-    Iterative min-label propagation; see the module comment above for the
-    100 TB shape.  ``edges`` is materialized once up front (localCheckpoint)
-    so the expensive upstream (LSH + verify) never re-runs per sweep."""
+
+    ``algorithm="label"`` (default): iterative min-label propagation — the
+    fast path for LSH-verified near-dup graphs, whose components are
+    near-cliques (diameter 2-3, so 2-3 sweeps).  ``algorithm="star"``: the
+    large-star/small-star alternation of Kiveris et al., "Connected
+    Components in MapReduce and Beyond" (SoCC'14) — O(log² n) rounds
+    regardless of diameter, the right tool when the pair graph chains
+    (e.g. doc A ~ B ~ C ... without A ~ C, as overlapping-shingle drift
+    produces).  Same output contract either way; equivalence is pinned by
+    tests/test_llm_scale.py on both clique-ish and long-chain graphs.
+
+    ``edges`` is materialized once up front (localCheckpoint) so the
+    expensive upstream (LSH + verify) never re-runs per sweep."""
+    if algorithm == "star":
+        return _cc_large_small_star(edges)
+    if algorithm != "label":
+        raise ValueError(f"unknown CC algorithm {algorithm!r}")
     edges = edges.localCheckpoint(eager=True)
     sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         edges.selectExpr("doc_b AS src", "doc_a AS dst")
@@ -525,6 +539,74 @@ def connected_components(edges: DataFrame) -> DataFrame:
         if obs.get["changed"] == 0:
             break
     return labels
+
+
+def _cc_large_small_star(edges: DataFrame) -> DataFrame:
+    """Large-star/small-star CC (Kiveris et al. SoCC'14, alg. 2/3).
+
+    Per round, two grouped passes over the edge list:
+    - large-star: every node links its LARGER neighbors to the minimum of
+      its neighborhood (incl. itself) — long chains contract exponentially;
+    - small-star: every node links its smaller-or-equal neighbors and
+      itself to the neighborhood minimum — canonicalizes toward a star.
+    The star graph (v → component-min) is a fixpoint of both.  Each pass is
+    one groupBy + one equi-join, partial-aggregated map-side; per-round
+    state is only the edge list, localCheckpointed to truncate lineage.
+    Convergence detection rides the same materialization via observe()
+    (edge count + order-insensitive hash sum), so no extra jobs.
+    """
+    from pyspark.sql import Observation
+
+    raw = edges.selectExpr("doc_a AS u", "doc_b AS v").localCheckpoint(eager=True)
+    # node universe from the RAW edges: a self-loop-only node is still a
+    # node and must come back labeled with itself (label-prop parity)
+    all_nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = raw.where(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+    prev_sig: tuple[int, int] | None = None
+    for _ in range(N_CC_MAX_SWEEPS):
+        # large-star over the symmetric neighborhood
+        sym = e.unionByName(e.selectExpr("v AS u", "u AS v"))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", "u").alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star over edges oriented big→small
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).where(F.col("u") != F.col("v"))
+        smins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        obs = Observation()
+        e = (
+            oriented.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smins.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0)).alias("chk"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        sig = (obs.get["n"], obs.get["chk"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    parents = e.select(F.col("u").alias("node"), F.col("v").alias("plabel"))
+    return (
+        all_nodes.join(parents, "node", "left")
+        .select("node", F.coalesce("plabel", "node").alias("label"))
+    )
 
 
 _JACC_INTER_SQL = "len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))"

@@ -217,3 +217,94 @@ def test_embedding_dedup_capped_band_pairs(spark):
     pairs = capped_band_pairs(bands, "vec_id", key_cols=("band_idx", "bucket")).collect()
     assert len(pairs) == n - 1
     assert all(r["doc_a"] < r["doc_b"] for r in pairs)
+
+
+# ---------------------------------------------------------------------------
+# round-3: skew-robust CC — large-star/small-star (verdict stretch #9)
+# ---------------------------------------------------------------------------
+
+
+def _cc_py(edges):
+    """Union-find ground truth: node -> component min."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _star_labels(spark, edges):
+    from sparkroach.queries.llm_ops import connected_components
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    return {
+        r["node"]: r["label"]
+        for r in connected_components(df, algorithm="star").collect()
+    }
+
+
+def test_star_cc_long_chain_within_sweep_budget(spark):
+    """A 120-node path graph has diameter >> N_CC_MAX_SWEEPS (15): min-label
+    propagation cannot finish, but the star alternation contracts chains
+    exponentially and must label the whole path with node 0."""
+    from sparkroach.queries.llm_ops import N_CC_MAX_SWEEPS
+
+    n = 120
+    assert n > N_CC_MAX_SWEEPS * 2
+    edges = [(i, i + 1) for i in range(n - 1)]
+    labels = _star_labels(spark, edges)
+    assert labels == {i: 0 for i in range(n)}
+
+
+def test_star_cc_equivalence_mixed_graph(spark):
+    """Star CC must agree with union-find (and the default label
+    propagation where its sweep budget suffices) on a graph mixing
+    cliques, a chain, reversed/duplicate edges, and singleton pairs."""
+    from sparkroach.queries.llm_ops import connected_components
+
+    edges = (
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]      # clique 0-4
+        + [(10 + i, 11 + i) for i in range(8)]                   # chain 10-18
+        + [(30, 31), (31, 30), (31, 32), (40, 41)]               # dups/reversed
+        + [(50, 50)]                                             # self loop
+    )
+    want = _cc_py([(a, b) for a, b in edges if a != b])
+    got = _star_labels(spark, edges)
+    # self-loop-only node keeps itself as label
+    assert got.pop(50) == 50
+    assert got == want
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    label_path = {
+        r["node"]: r["label"] for r in connected_components(df).collect()
+    }
+    assert label_path == got | {50: 50}
+
+
+def test_star_cc_on_real_verified_pairs(spark):
+    """On the LSH-verified near-dup graph (the production input) the two
+    algorithms must be interchangeable."""
+    from sparkroach.queries.llm_ops import _verified_pairs, connected_components
+
+    d = load(spark, SF_SMALL, "documents")
+    edges = (
+        _verified_pairs(d)
+        .where(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_a", "doc_b")
+    )
+    a = {
+        (r["node"], r["label"])
+        for r in connected_components(edges, algorithm="star").collect()
+    }
+    b = {
+        (r["node"], r["label"])
+        for r in connected_components(edges).collect()
+    }
+    assert a == b and a
