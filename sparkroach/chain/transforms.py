@@ -87,6 +87,29 @@ def canonical_txn_json(raw: pd.Series, is_root: pd.Series) -> pd.Series:
     )
 
 
+@pandas_udf(T.StringType())
+def derive_txid(canonical_json: pd.Series) -> pd.Series:
+    """Ingest-time txid derivation: base32-no-pad(SHA-512/256('TX' ||
+    canonical txn bytes)) — the executable analog of the reference's
+    crypto.TransactionIDString at ingest (write_txn.go:134).  Deviation,
+    documented: the reference hashes the canonical *msgpack* encoding via
+    the SDK; this engine's blocks arrive as structured columns, so the
+    canonical JSON bytes are the hashing domain.  Same construction
+    (domain-separation prefix 'TX', SHA-512/256, base32), deterministic,
+    collision-resistant — and identical to encoding.synthetic_txid so
+    fixtures and ingest agree."""
+    import base64 as _b64
+    import hashlib as _hl
+
+    def one(s: str | None) -> str | None:
+        if s is None:
+            return None
+        d = _hl.new("sha512_256", b"TX" + s.encode("utf-8")).digest()
+        return _b64.b32encode(d).decode("ascii").rstrip("=")
+
+    return canonical_json.map(one)
+
+
 def _canon_asset_params(raw: str | None) -> str | None:
     """Asset params canonicalizer: printable unit/name/url stay plain text,
     non-printable bytes move to the *64 fields (encoding.go:123-148)."""
@@ -290,13 +313,24 @@ def flatten_txns(blocks: DataFrame, depth: int = TXN_DEPTH) -> DataFrame:
 
 
 def txns(
-    blocks: DataFrame, depth: int = TXN_DEPTH, rows: DataFrame | None = None
+    blocks: DataFrame,
+    depth: int = TXN_DEPTH,
+    rows: DataFrame | None = None,
+    derive_missing_txids: bool = False,
 ) -> DataFrame:
     """The `txn` table rows (yieldTransactions write_txn.go:113-157).
 
     Pass precomputed (cached) ``rows`` from :func:`flatten_txns` when
     deriving several tables from one batch — the flatten is the expensive
-    shared stage (ingest does this)."""
+    shared stage (ingest does this).
+
+    ``derive_missing_txids=True`` computes a txid at ingest for root rows
+    whose payload carries none (the reference always computes txids itself,
+    write_txn.go:134; SURVEY A15 made txid an input column — this flag
+    closes that gap with :func:`derive_txid`).  Inner rows' ``extra``
+    root-txid is back-filled from the derived root via a (round,
+    root_intra) self-join against the root rows only — inner rows
+    themselves always keep txid NULL (write_txn.go:88-94)."""
     rows = rows if rows is not None else flatten_txns(blocks, depth)
     te = F.lit(None).cast("short")
     for name, enum in TXN_TYPE_ENUM.items():
@@ -328,7 +362,7 @@ def txns(
             )
         ),
     ).otherwise(root_extra)
-    return rows.select(
+    out = rows.select(
         "round",
         "intra",
         te.alias("typeenum"),
@@ -336,6 +370,42 @@ def txns(
         F.when(F.col("is_root"), F.col("input_txid")).alias("txid"),
         canonical_txn_json(F.col("txn_raw_json"), F.col("is_root")).alias("txn"),
         extra.alias("extra"),
+        "is_root",
+        "root_intra",
+    )
+    if not derive_missing_txids:
+        return out.drop("is_root", "root_intra")
+    out = out.withColumn(
+        "txid",
+        F.when(
+            F.col("is_root") & F.col("txid").isNull(), derive_txid(F.col("txn"))
+        ).otherwise(F.col("txid")),
+    )
+    roots = out.where("is_root").select(
+        F.col("round").alias("_r_rnd"),
+        F.col("intra").alias("_r_intra"),
+        F.col("txid").alias("_r_txid"),
+    )
+    return (
+        out.join(
+            roots,
+            (out["round"] == roots["_r_rnd"])
+            & (out["root_intra"] == roots["_r_intra"]),
+            "left",
+        )
+        .withColumn(
+            "extra",
+            F.when(
+                ~F.col("is_root"),
+                F.to_json(
+                    F.struct(
+                        F.col("root_intra").alias("root-intra"),
+                        F.col("_r_txid").alias("root-txid"),
+                    )
+                ),
+            ).otherwise(F.col("extra")),
+        )
+        .select("round", "intra", "typeenum", "asset", "txid", "txn", "extra")
     )
 
 

@@ -4,6 +4,7 @@ writer_test.go scenarios (SURVEY §5 level 2), keyed to FIXTURES.md §B."""
 from __future__ import annotations
 
 import json
+from decimal import Decimal
 
 import pytest
 from pyspark.sql import functions as F
@@ -510,3 +511,76 @@ def test_flatten_depth1_shortcut_matches_full_plan(db, spark):
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, full.collect()))
     # and the fast path really is shuffle-free
     assert "Exchange" not in fast._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# round-3: ingest-time txid derivation (verdict "What's missing #2")
+# ---------------------------------------------------------------------------
+
+
+def test_derive_missing_txids(spark):
+    """Roots without an input txid get base32(sha512/256('TX'||canonical
+    JSON)) at ingest (write_txn.go:134 analog); inner rows stay txid-NULL
+    but their extra carries the DERIVED root txid; payload-provided txids
+    are never overwritten."""
+    import re
+
+    from sparkroach.chain import transforms
+    from sparkroach.chain.encoding import synthetic_txid
+    from sparkroach.chain.schemas import block_schema
+    from sparkroach.queries.chain_demo import ADDR_A, ADDR_B, GENESIS
+
+    inner = {"txn": {"type": "pay", "snd": ADDR_B, "rcv": ADDR_A, "amt": Decimal(1)}}
+    blocks = [{
+        "round": 1,
+        "timestamp": 1_700_000_000,
+        "genesis_id": "t",
+        "genesis_hash": GENESIS,
+        "rewards_level": 0,
+        "txn_counter": 10,
+        "fee_sink": b"\xfe" * 32,
+        "rewards_pool": b"\xaa" * 32,
+        "payset": [
+            {   # no txid provided
+                "txn": {"type": "pay", "snd": ADDR_A, "rcv": ADDR_B,
+                        "amt": Decimal(5), "fee": 1000},
+                "sig": b"\x11" * 64,
+                "ad": {"dt": {"itx": [inner]}},
+            },
+            {   # txid provided: must be kept verbatim
+                "txid": "GIVEN",
+                "txn": {"type": "pay", "snd": ADDR_B, "rcv": ADDR_A,
+                        "amt": Decimal(7), "fee": 1000},
+                "sig": b"\x11" * 64,
+            },
+        ],
+        "delta": {"accts": [], "asset_resources": [], "app_resources": [],
+                  "kv_mods": []},
+    }]
+    bdf = spark.createDataFrame(blocks, block_schema())
+
+    # default path unchanged: missing txid stays NULL
+    plain = {(r["round"], r["intra"]): r for r in transforms.txns(bdf).collect()}
+    assert plain[(1, 0)]["txid"] is None
+
+    rows = {
+        (r["round"], r["intra"]): r
+        for r in transforms.txns(bdf, derive_missing_txids=True).collect()
+    }
+    root, inner_row, given = rows[(1, 0)], rows[(1, 1)], rows[(1, 2)]
+    # derived txid: 52-char unpadded base32 of a 32-byte digest, equal to
+    # the fixture helper over the SAME canonical bytes
+    assert root["txid"] == synthetic_txid(root["txn"])
+    assert re.fullmatch(r"[A-Z2-7]{52}", root["txid"])
+    # inner row: txid NULL, extra back-filled with the derived root txid
+    assert inner_row["txid"] is None
+    assert json.loads(inner_row["extra"]) == {
+        "root-intra": 0, "root-txid": root["txid"],
+    }
+    assert given["txid"] == "GIVEN"
+    # deterministic across plans/invocations
+    again = {
+        (r["round"], r["intra"]): r["txid"]
+        for r in transforms.txns(bdf, derive_missing_txids=True).collect()
+    }
+    assert again[(1, 0)] == root["txid"]
