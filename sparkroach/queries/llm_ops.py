@@ -1632,3 +1632,161 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4-style repetition & composite quality filters (round 3)
+# ---------------------------------------------------------------------------
+# The published web-corpus cleaning recipes (Gopher §A1.1, C4 §2.2) filter on
+# repetition signals (duplicate-word mass, most-frequent-n-gram mass) and
+# cheap lexical rules (word-count bounds, mean word length, stopword
+# presence).  Both operators below follow the repo's float discipline: every
+# compared ratio is ONE double division of exact integers at the very end on
+# both the Spark and DuckDB side, so value hashes agree bit-for-bit.
+
+_EN_STOPWORDS = [w for lang, w in _LEXICON if lang == "en"]
+
+
+@register(
+    "doc_repetition_stats",
+    gated=False,  # r4 rotation candidate; local-oracle-swept this round
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        base AS (
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+            FROM w
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ws)),
+                                         i -> ws[i] || ' ' || ws[i + 1])) AS b
+            FROM w
+        ),
+        cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+        top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bg FROM cnt GROUP BY doc_id)
+        SELECT base.doc_id,
+               n_words,
+               1.0 - CAST(n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+               CASE WHEN n_words > 1
+                    THEN CAST(COALESCE(top_bg, 0) AS DOUBLE) / (n_words - 1)
+                    ELSE 0.0 END AS top_bigram_frac
+        FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+        ORDER BY base.doc_id
+    """,
+    survey_ref="LLM ops: repetition filtering signals (Gopher-style "
+    "duplicate-word and top-n-gram mass)",
+    description="per-doc repetition stats: duplicate-word fraction "
+    "(1 - distinct/total) and the most-frequent-bigram's share of all "
+    "bigrams. Word stats are array expressions; the top-bigram pass is "
+    "explode → two-level grouped agg (map-side partial), shuffling only "
+    "(doc_id, bigram) pairs — linear in corpus tokens at 100 TB",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    base = d.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct"),
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 2), "
+            "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))"
+        ).alias("bigrams"),
+    )
+    top = (
+        base.select("doc_id", F.explode("bigrams").alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bg"))
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words"))
+            .alias("dup_word_frac"),
+            F.when(
+                F.col("n_words") > 1,
+                F.coalesce(F.col("top_bg"), F.lit(0)).cast("double")
+                / (F.col("n_words") - 1),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _gopher_stop_list_sql() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in _EN_STOPWORDS) + "]"
+
+
+@register(
+    "gopher_quality_gate",
+    gated=False,  # r4 rotation candidate; local-oracle-swept this round
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   string_split(text, ' ') AS ws
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(n_chars - len(ws) + 1 AS DOUBLE) / len(ws)
+                       AS mean_word_len,
+                   CAST(len(list_filter(list_distinct(ws),
+                            x -> list_contains({{stops}}, x))) AS BIGINT)
+                       AS n_stopwords
+            FROM w
+        )
+        SELECT doc_id, n_words, mean_word_len, n_stopwords,
+               n_words BETWEEN 10 AND 100000 AS ok_words,
+               mean_word_len BETWEEN 3.0 AND 10.0 AS ok_word_len,
+               n_stopwords >= 2 AS ok_stopwords,
+               (n_words BETWEEN 10 AND 100000)
+                   AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                   AND n_stopwords >= 2 AS keep
+        FROM f
+        ORDER BY doc_id
+    """.replace("{stops}", _gopher_stop_list_sql()),
+    survey_ref="LLM ops: composite document quality gate (Gopher-rule style)",
+    description="per-doc keep/drop decision from cheap lexical rules: word "
+    "count in [10, 1e5], mean word length in [3, 10] (computed exactly as "
+    "(chars - words + 1)/words over single-space text), and >= 2 distinct "
+    "stopwords present. All JVM-side column expressions — a map-only pass "
+    "at 100 TB",
+)
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_words = F.size(ws).cast("long")
+    mean_wl = (F.length("text") - n_words + 1).cast("double") / n_words
+    stops = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(ws), stops)).cast("long")
+    f = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        n_stop.alias("n_stopwords"),
+    )
+    ok_words = F.col("n_words").between(10, 100000)
+    ok_wl = F.col("mean_word_len").between(3.0, 10.0)
+    ok_stop = F.col("n_stopwords") >= 2
+    return f.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "n_stopwords",
+        ok_words.alias("ok_words"),
+        ok_wl.alias("ok_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_wl & ok_stop).alias("keep"),
+    ).orderBy("doc_id")

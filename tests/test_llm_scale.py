@@ -308,3 +308,51 @@ def test_star_cc_on_real_verified_pairs(spark):
         for r in connected_components(edges).collect()
     }
     assert a == b and a
+
+
+# ---------------------------------------------------------------------------
+# round-3: Gopher/C4-style repetition + quality gate semantics
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_hand_computed(spark):
+    from sparkroach.queries.llm_ops import doc_repetition_stats  # noqa: F401
+    from sparkroach.queries import QUERIES
+    import tempfile, os
+
+    docs = [
+        (0, "a b a b a b"),          # 6 words, 2 distinct; top bigram "a b"×3 of 5
+        (1, "x y z w"),              # no repetition; every bigram count 1 of 3
+        (2, "q q q q q"),            # total repetition: "q q"×4 of 4
+    ]
+    tmp = tempfile.mkdtemp(prefix="repstats_")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    os.environ["SPARKROACH_LAYOUT_CACHE"] = "0"
+    try:
+        got = {
+            r["doc_id"]: (r["n_words"], r["dup_word_frac"], r["top_bigram_frac"])
+            for r in QUERIES["doc_repetition_stats"].fn(spark, tmp).collect()
+        }
+    finally:
+        os.environ.pop("SPARKROACH_LAYOUT_CACHE", None)
+    assert got[0] == (6, 1 - 2 / 6, 3 / 5)
+    assert got[1] == (4, 0.0, 1 / 3)
+    assert got[2] == (5, 1 - 1 / 5, 4 / 4)
+
+
+def test_gopher_gate_rules(spark):
+    from sparkroach.queries import QUERIES
+
+    rows = QUERIES["gopher_quality_gate"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["keep"] == (
+            r["ok_words"] and r["ok_word_len"] and r["ok_stopwords"]
+        )
+        # mean word length identity over single-space text
+        assert r["ok_words"] == (10 <= r["n_words"] <= 100000)
+    # the gate must actually discriminate on this corpus (not all-pass)
+    keeps = {r["keep"] for r in rows}
+    assert True in keeps
