@@ -1,0 +1,165 @@
+"""Relational breadth set 5 (round 3): outer-join distribution reporting,
+argmax-by-scalar-subquery, and correlated per-group threshold filtering.
+
+TPC-H Q13/Q15/Q17 shapes adapted to the driver testdata's simplified
+columns (no o_comment, so Q13 counts all orders; Q15's revenue window and
+Q17's brand filter use values the synthetic data actually contains).
+Registered gated=False — the driver's 50-entry window is full — but every
+oracle runs in the local sweep (tests/test_oracle_gate.py,
+`python -m sparkroach.oracle`); r4 rotation candidates.
+
+Money math follows the integer-cents discipline of analytics.py; Q15's
+max-revenue tie-break compares EXACT integer cents (no float-equality
+trap), and Q17's 0.2·avg threshold is one double expression built from
+exact integers identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkroach.queries.analytics import cents, cents_sql, dsum
+from sparkroach.queries.registry import register
+from sparkroach.tables import load
+
+
+@register(
+    "q13_order_distribution",
+    gated=False,  # r4 rotation candidate; local-oracle-swept this round
+    oracle="""
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    survey_ref="§2C aggregations — TPC-H Q13 shape: outer-join count "
+    "distribution (customers with zero orders included)",
+    description="orders-per-customer histogram: customer LEFT JOIN orders "
+    "(count(o_orderkey) ignores the null-extension rows, so zero-order "
+    "customers land in bucket 0), then a second tiny aggregation over the "
+    "counts. At scale the first join shuffles on custkey once; the second "
+    "groupBy moves only (count, 1) pairs",
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    gated=False,  # r4 rotation candidate; local-oracle-swept this round
+    oracle=f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM({cents_sql("l_extendedprice")}
+                       * (100 - {cents_sql("l_discount")})) AS total_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(total_cents AS DOUBLE) / 10000.0 AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    survey_ref="§2C aggregations + scalar subquery — TPC-H Q15 shape: "
+    "top supplier by windowed revenue",
+    description="revenue per supplier over a 3-month ship window, then the "
+    "argmax supplier(s) via an exact integer-cents max compare (ties kept, "
+    "no float-equality trap). The max is a 1-row broadcast against the "
+    "per-supplier aggregate; supplier is a broadcast dim — the lineitem "
+    "scan is the only big input and it is date-pruned",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(cents("l_extendedprice") * (100 - cents("l_discount"))).alias(
+            "total_cents"
+        )
+    )
+    mx = rev.agg(F.max("total_cents").alias("mx"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev["total_cents"] == mx["mx"])
+        .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_cents").cast("double") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    gated=False,  # r4 rotation candidate; local-oracle-swept this round
+    oracle=f"""
+        WITH li AS (
+            SELECT l_partkey,
+                   CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+                   {cents_sql("l_extendedprice")} AS price_cents
+            FROM lineitem
+        ),
+        pa AS (
+            SELECT l_partkey,
+                   0.2 * (CAST(SUM(qty) AS DOUBLE) / count(*)) AS threshold
+            FROM li GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(price_cents) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
+        FROM li
+        JOIN pa ON li.l_partkey = pa.l_partkey
+        JOIN part ON p_partkey = li.l_partkey
+        WHERE p_brand = 'Brand#23' AND qty < threshold
+    """,
+    survey_ref="§2C aggregations + correlated subquery — TPC-H Q17 shape: "
+    "small-quantity-order revenue against a per-part average",
+    description="lineitems below 0.2x their part's average quantity, "
+    "restricted to one brand; the correlated scalar subquery decorrelates "
+    "into a per-part aggregate joined back on partkey (one shuffle reused "
+    "by both sides), the brand dim broadcasts, and the threshold is one "
+    "double expression over exact integers on both engines",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        cents("l_extendedprice").alias("price_cents"),
+    )
+    pa = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2) * (F.sum("qty").cast("double") / F.count("*"))
+        ).alias("threshold")
+    )
+    p = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23").select(
+        "p_partkey"
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .where(F.col("qty") < F.col("threshold"))
+        .agg(
+            (dsum(F.col("price_cents")).cast("double") / 100.0 / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
