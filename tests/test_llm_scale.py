@@ -356,3 +356,44 @@ def test_gopher_gate_rules(spark):
     # the gate must actually discriminate on this corpus (not all-pass)
     keeps = {r["keep"] for r in rows}
     assert True in keeps
+
+
+def test_star_cc_random_graphs_match_union_find(spark):
+    """Seeded Erdős–Rényi-ish graphs of varying density: star CC must equal
+    union-find on every one (components of all shapes, not just cliques
+    and chains)."""
+    import random
+
+    for seed, n, m in [(1, 40, 20), (2, 60, 60), (3, 80, 200), (4, 50, 10)]:
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        want = _cc_py(edges)
+        got = _star_labels(spark, [(a, b) for a, b in edges])
+        assert got == want, f"seed={seed}"
+
+
+def test_capped_band_pairs_count_formula_random_buckets(spark):
+    """One band with seeded random bucket sizes around the cap: the pair
+    count must be exactly sum over buckets of C(n,2) if n<=cap else n-1."""
+    import random
+
+    from sparkroach.queries.llm_ops import LSH_BUCKET_CAP, capped_band_pairs
+
+    rng = random.Random(7)
+    sizes = [rng.choice([1, 2, 5, LSH_BUCKET_CAP, LSH_BUCKET_CAP + 1,
+                         2 * LSH_BUCKET_CAP, 150]) for _ in range(12)]
+    rows, nid = [], 0
+    expected = 0
+    for b, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((nid, 0, f"bucket{b}"))
+            nid += 1
+        expected += n * (n - 1) // 2 if n <= LSH_BUCKET_CAP else n - 1
+    bands = spark.createDataFrame(rows, "doc_id long, band_idx int, band_val string")
+    got = capped_band_pairs(bands, "doc_id").count()
+    assert got == expected

@@ -85,3 +85,55 @@ def test_ann_broadcasts_queries_not_corpus(spark):
     build_idx = plan.find("BroadcastExchange")
     assert build_idx != -1
     assert "vec_id" in plan[build_idx : build_idx + 2000]
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions
+# ---------------------------------------------------------------------------
+
+
+def test_r3_rotated_queries_have_no_quadratic_joins(spark):
+    """Every query rotated into the r3 driver window plus the r3 additions:
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+    for name in (
+        "q7_volume_shipping", "q14_promo_revenue", "q16_supplier_part_count",
+        "q19_disjunctive_revenue", "token_quantiles_by_source",
+        "text_stopword_quality", "ngram_char_jaccard",
+        "doc_rolling_fingerprint", "doc_repetition_stats",
+        "gopher_quality_gate", "q13_order_distribution", "q15_top_supplier",
+        "q17_small_qty_revenue",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q15_max_is_broadcast_not_sort(spark):
+    """The argmax compare must be a 1-row broadcast against the aggregate,
+    not a global sort."""
+    plan = _plan(spark, "q15_top_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" not in plan.split("BroadcastHashJoin")[0]
+    assert "SortMergeJoin" not in plan
+
+
+def test_q17_broadcasts_brand_dim_and_pushes_filter(spark):
+    plan = _plan(spark, "q17_small_qty_revenue")
+    assert "BroadcastHashJoin" in plan
+    # the brand equality must reach the part scan as a pushed filter
+    assert "EqualTo(p_brand,Brand#23)" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gopher_gate_is_map_only_before_sort(spark):
+    """The quality gate must be a single scan + project — its only exchange
+    is the output ordering."""
+    import re
+
+    plan = _plan(spark, "gopher_quality_gate")
+    assert "Join" not in plan
+    scans = [
+        line for line in plan.splitlines()
+        if re.match(r"\(\d+\) Scan parquet", line.strip())
+    ]
+    assert len(scans) == 1
