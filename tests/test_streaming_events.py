@@ -73,3 +73,76 @@ def test_sessionize_stateful(spark, feed, tmp_path):
     r = rows[0]
     assert r.user_id == 1 and r.n_events == 3
     assert r.session_start.minute == 0 and r.session_end.minute == 10
+
+
+def test_windowed_rollup_append_drops_late_events(spark, tmp_path):
+    """Watermark semantics that complete-mode can't show: in append mode a
+    window finalizes once the watermark passes its end, and events arriving
+    later than the watermark are DROPPED — bounded state at 100 TB depends
+    on exactly this.  Two single-file micro-batches (maxFilesPerTrigger=1):
+    batch 0 advances the watermark past the first window; batch 1 delivers
+    a late event into that window (must not count) and a fresh event into a
+    still-open window (must not emit)."""
+    import os
+    import time
+    from datetime import datetime
+
+    src = str(tmp_path / "late_feed")
+    os.makedirs(src)
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, se.EVENT_SCHEMA)
+        tmp = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.format("json").save(tmp)
+        part = [f for f in os.listdir(tmp) if f.startswith("part-")][0]
+        dest = os.path.join(src, name + ".json")
+        os.rename(os.path.join(tmp, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    t = lambda h, m: datetime(2024, 1, 1, h, m)  # noqa: E731
+    base = time.time() - 1000
+    sink = str(tmp_path / "late_sink")
+
+    def run_once():
+        stream = spark.readStream.schema(se.EVENT_SCHEMA).json(src)
+        out = se.windowed_rollup(stream, window="1 hour", watermark="1 hour")
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ck_late"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # run 1: two clicks in [10:00, 11:00) + one at 13:05 → watermark
+    # (1 hour) checkpoints at 12:05, past the first window's end
+    write_file(
+        "a",
+        [
+            (1, t(10, 5), 1, "click", 1.0, "{}"),
+            (2, t(10, 10), 2, "click", 1.0, "{}"),
+            (3, t(13, 5), 1, "click", 1.0, "{}"),
+        ],
+        base,
+    )
+    run_once()
+    # run 2 (same checkpoint → watermark restored at 12:05): a LATE click
+    # into the closed window + one into the still-open 13:00 window
+    write_file(
+        "b",
+        [
+            (4, t(10, 30), 1, "click", 1.0, "{}"),
+            (5, t(13, 10), 2, "click", 1.0, "{}"),
+        ],
+        base + 100,
+    )
+    run_once()
+    rows = spark.read.parquet(sink).collect()
+    # exactly ONE finalized window: [10:00, 11:00) with n=2 — the late
+    # event neither bumped the count nor re-emitted the window, and the
+    # still-open 13:00 window produced nothing
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.window_start.hour, r.event_type, r.n) == (10, "click", 2)
