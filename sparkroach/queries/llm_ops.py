@@ -1790,3 +1790,139 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_words & ok_wl & ok_stop).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# IVF multiprobe: the production recall knob (round 3)
+# ---------------------------------------------------------------------------
+
+N_PROBES = 2  # clusters probed per query
+
+
+def _ivf_multiprobe_oracle() -> str:
+    dot = "list_sum([ve[i+1]::DOUBLE * ce[i+1]::DOUBLE for i in range(0, len(ve))])"
+    nv = _NORM_SQL.format(col="ve")
+    nc = _NORM_SQL.format(col="ce")
+    return f"""
+        WITH cent_dims AS (
+            SELECT label, t.i,
+                   CAST(SUM(CAST(embedding[t.i + 1] AS DECIMAL(18,9)))
+                        AS DOUBLE) / COUNT(*) AS v
+            FROM embeddings CROSS JOIN range(0, {EMB_DIMS}) t(i)
+            GROUP BY label, t.i
+        ),
+        centroids AS (
+            SELECT label, list(v ORDER BY i) AS ce FROM cent_dims GROUP BY label
+        ),
+        q AS (
+            SELECT vec_id AS q_id, embedding AS ve FROM embeddings
+            WHERE vec_id < {N_QUERIES}
+        ),
+        probe_rank AS (
+            SELECT q_id, label,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY
+                       ROUND({dot} / ({nv} * {nc}), 6) DESC, label
+                   ) AS prn
+            FROM q CROSS JOIN centroids
+        ),
+        probes AS (SELECT q_id, label FROM probe_rank WHERE prn <= {N_PROBES}),
+        scored AS (
+            SELECT q.q_id, c.vec_id AS c_id,
+                   ROUND({_DOT_SQL}
+                         / ({_NORM_SQL.format(col="qe")} * {_NORM_SQL.format(col="ce")}),
+                         6) AS cosine
+            FROM (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+                  WHERE vec_id < {N_QUERIES}) q
+            JOIN probes p ON p.q_id = q.q_id
+            JOIN (SELECT vec_id, label, embedding AS ce FROM embeddings) c
+              ON c.label = p.label
+            WHERE c.vec_id <> q.q_id
+        ),
+        ranked AS (
+            SELECT q_id, c_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY cosine DESC, c_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT q_id, c_id, cosine, rank FROM ranked
+        WHERE rank <= {TOP_K}
+        ORDER BY q_id, rank
+    """
+
+
+@register(
+    "ann_ivf_multiprobe",
+    gated=False,  # r4 rotation candidate; local-oracle-swept this round
+    oracle=_ivf_multiprobe_oracle(),
+    survey_ref="LLM ops: ANN — IVF multiprobe (recall knob: probe the "
+    "nearest N_PROBES clusters instead of one)",
+    description=f"multiprobe IVF over the label clusters: decimal-exact "
+    f"per-label centroids, each query ranks centroids by cosine and probes "
+    f"its top {N_PROBES} clusters, exact cosine top-k over the union of "
+    "probed members. Single-probe IVF misses true neighbors that sit just "
+    "across a cluster boundary; multiprobe is the standard recall/cost "
+    "dial (FAISS nprobe). At scale the corpus stays cluster-partitioned — "
+    "probing is reading N_PROBES partitions instead of one, and the "
+    "centroid table is a broadcast",
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_multiprobe(spark, sf_dir, N_PROBES)
+
+
+def _ivf_multiprobe(spark: SparkSession, sf_dir: str, n_probes: int) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    # decimal-exact element-wise centroid means per label
+    dims = (
+        e.select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+                / F.count("*")
+            ).alias("v")
+        )
+    )
+    centroids = dims.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "v"))), lambda s: s["v"]
+        ).alias("ce")
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("ve")
+    )
+    # rank centroids per query; probe the top N_PROBES labels
+    pc = F.round(
+        F.expr(
+            "aggregate(zip_with(ve, ce, (a, b) -> a * CAST(b AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        / (F.expr(_NORM.format(col="ve")) * F.expr(_NORM.format(col="ce"))),
+        6,
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("pcos").desc(), F.col("label"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("q_id", "label", pc.alias("pcos"))
+        .withColumn("prn", F.row_number().over(wp))
+        .where(F.col("prn") <= n_probes)
+        .select("q_id", "label")
+    )
+    qv = q.select("q_id", F.col("ve").alias("qe"))
+    c = e.select(F.col("vec_id").alias("c_id"), "label", F.col("embedding").alias("ce"))
+    cosine = F.round(
+        F.expr(_DOT)
+        / (F.expr(_NORM.format(col="qe")) * F.expr(_NORM.format(col="ce"))),
+        6,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        c.join(F.broadcast(probes), "label")
+        .join(F.broadcast(qv), "q_id")
+        .where(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("q_id", "rank")
+    )

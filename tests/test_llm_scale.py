@@ -397,3 +397,30 @@ def test_capped_band_pairs_count_formula_random_buckets(spark):
     bands = spark.createDataFrame(rows, "doc_id long, band_idx int, band_val string")
     got = capped_band_pairs(bands, "doc_id").count()
     assert got == expected
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """The whole point of multiprobe: recall vs the exact brute-force top-k
+    must be monotonically non-decreasing in the probe count, and the
+    registered 2-probe variant must beat OR match 1-probe while scanning
+    only 2 of the clusters."""
+    from sparkroach.queries import QUERIES
+    from sparkroach.queries.llm_ops import _ivf_multiprobe
+
+    exact = {}
+    for r in QUERIES["ann_cosine_topk"].fn(spark, SF_SMALL).collect():
+        exact.setdefault(r["q_id"], set()).add(r["c_id"])
+
+    def recall(n_probes):
+        got = {}
+        for r in _ivf_multiprobe(spark, SF_SMALL, n_probes).collect():
+            got.setdefault(r["q_id"], set()).add(r["c_id"])
+        return sum(
+            len(got.get(q, set()) & ids) / len(ids) for q, ids in exact.items()
+        ) / len(exact)
+
+    r1, r2 = recall(1), recall(2)
+    assert 0.0 < r1 <= r2 <= 1.0
+    # with 2 of the clusters probed, recall should be materially better
+    # than random cluster membership would give
+    assert r2 >= 0.25
