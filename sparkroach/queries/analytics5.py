@@ -163,3 +163,102 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "events_retention_cohorts",
+    gated=False,  # r4 rotation candidate; local-oracle-swept this round
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   CAST(date_diff('week', TIMESTAMP '2024-01-01', min(ts))
+                        AS BIGINT) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_diff('week', TIMESTAMP '2024-01-01', ts)
+                        AS BIGINT) AS week
+            FROM events
+        )
+        SELECT f.cohort_week,
+               a.week - f.cohort_week AS week_offset,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        FROM firsts f JOIN activity a ON a.user_id = f.user_id
+        WHERE a.week >= f.cohort_week
+        GROUP BY f.cohort_week, week_offset
+        ORDER BY cohort_week, week_offset
+    """,
+    survey_ref="§2C aggregations — retention cohort analysis (classic "
+    "product-analytics shape: first-activity cohort × week offset)",
+    description="weekly retention triangle: cohort = the user's first-event "
+    "week, cells = distinct users active at each week offset. Two "
+    "aggregations over the same user_id shuffle (min-week and "
+    "distinct-activity reuse one exchange under AQE), then a join back on "
+    "user_id and a tiny final rollup",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    # calendar weeks since the corpus epoch, DuckDB date_diff('week')
+    # semantics: boundary-crossing count, weeks start Monday — 2024-01-01
+    # IS a Monday, so floor(days/7) over date_diff agrees exactly
+    week = F.floor(F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / 7).cast(
+        "long"
+    )
+    acts = ev.select("user_id", week.alias("week")).distinct()
+    firsts = acts.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        acts.join(firsts, "user_id")
+        .where(F.col("week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "events_salted_type_counts",
+    gated=False,  # r4 rotation candidate; local-oracle-swept this round
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    survey_ref="§2C aggregations + skew handling — salted two-stage "
+    "aggregation (the hot-key pattern, executable)",
+    description="counts per event_type computed through an explicit "
+    "16-way salt: stage 1 groups by (event_type, salt) so a hot key's "
+    "rows spread across 16 reducers, stage 2 folds the partials. Results "
+    "are provably identical to the plain groupBy (the oracle IS the plain "
+    "groupBy); count_distinct(user_id) uses the standard two-level "
+    "distinct — dedup on (event_type, user_id) first, whose shuffle keys "
+    "spread naturally by user, then count per type. This is the manual "
+    "fallback when AQE skew-join splitting can't apply (single-key "
+    "aggregation)",
+)
+def events_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id", "event_id")
+    salt = F.pmod(F.col("event_id"), F.lit(16)).alias("salt")
+    counts = (
+        ev.select("event_type", salt)
+        .groupBy("event_type", "salt")
+        .agg(F.count("*").alias("pn"))
+        .groupBy("event_type")
+        .agg(F.sum("pn").cast("long").alias("n"))
+    )
+    # two-level distinct: the (type, user) dedup shuffle is keyed by the
+    # pair, so a hot type spreads across reducers by user_id — no per-salt
+    # user sets held in executor memory (collect_set would be the 100 TB
+    # mistake)
+    uniques = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+    return counts.join(uniques, "event_type").orderBy("event_type")
