@@ -1500,6 +1500,7 @@ def _emb_dedup_oracle() -> str:
 
 @register(
     "dedup_embedding_cosine",
+    bench=True,  # r3: embedding-plane representative in the headline set
     oracle=_emb_dedup_oracle(),
     survey_ref="LLM ops: embedding-cosine near-duplicate detection (dedup via "
     "semantic similarity; completes the dedup family: exact/minhash/simhash/"
