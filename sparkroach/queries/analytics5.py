@@ -262,3 +262,66 @@ def events_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_users"))
     )
     return counts.join(uniques, "event_type").orderBy("event_type")
+
+
+@register(
+    "events_funnel_conversion",
+    gated=False,  # r4 rotation candidate; local-oracle-swept this round
+    oracle="""
+        WITH signups AS (
+            SELECT user_id, min(ts) AS signup_ts
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        converted AS (
+            SELECT DISTINCT s.user_id
+            FROM signups s
+            JOIN events e
+              ON e.user_id = s.user_id
+             AND e.event_type = 'purchase'
+             AND e.ts > s.signup_ts
+             AND e.ts <= s.signup_ts + INTERVAL 7 DAY
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_signup_users,
+               CAST((SELECT count(*) FROM converted) AS BIGINT)
+                   AS n_converted,
+               CAST((SELECT count(*) FROM converted) AS DOUBLE) / count(*)
+                   AS conversion_rate
+        FROM signups
+    """,
+    survey_ref="§2C aggregations + time-window join — funnel conversion "
+    "(signup → purchase within 7 days)",
+    description="two-step funnel: each user's first signup, then whether a "
+    "purchase follows within 7 days. The purchase probe is a semi-join on "
+    "user_id with the time-window predicate pushed into the join — at "
+    "scale both sides shuffle once on user_id and the window bound keeps "
+    "state finite in a streaming variant. Conversion rate is one double "
+    "division of exact counts on both sides",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = signups.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("signup_ts"))
+        & (F.col("p_ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")),
+        "left_semi",
+    )
+    return (
+        signups.agg(F.count("*").alias("n_signup_users"))
+        .crossJoin(converted.agg(F.count("*").alias("n_converted")))
+        .select(
+            "n_signup_users",
+            "n_converted",
+            (F.col("n_converted").cast("double") / F.col("n_signup_users")).alias(
+                "conversion_rate"
+            ),
+        )
+    )
