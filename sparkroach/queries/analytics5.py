@@ -325,3 +325,70 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    gated=False,  # r4 rotation candidate; local-oracle-swept this round
+    oracle="""
+        WITH buckets AS (
+            SELECT event_type,
+                   date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, hour
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(SUM(n) AS BIGINT) AS s1,
+                   CAST(SUM(n * n) AS BIGINT) AS s2
+            FROM buckets GROUP BY event_type
+        )
+        SELECT b.event_type, b.hour, b.n,
+               (CAST(b.n AS DOUBLE) - CAST(s1 AS DOUBLE) / n_buckets)
+                   / sqrt(CAST(n_buckets AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                   * n_buckets AS zscore
+        FROM buckets b JOIN stats s ON b.event_type = s.event_type
+        WHERE (CAST(b.n AS DOUBLE) - CAST(s1 AS DOUBLE) / n_buckets)
+                  * CAST(n_buckets AS DOUBLE)
+              > 3.0 * sqrt(CAST(n_buckets AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+        ORDER BY b.event_type, b.hour
+    """,
+    survey_ref="§2C aggregations — hourly-count anomaly detection "
+    "(z-score > 3 per event type)",
+    description="hours whose event count sits more than 3 population "
+    "standard deviations above the type's mean. The variance comes from "
+    "EXACT integer sums (n·Σx² − (Σx)² — never a running stddev, whose "
+    "accumulation order differs between engines), so the doubles compared "
+    "against the threshold are bit-identical on both sides. Two grouped "
+    "aggregations over the same (type, hour) shuffle plus a broadcast of "
+    "the per-type stats",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    buckets = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").alias("n"))
+    )
+    stats = buckets.groupBy("event_type").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    nb = F.col("n_buckets").cast("double")
+    dev = F.col("n").cast("double") - F.col("s1").cast("double") / F.col("n_buckets")
+    spread = F.sqrt(
+        nb * F.col("s2") - F.col("s1").cast("double") * F.col("s1")
+    )
+    return (
+        buckets.join(F.broadcast(stats), "event_type")
+        .where(dev * nb > F.lit(3.0) * spread)
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            (dev / spread * F.col("n_buckets")).alias("zscore"),
+        )
+        .orderBy("event_type", "hour")
+    )
