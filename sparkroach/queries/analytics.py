@@ -42,6 +42,7 @@ def dsum(col: Column) -> Column:
 
 @register(
     "q1_pricing_summary",
+    gated=False,  # r4: rotated OUT — driver-green r1–r3; local-oracle-swept
     oracle=f"""
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
@@ -92,6 +93,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q3_shipping_priority",
+    gated=False,  # r4: rotated OUT — driver-green r1–r3; local-oracle-swept
     oracle=f"""
         SELECT l.l_orderkey,
                CAST(SUM({cents_sql("l.l_extendedprice")}
@@ -133,6 +135,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5_region_volume",
+    gated=False,  # r4: rotated OUT — driver-green r1–r3; local-oracle-swept
     oracle=f"""
         SELECT n.n_name,
                CAST(SUM({cents_sql("l.l_extendedprice")}

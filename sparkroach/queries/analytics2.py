@@ -15,6 +15,7 @@ from sparkroach.tables import load
 
 @register(
     "q6_forecast_revenue",
+    gated=False,  # r4: rotated OUT — driver-green r1–r3; local-oracle-swept
     oracle=f"""
         SELECT CAST(SUM({cents_sql("l_extendedprice")}
                         * {cents_sql("l_discount")}) AS DOUBLE) / 10000.0
@@ -149,6 +150,7 @@ def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_asof_last_purchase",
+    gated=False,  # r4: rotated OUT — driver-green r1–r3; local-oracle-swept
     oracle="""
         WITH errors AS (
             SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'

@@ -239,6 +239,7 @@ def events_cumulative_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "part_min_price_supplier",
+    gated=False,  # r4: rotated OUT — driver-green r1–r3; local-oracle-swept
     oracle=f"""
         WITH mp AS (
             SELECT l_partkey,

@@ -26,7 +26,7 @@ from sparkroach.tables import load
 
 @register(
     "q13_order_distribution",
-    gated=False,  # r4 rotation candidate; local-oracle-swept this round
+    # r4: rotated IN — first driver-gate recording this round
     oracle="""
         SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
         FROM (
@@ -62,7 +62,7 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q15_top_supplier",
-    gated=False,  # r4 rotation candidate; local-oracle-swept this round
+    # r4: rotated IN — first driver-gate recording this round
     oracle=f"""
         WITH revenue AS (
             SELECT l_suppkey AS supplier_no,
@@ -112,7 +112,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q17_small_qty_revenue",
-    gated=False,  # r4 rotation candidate; local-oracle-swept this round
+    # r4: rotated IN — first driver-gate recording this round
     oracle=f"""
         WITH li AS (
             SELECT l_partkey,
@@ -167,7 +167,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_retention_cohorts",
-    gated=False,  # r4 rotation candidate; local-oracle-swept this round
+    # r4: rotated IN — first driver-gate recording this round
     oracle="""
         WITH firsts AS (
             SELECT user_id,
@@ -220,7 +220,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_salted_type_counts",
-    gated=False,  # r4 rotation candidate; local-oracle-swept this round
+    # r4: rotated IN — first driver-gate recording this round
     oracle="""
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n,
@@ -266,7 +266,7 @@ def events_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_funnel_conversion",
-    gated=False,  # r4 rotation candidate; local-oracle-swept this round
+    # r4: rotated IN — first driver-gate recording this round
     oracle="""
         WITH signups AS (
             SELECT user_id, min(ts) AS signup_ts
@@ -329,7 +329,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_anomaly_zscore",
-    gated=False,  # r4 rotation candidate; local-oracle-swept this round
+    # r4: rotated IN — first driver-gate recording this round
     oracle="""
         WITH buckets AS (
             SELECT event_type,

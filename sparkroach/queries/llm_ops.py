@@ -110,6 +110,7 @@ def _minhash_sig_sql(i: int) -> str:
 
 @register(
     "dedup_exact",
+    gated=False,  # r4: rotated OUT — driver-green r1–r3; local-oracle-swept
     oracle="""
         SELECT count(*) AS n_docs,
                count(DISTINCT md5(text)) AS n_distinct,
@@ -341,13 +342,19 @@ def lsh_bands(sh: DataFrame) -> DataFrame:
 # boilerplate near-identical docs in one bucket (one reducer gets 10^10
 # pairs).  Buckets at or under the cap keep the EXACT all-pairs join;
 # over-cap buckets degrade to adjacent-rank chain pairs (doc[i], doc[i+1])
-# in deterministic id order — n-1 pairs instead of C(n,2), and since the
-# downstream consumers are connectivity-shaped (CC clustering, greedy
-# kept-set), a chain keeps every true duplicate cluster connected while
-# bounding pair count LINEARLY in bucket size.  The cap is far above any
-# bucket the testdata produces, so oracle agreement is unchanged on normal
-# data; tests/test_llm_scale.py constructs a degenerate bucket to pin the
-# bound.
+# in deterministic id order — n-1 pairs instead of C(n,2), bounding pair
+# count LINEARLY in bucket size.  Honesty note on the degradation: the
+# chain keeps a true duplicate cluster connected ONLY when the over-cap
+# bucket is dominated by that one cluster (the overwhelmingly common case —
+# boilerplate floods).  If a >cap bucket interleaves two dup clusters, or
+# dups with hash-colliding non-dups, a chain edge through a non-dup fails
+# downstream Jaccard/cosine verification and can split a cluster: this is a
+# BOUNDED-RECALL APPROXIMATION above the cap, not semantics-preserving.
+# The registered DuckDB oracles are uncapped, so results diverge from the
+# declared oracle for any >cap bucket — acceptable because no testdata
+# bucket approaches the cap (the degenerate case lives only in
+# tests/test_llm_scale.py, which pins the n-1 bound and connectivity on a
+# single-cluster bucket).
 LSH_BUCKET_CAP = 64
 
 
@@ -360,23 +367,22 @@ def capped_band_pairs(
     """Distinct (doc_a, doc_b) candidate pairs (doc_a < doc_b) from a
     band-bucket self-join with the LSH_BUCKET_CAP guard (see above).
 
-    One extra shuffle vs the naive self-join (the window over band keys),
-    but the join itself shuffles on the same keys so the sorted exchange
-    is reusable; at scale the window is what makes the plan survive a
-    degenerate bucket at all.
+    Bucket sizes come from a two-stage ``groupBy(keys).count()`` (map-side
+    partial agg), NOT an unbounded-frame window, so counting a 10^7-row
+    degenerate bucket never serializes it through one window task.  The
+    over-cap bucket list is tiny by construction (only flooded buckets) and
+    broadcasts; under-cap rows take the exact all-pairs self-join, over-cap
+    rows take a ``lead()`` window whose streaming frame is linear — the
+    only per-bucket single-task stage left, and it buffers nothing.
     """
     from pyspark.sql.window import Window
 
     keys = list(key_cols)
-    wb = Window.partitionBy(*keys)
-    wo = wb.orderBy(id_col)
-    ranked = bands.select(
-        F.col(id_col).alias("_id"),
-        *keys,
-        F.count("*").over(wb).alias("_bn"),
-        F.lead(id_col).over(wo).alias("_next"),
+    counts = bands.groupBy(*keys).agg(F.count("*").alias("_bn"))
+    over = counts.where(F.col("_bn") > cap).select(*keys)
+    small = bands.join(F.broadcast(over), keys, "left_anti").select(
+        F.col(id_col).alias("_id"), *keys
     )
-    small = ranked.where(F.col("_bn") <= cap)
     a = small.alias("a")
     b = small.alias("b")
     exact = a.join(
@@ -384,9 +390,15 @@ def capped_band_pairs(
         [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys]
         + [F.col("a._id") < F.col("b._id")],
     ).select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
-    chained = ranked.where(
-        (F.col("_bn") > cap) & F.col("_next").isNotNull()
-    ).select(F.col("_id").alias("doc_a"), F.col("_next").alias("doc_b"))
+    big = bands.join(F.broadcast(over), keys, "left_semi")
+    wo = Window.partitionBy(*keys).orderBy(id_col)
+    chained = (
+        big.select(
+            F.col(id_col).alias("doc_a"),
+            F.lead(id_col).over(wo).alias("doc_b"),
+        )
+        .where(F.col("doc_b").isNotNull())
+    )
     return exact.unionByName(chained).distinct()
 
 
@@ -600,9 +612,22 @@ def _cc_large_small_star(edges: DataFrame) -> DataFrame:
         )
         sig = (obs.get["n"], obs.get["chk"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    else:
+        converged = False
     parents = e.select(F.col("u").alias("node"), F.col("v").alias("plabel"))
+    if not converged:
+        # Sweep budget exhausted before the star fixpoint (ADVICE r3): the
+        # edge set may still hold multiple parent edges per node, and a
+        # plain left join would emit duplicate (node, label) rows with
+        # conflicting labels.  Canonicalize to MIN(plabel) so the output
+        # contract — exactly one row per node — holds regardless; labels
+        # may then be a refinement (over-segmentation) of the true
+        # components, the same failure mode as non-converged label
+        # propagation, never a malformed frame.
+        parents = parents.groupBy("node").agg(F.min("plabel").alias("plabel"))
     return (
         all_nodes.join(parents, "node", "left")
         .select("node", F.coalesce("plabel", "node").alias("label"))
@@ -781,6 +806,7 @@ def _simhash_oracle() -> str:
 
 @register(
     "simhash_docs",
+    gated=False,  # r4: rotated OUT — driver-green r1–r3; local-oracle-swept
     oracle=_simhash_oracle(),
     bench=True,  # r02: heavy LLM op in the headline set (VERDICT #8)
     survey_ref="LLM ops: SimHash document signatures",
@@ -822,6 +848,7 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_quality",
+    gated=False,  # r4: rotated OUT — driver-green r1–r3; local-oracle-swept
     oracle="""
         SELECT doc_id,
                length(text) AS n_chars_actual,
@@ -990,6 +1017,7 @@ def _lang_id_oracle() -> str:
 
 @register(
     "lang_id_stopwords",
+    gated=False,  # r4: rotated OUT — driver-green r1–r3; local-oracle-swept
     oracle=_lang_id_oracle(),
     survey_ref="LLM ops: language identification (stopword-profile heuristic)",
     description="stopword-lexicon language ID: tokenize → broadcast-join tiny "
@@ -1080,6 +1108,7 @@ N_QUERIES = 8
 
 @register(
     "ann_cosine_topk",
+    gated=False,  # r4: rotated OUT — driver-green r1–r3; local-oracle-swept
     oracle=f"""
         WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
                    WHERE vec_id < {N_QUERIES}),
@@ -1650,7 +1679,7 @@ _EN_STOPWORDS = [w for lang, w in _LEXICON if lang == "en"]
 
 @register(
     "doc_repetition_stats",
-    gated=False,  # r4 rotation candidate; local-oracle-swept this round
+    # r4: rotated IN — first driver-gate recording this round
     oracle="""
         WITH w AS (
             SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -1730,7 +1759,7 @@ def _gopher_stop_list_sql() -> str:
 
 @register(
     "gopher_quality_gate",
-    gated=False,  # r4 rotation candidate; local-oracle-swept this round
+    # r4: rotated IN — first driver-gate recording this round
     oracle=f"""
         WITH w AS (
             SELECT doc_id,
@@ -1855,7 +1884,7 @@ def _ivf_multiprobe_oracle() -> str:
 
 @register(
     "ann_ivf_multiprobe",
-    gated=False,  # r4 rotation candidate; local-oracle-swept this round
+    # r4: rotated IN — first driver-gate recording this round
     oracle=_ivf_multiprobe_oracle(),
     survey_ref="LLM ops: ANN — IVF multiprobe (recall knob: probe the "
     "nearest N_PROBES clusters instead of one)",

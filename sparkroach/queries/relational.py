@@ -28,6 +28,7 @@ from sparkroach.tables import load
 
 @register(
     "txn_point_lookup",
+    gated=False,  # r4: rotated OUT — driver-green r1–r3; local-oracle-swept
     oracle="""
         SELECT o_orderkey, o_custkey, o_orderstatus,
                CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderdate
@@ -306,6 +307,7 @@ def participation_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "txn_json_field_filter",
+    gated=False,  # r4: rotated OUT — driver-green r1–r3; local-oracle-swept
     oracle="""
         SELECT event_id, user_id,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

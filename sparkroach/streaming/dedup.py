@@ -46,14 +46,12 @@ from pyspark.sql import functions as F
 from sparkroach.queries.llm_ops import (
     _JACC_SQL,
     _JACCARD_TAU,
-    LSH_BUCKET_CAP,
     _lsh_candidates_cte,
     _with_shingles,
     capped_band_pairs,
     connected_components,
     lsh_bands,
 )
-from pyspark.sql.window import Window
 from sparkroach.queries.registry import register
 from sparkroach.tables import load
 
@@ -94,21 +92,23 @@ class StreamingDeduper:
         if self._have_state():
             kept_bands = self.spark.read.parquet(self.bands_dir)
             kept_sh = self.spark.read.parquet(self.shingle_dir)
-            # Bucket-cardinality guard (see llm_ops.LSH_BUCKET_CAP): a
-            # degenerate band bucket in the kept store (boilerplate-heavy
-            # corpora) would otherwise multiply EVERY colliding new doc by
-            # the full bucket.  Cap the kept side at the lowest-id
-            # LSH_BUCKET_CAP representatives per band key — any true
-            # near-dup of an over-cap bucket matches the representatives
-            # (the bucket members are near-dups of one another), so the
-            # greedy kept-set semantics are preserved while the join stays
-            # O(new × cap).
-            wo = Window.partitionBy("band_idx", "band_val").orderBy("doc_id")
-            kept_bands = (
-                kept_bands.withColumn("_rk", F.row_number().over(wo))
-                .where(F.col("_rk") <= LSH_BUCKET_CAP)
-                .drop("_rk")
-            )
+            # The kept side is deliberately UNCAPPED (r4, fixing the r3
+            # representative cap): docs sharing a band bucket in the KEPT
+            # store are precisely those that failed Jaccard verification
+            # against each other — mutually NON-dup — so a lowest-id
+            # representative subset does NOT cover the bucket, and capping
+            # it would wrongly keep a new doc whose only true near-dup
+            # ranks past the cap (silently diverging from the uncapped
+            # greedy oracle).  Scale posture: kept-store buckets cannot
+            # degenerate under boilerplate floods, because a flood never
+            # accumulates in the store — its first member is kept, every
+            # later member Jaccard-matches that representative and is
+            # dropped before writing.  Kept buckets therefore grow only at
+            # the LSH false-positive rate (band collision AND Jaccard
+            # < tau), which is a property of the band/row geometry, not of
+            # corpus skew; the cross-batch join stays O(new × collisions).
+            # The within-batch pair generation below remains capped
+            # (capped_band_pairs) — that side DOES see raw floods.
             # cross-batch candidates: band-key equi-join against the kept
             # signature store (bucket-pruned at scale), then exact verify
             cand = (

@@ -424,3 +424,22 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     # with 2 of the clusters probed, recall should be materially better
     # than random cluster membership would give
     assert r2 >= 0.25
+
+
+def test_star_cc_sweep_exhaustion_yields_one_row_per_node(spark, monkeypatch):
+    """r4 (ADVICE r3): when the sweep budget exhausts before the star
+    fixpoint, the output must still be one row per node (canonicalized via
+    min-parent), possibly over-segmented — never duplicate conflicting
+    rows."""
+    import sparkroach.queries.llm_ops as lo
+
+    monkeypatch.setattr(lo, "N_CC_MAX_SWEEPS", 1)  # force non-convergence
+    n = 60
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    rows = lo.connected_components(edges, algorithm="star").collect()
+    nodes = [r["node"] for r in rows]
+    assert sorted(nodes) == list(range(n))  # exactly one row per node
+    # labels are a refinement: every label must be <= its node and in-graph
+    assert all(0 <= r["label"] <= r["node"] for r in rows)

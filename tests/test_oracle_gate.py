@@ -58,3 +58,23 @@ def test_driver_window_budget():
             assert not seen_rows_only, (
                 f"oracle-bearing {name} is ordered after a rows-only entry"
             )
+
+
+def test_documents_corpus_is_pure_ascii():
+    """r4 (ADVICE r3): the multimodal_features oracle equates DuckDB
+    codepoints with payload bytes (unicode(text[i]) vs uint8 sum) and
+    octet_length(encode(text)) with length(text).  Both only hold for pure
+    ASCII — assert it corpus-wide at every SF so testdata drift fails
+    loudly here, not as an inscrutable gate hash mismatch."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        n = duckdb.sql(
+            f"""
+            SELECT count(*) FROM read_parquet('{path}')
+            WHERE octet_length(encode(text)) <> length(text)
+               OR regexp_matches(text, '[^\\x00-\\x7F]')
+            """
+        ).fetchone()[0]
+        assert n == 0, f"non-ASCII text in {path}: {n} rows"

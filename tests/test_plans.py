@@ -137,3 +137,22 @@ def test_gopher_gate_is_map_only_before_sort(spark):
         if re.match(r"\(\d+\) Scan parquet", line.strip())
     ]
     assert len(scans) == 1
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions
+# ---------------------------------------------------------------------------
+
+
+def test_capped_band_pairs_has_no_unbounded_window(spark):
+    """Bucket-size counting must be the two-stage groupBy.count, not an
+    unbounded-frame window over band keys: an over-cap bucket may only
+    pass through the linear lead() streaming frame (VERDICT r3 #6)."""
+    plan = _plan(spark, "minhash_lsh_candidates")
+    for line in plan.splitlines():
+        if "unboundedpreceding" in line.lower():
+            raise AssertionError(f"unbounded window frame in plan: {line.strip()}")
+    # the lead() window survives (streaming frame, linear) …
+    assert "lead(" in plan
+    # … and the over-cap bucket list joins by broadcast
+    assert "BroadcastExchange" in plan

@@ -119,3 +119,39 @@ def test_second_batch_drops_against_state_only_when_verified(
         assert partners & (kept1 | kept2 | (all2 - kept2)), (
             f"doc {doc} dropped without any verified near-dup"
         )
+
+
+def test_deep_kept_bucket_near_dup_still_dropped(spark, tmp_path):
+    """r4 regression (ADVICE r3): kept docs sharing a band bucket are
+    mutually NON-dup by construction, so the kept side must NOT be capped
+    to lowest-id representatives.  A new doc whose only true near-dup
+    ranks past the old 64-rep cap in its bucket must still be dropped."""
+    from sparkroach.queries.llm_ops import _with_shingles, lsh_bands
+
+    new_doc = spark.createDataFrame(
+        [(9999, "a shared footer sentence that appears across mirrored sites")],
+        "doc_id long, text string",
+    )
+    sh = _with_shingles(new_doc).collect()[0]
+    band = lsh_bands(_with_shingles(new_doc)).collect()[0]
+
+    n_fill = 100  # > the old LSH_BUCKET_CAP of 64
+    kept_sh_rows = [
+        (i, [f"filler{i} a", f"a b{i}", f"b{i} c{i}"]) for i in range(n_fill)
+    ]
+    # the true near-dup: highest id in the bucket, identical shingles
+    kept_sh_rows.append((5000, list(sh["shingles"])))
+    kept_bands_rows = [
+        (i, band["band_idx"], band["band_val"]) for i in range(n_fill)
+    ] + [(5000, band["band_idx"], band["band_val"])]
+
+    state = tmp_path / "state"
+    spark.createDataFrame(
+        kept_sh_rows, "doc_id long, shingles array<string>"
+    ).write.parquet(str(state / "shingles"))
+    spark.createDataFrame(
+        kept_bands_rows, "doc_id long, band_idx int, band_val string"
+    ).write.parquet(str(state / "bands"))
+
+    kept = StreamingDeduper(spark, str(state)).process_batch(new_doc).collect()
+    assert kept == []  # dropped: its near-dup ranks 101st in the bucket
