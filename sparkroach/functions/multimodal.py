@@ -13,11 +13,14 @@ Design for 100 TB multimodal corpora:
 - partitioning: repartition by ``media_id`` bucket before decode so each
   task holds a bounded payload volume and decode parallelism is even.
 
-The actual codec calls are STUBBED (no imaging/audio libraries in this
-environment): ``decode_media`` raises NotImplementedError for real decoding
-unless ``fake=True``, which derives deterministic pseudo-metadata from the
-payload bytes — the Spark-side plumbing (schemas, batching, UDF signatures)
-is real and tested either way.
+The codec calls in THIS module are STUBBED (no imaging/audio libraries in
+this environment): ``decode_media`` raises NotImplementedError for real
+decoding unless ``fake=True``, which derives deterministic pseudo-metadata
+from the payload bytes — the Spark-side plumbing (schemas, batching, UDF
+signatures) is real and tested either way.  REAL stdlib codecs (WAV via
+``wave``, PPM/BMP via struct parsing) live in ``functions.media`` (r4) and
+are gate-checked end-to-end by the ``multimodal_decode`` query; only
+containers needing external libraries (JPEG/MP4) remain stubbed.
 """
 
 from __future__ import annotations
