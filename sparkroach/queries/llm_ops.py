@@ -1224,8 +1224,10 @@ IVF_K = 8  # trained-centroid count
 EMB_DIMS = 64
 
 
-def _ivf_kmeans_oracle() -> str:
+def _ivf_kmeans_oracle(select: str = "topk") -> str:
     """Deterministic one-iteration Lloyd k-means IVF, DuckDB side.
+    ``select="assign"`` yields the trained (vec_id, cluster) assignment
+    instead of the ranked result (for ann_recall_report's cost column).
 
     Seeds = the first K vectors; assign by rounded cosine (ties → lower
     centroid id); recompute element-wise means with DECIMAL sums (exact,
@@ -1235,6 +1237,13 @@ def _ivf_kmeans_oracle() -> str:
     dot = "list_sum([ve[i+1]::DOUBLE * ce[i+1]::DOUBLE for i in range(0, len(ve))])"
     nv = _NORM_SQL.format(col="ve")
     nc = _NORM_SQL.format(col="ce")
+    final = (
+        "SELECT vec_id, cluster FROM a2"
+        if select == "assign"
+        else f"""SELECT q_id, c_id, cosine, rank FROM ranked
+        WHERE rank <= {TOP_K}
+        ORDER BY q_id, rank"""
+    )
     return f"""
         WITH seeds AS (
             SELECT vec_id AS c_id, embedding AS ce FROM embeddings
@@ -1294,9 +1303,7 @@ def _ivf_kmeans_oracle() -> str:
                    ) AS rank
             FROM scored
         )
-        SELECT q_id, c_id, cosine, rank FROM ranked
-        WHERE rank <= {TOP_K}
-        ORDER BY q_id, rank
+        {final}
     """
 
 
@@ -1315,6 +1322,15 @@ def _ivf_kmeans_oracle() -> str:
     "final table is cluster-partitioned so probes are partition-pruned",
 )
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_kmeans_parts(spark, sf_dir)[1]
+
+
+def _ivf_kmeans_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(trained assignment (vec_id, cluster), top-k result) — the
+    assignment is exposed so ann_recall_report can count scanned
+    candidates per query without re-deriving the k-means chain."""
     e = load(spark, sf_dir, "embeddings")
 
     def assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -1386,12 +1402,13 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
-    return (
+    topk = (
         cand.select("q_id", "c_id", cosine.alias("cosine"))
         .select("q_id", "c_id", "cosine", F.row_number().over(w).alias("rank"))
         .where(F.col("rank") <= TOP_K)
         .orderBy("q_id", "rank")
     )
+    return a2, topk
 
 
 def _lsh_planes(n_planes: int = 16, dims: int = 64) -> list[list[float]]:
@@ -1913,10 +1930,20 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PROBES = 2  # clusters probed per query
 
 
-def _ivf_multiprobe_oracle() -> str:
+def _ivf_multiprobe_oracle(n_probes: int = N_PROBES, select: str = "topk") -> str:
+    """Multiprobe-IVF SQL, parameterized for ann_recall_report: ``select=
+    "topk"`` yields the ranked result, ``select="probes"`` just the
+    (q_id, label) probe set (for candidate-cost accounting)."""
     dot = "list_sum([ve[i+1]::DOUBLE * ce[i+1]::DOUBLE for i in range(0, len(ve))])"
     nv = _NORM_SQL.format(col="ve")
     nc = _NORM_SQL.format(col="ce")
+    final = (
+        "SELECT q_id, label FROM probes"
+        if select == "probes"
+        else f"""SELECT q_id, c_id, cosine, rank FROM ranked
+        WHERE rank <= {TOP_K}
+        ORDER BY q_id, rank"""
+    )
     return f"""
         WITH cent_dims AS (
             SELECT label, t.i,
@@ -1940,7 +1967,7 @@ def _ivf_multiprobe_oracle() -> str:
                    ) AS prn
             FROM q CROSS JOIN centroids
         ),
-        probes AS (SELECT q_id, label FROM probe_rank WHERE prn <= {N_PROBES}),
+        probes AS (SELECT q_id, label FROM probe_rank WHERE prn <= {n_probes}),
         scored AS (
             SELECT q.q_id, c.vec_id AS c_id,
                    ROUND({_DOT_SQL}
@@ -1960,9 +1987,7 @@ def _ivf_multiprobe_oracle() -> str:
                    ) AS rank
             FROM scored
         )
-        SELECT q_id, c_id, cosine, rank FROM ranked
-        WHERE rank <= {TOP_K}
-        ORDER BY q_id, rank
+        {final}
     """
 
 
@@ -1986,6 +2011,14 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_multiprobe(spark: SparkSession, sf_dir: str, n_probes: int) -> DataFrame:
+    return _ivf_multiprobe_parts(spark, sf_dir, n_probes)[1]
+
+
+def _ivf_multiprobe_parts(
+    spark: SparkSession, sf_dir: str, n_probes: int
+) -> tuple[DataFrame, DataFrame]:
+    """(probes (q_id, label), top-k result) — probes exposed so
+    ann_recall_report can count scanned candidates per query."""
     e = load(spark, sf_dir, "embeddings")
     # decimal-exact element-wise centroid means per label
     dims = (
@@ -2031,7 +2064,7 @@ def _ivf_multiprobe(spark: SparkSession, sf_dir: str, n_probes: int) -> DataFram
         6,
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
-    return (
+    topk = (
         c.join(F.broadcast(probes), "label")
         .join(F.broadcast(qv), "q_id")
         .where(F.col("c_id") != F.col("q_id"))
@@ -2039,4 +2072,202 @@ def _ivf_multiprobe(spark: SparkSession, sf_dir: str, n_probes: int) -> DataFram
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
         .orderBy("q_id", "rank")
+    )
+    return probes, topk
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation: the standard IVF quality artifact (round 4)
+# ---------------------------------------------------------------------------
+# VERDICT r3 #5: multiprobe's recall-dominance was pinned qualitatively; this
+# operator makes the recall/cost dial QUANTITATIVE — recall@k of each ANN
+# variant against the brute-force ground truth, with the scanned-candidate
+# count alongside (the FAISS-style recall-vs-nprobe evaluation table).
+# Everything compared is an exact integer (hits, truth size, candidate
+# counts); recall is ONE double division at the very end on both engines.
+
+
+def _recall_report_oracle() -> str:
+    from sparkroach.queries.registry import QUERIES as _Q
+
+    truth_sql = _Q["ann_cosine_topk"].oracle
+    label_sql = _Q["ann_ivf_label"].oracle
+    km_sql = _Q["ann_ivf_kmeans"].oracle
+    km_assign_sql = _ivf_kmeans_oracle(select="assign")
+    mp1_sql = _ivf_multiprobe_oracle(n_probes=1)
+    mp2_sql = _ivf_multiprobe_oracle(n_probes=2)
+    mp1_probes_sql = _ivf_multiprobe_oracle(n_probes=1, select="probes")
+    mp2_probes_sql = _ivf_multiprobe_oracle(n_probes=2, select="probes")
+
+    def method_row(method: str, n_probes: int, hits: str, cost: str) -> str:
+        return f"""
+        SELECT '{method}' AS method, CAST({n_probes} AS INT) AS n_probes,
+               h.q_id, h.hits, k.truth_k, c.candidates,
+               CAST(h.hits AS DOUBLE) / k.truth_k AS recall_at_k
+        FROM {hits} h JOIN tr_k k USING (q_id) JOIN {cost} c USING (q_id)"""
+
+    def hits_cte(tag: str, approx: str) -> str:
+        return f"""
+        hits_{tag} AS (
+            SELECT t.q_id, CAST(count(m.c_id) AS BIGINT) AS hits
+            FROM truth t
+            LEFT JOIN {approx} m ON m.q_id = t.q_id AND m.c_id = t.c_id
+            GROUP BY t.q_id
+        )"""
+
+    def mp_cost_cte(tag: str, probes: str) -> str:
+        # candidates = members of all probed clusters, minus self when the
+        # query's own cluster is among the probes
+        return f"""
+        cost_{tag} AS (
+            SELECT p.q_id,
+                   CAST(SUM(l.n) AS BIGINT)
+                   - CAST(MAX(CASE WHEN p.label = ql.label THEN 1 ELSE 0 END)
+                          AS BIGINT) AS candidates
+            FROM {probes} p
+            JOIN lcnt l USING (label)
+            JOIN qlab ql USING (q_id)
+            GROUP BY p.q_id
+        )"""
+
+    return f"""
+        WITH truth AS (SELECT q_id, c_id FROM ({truth_sql}) t),
+        tr_k AS (
+            SELECT q_id, CAST(count(*) AS BIGINT) AS truth_k
+            FROM truth GROUP BY q_id
+        ),
+        qlab AS (
+            SELECT vec_id AS q_id, label FROM embeddings
+            WHERE vec_id < {N_QUERIES}
+        ),
+        lcnt AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS n
+            FROM embeddings GROUP BY label
+        ),
+        lab AS (SELECT q_id, c_id FROM ({label_sql}) t),
+        cost_lab AS (
+            SELECT q_id, n - 1 AS candidates FROM qlab JOIN lcnt USING (label)
+        ),
+        km AS (SELECT q_id, c_id FROM ({km_sql}) t),
+        kma AS (SELECT vec_id, cluster FROM ({km_assign_sql}) t),
+        kmcnt AS (
+            SELECT cluster, CAST(count(*) AS BIGINT) AS n
+            FROM kma GROUP BY cluster
+        ),
+        cost_km AS (
+            SELECT a.vec_id AS q_id, c.n - 1 AS candidates
+            FROM kma a JOIN kmcnt c USING (cluster)
+            WHERE a.vec_id < {N_QUERIES}
+        ),
+        mp1 AS (SELECT q_id, c_id FROM ({mp1_sql}) t),
+        mp2 AS (SELECT q_id, c_id FROM ({mp2_sql}) t),
+        mp1p AS (SELECT q_id, label FROM ({mp1_probes_sql}) t),
+        mp2p AS (SELECT q_id, label FROM ({mp2_probes_sql}) t),
+        {hits_cte("lab", "lab")},
+        {hits_cte("km", "km")},
+        {hits_cte("mp1", "mp1")},
+        {hits_cte("mp2", "mp2")},
+        {mp_cost_cte("mp1", "mp1p")},
+        {mp_cost_cte("mp2", "mp2p")}
+        {method_row("ivf_kmeans", 1, "hits_km", "cost_km")}
+        UNION ALL {method_row("ivf_label", 1, "hits_lab", "cost_lab")}
+        UNION ALL {method_row("ivf_multiprobe", 1, "hits_mp1", "cost_mp1")}
+        UNION ALL {method_row("ivf_multiprobe", 2, "hits_mp2", "cost_mp2")}
+        ORDER BY method, n_probes, q_id
+    """
+
+
+@register(
+    "ann_recall_report",
+    # r4: new gate row — quantitative recall/cost evaluation of the ANN family
+    oracle=_recall_report_oracle(),
+    survey_ref="LLM ops: ANN — recall@k report (IVF variants vs brute-force "
+    "ground truth, scanned-candidate cost alongside)",
+    description=f"recall@{TOP_K} per query for ann_ivf_label / ann_ivf_kmeans "
+    "/ ann_ivf_multiprobe(1,2) against ann_cosine_topk ground truth, plus "
+    "the scanned-candidate count per query — the FAISS-style recall-vs-"
+    "nprobe table. hits/truth/candidates are exact integers; recall is one "
+    "double division at the end on both engines. Monotonicity (recall "
+    "non-decreasing in probes, cost increasing) is test-pinned",
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    truth = ann_cosine_topk(spark, sf_dir).select("q_id", "c_id")
+    tr_k = truth.groupBy("q_id").agg(F.count("*").alias("truth_k"))
+    qlab = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("own_label")
+    )
+    lcnt = load(spark, sf_dir, "embeddings").groupBy("label").agg(
+        F.count("*").alias("n")
+    )
+
+    def hits_of(approx: DataFrame) -> DataFrame:
+        got = (
+            truth.join(approx.select("q_id", "c_id"), ["q_id", "c_id"])
+            .groupBy("q_id")
+            .agg(F.count("*").alias("hits"))
+        )
+        return tr_k.join(got, "q_id", "left").select(
+            "q_id", F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            "truth_k",
+        )
+
+    def report_row(
+        method: str, n_probes: int, approx: DataFrame, cost: DataFrame
+    ) -> DataFrame:
+        return (
+            hits_of(approx)
+            .join(cost, "q_id")
+            .select(
+                F.lit(method).alias("method"),
+                F.lit(n_probes).cast("int").alias("n_probes"),
+                "q_id",
+                "hits",
+                "truth_k",
+                "candidates",
+                (F.col("hits").cast("double") / F.col("truth_k")).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+
+    lab = ann_ivf_label(spark, sf_dir)
+    cost_lab = qlab.join(
+        lcnt, qlab["own_label"] == lcnt["label"]
+    ).select("q_id", (F.col("n") - 1).alias("candidates"))
+
+    a2, km = _ivf_kmeans_parts(spark, sf_dir)
+    kmcnt = a2.groupBy("cluster").agg(F.count("*").alias("n"))
+    cost_km = (
+        a2.where(F.col("vec_id") < N_QUERIES)
+        .join(kmcnt, "cluster")
+        .select(
+            F.col("vec_id").alias("q_id"), (F.col("n") - 1).alias("candidates")
+        )
+    )
+
+    def mp_cost(probes: DataFrame) -> DataFrame:
+        return (
+            probes.join(lcnt, "label")
+            .join(qlab, "q_id")
+            .groupBy("q_id")
+            .agg(
+                (
+                    F.sum("n")
+                    - F.max(
+                        F.when(F.col("label") == F.col("own_label"), 1).otherwise(0)
+                    )
+                ).alias("candidates")
+            )
+        )
+
+    probes1, mp1 = _ivf_multiprobe_parts(spark, sf_dir, 1)
+    probes2, mp2 = _ivf_multiprobe_parts(spark, sf_dir, 2)
+
+    return (
+        report_row("ivf_kmeans", 1, km, cost_km)
+        .unionByName(report_row("ivf_label", 1, lab, cost_lab))
+        .unionByName(report_row("ivf_multiprobe", 1, mp1, mp_cost(probes1)))
+        .unionByName(report_row("ivf_multiprobe", 2, mp2, mp_cost(probes2)))
+        .orderBy("method", "n_probes", "q_id")
     )

@@ -443,3 +443,26 @@ def test_star_cc_sweep_exhaustion_yields_one_row_per_node(spark, monkeypatch):
     assert sorted(nodes) == list(range(n))  # exactly one row per node
     # labels are a refinement: every label must be <= its node and in-graph
     assert all(0 <= r["label"] <= r["node"] for r in rows)
+
+
+def test_ann_recall_report_monotonic_in_probes(spark):
+    """r4 (VERDICT #5): the recall/cost dial must be quantitative and
+    well-ordered — per query, recall@k(2 probes) >= recall@k(1 probe) and
+    candidates(2) >= candidates(1); recall in [0,1]; hits <= truth_k."""
+    from sparkroach.queries import QUERIES
+    from tests.conftest import SF_SMALL
+
+    rows = QUERIES["ann_recall_report"].fn(spark, SF_SMALL).collect()
+    assert rows, "empty recall report"
+    by = {}
+    for r in rows:
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert 0 <= r["hits"] <= r["truth_k"]
+        assert r["candidates"] >= r["hits"]
+        by[(r["method"], r["n_probes"], r["q_id"])] = r
+    mp1 = [(k, v) for k, v in by.items() if k[0] == "ivf_multiprobe" and k[1] == 1]
+    assert mp1, "missing single-probe rows"
+    for (m, _p, q), r1 in mp1:
+        r2 = by[(m, 2, q)]
+        assert r2["recall_at_k"] >= r1["recall_at_k"], q
+        assert r2["candidates"] >= r1["candidates"], q
