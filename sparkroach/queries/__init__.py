@@ -18,8 +18,10 @@ from sparkroach.queries import analytics2  # noqa: E402,F401
 from sparkroach.queries import analytics3  # noqa: E402,F401
 from sparkroach.queries import analytics4  # noqa: E402,F401
 from sparkroach.queries import analytics5  # noqa: E402,F401
+from sparkroach.queries import analytics6  # noqa: E402,F401
 from sparkroach.queries import llm_ops  # noqa: E402,F401
 from sparkroach.queries import chain_demo  # noqa: E402,F401
 from sparkroach.streaming import dedup as _streaming_dedup  # noqa: E402,F401
+from sparkroach.streaming import events as _streaming_events  # noqa: E402,F401
 
 __all__ = ["QUERIES", "Query", "register"]

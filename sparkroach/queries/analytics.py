@@ -249,9 +249,9 @@ def events_top_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_user_sessions",
-    oracle="""
+# shared by the batch twin below and the genuinely-streaming gate query
+# streaming.events.events_sessions_streamed — both must hash-match this SQL
+SESSIONS_ORACLE = """
         WITH us AS (
             SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS t_us FROM events
         ),
@@ -278,7 +278,12 @@ def events_top_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id
         HAVING user_id < 25
         ORDER BY user_id
-    """,
+    """
+
+
+@register(
+    "events_user_sessions",
+    oracle=SESSIONS_ORACLE,
     survey_ref="§2C streaming state (sessionization — applyInPandasWithState analog, batch twin)",
     description="gap-based sessionization via lag window — batch twin of stateful streaming",
 )

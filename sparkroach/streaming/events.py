@@ -21,10 +21,14 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from sparkroach.queries.analytics import SESSIONS_ORACLE
+from sparkroach.queries.registry import register
+from sparkroach.tables import load
 
 EVENT_SCHEMA = T.StructType(
     [
@@ -153,3 +157,143 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+@register(
+    "events_sessions_streamed",
+    oracle=SESSIONS_ORACLE,
+    survey_ref="§2C streaming state — the REAL writeStream path: file "
+    "source → applyInPandasWithState → parquet sink, availableNow, 4 "
+    "micro-batches with a query restart (state recovered from checkpoint) "
+    "mid-stream; hash-matched against the batch twin's oracle",
+    description="genuinely-streaming sessionization gate: events staged as "
+    "time-ordered parquet micro-batch files (maxFilesPerTrigger=1), run to "
+    "completion, MORE files staged, query restarted on the same checkpoint "
+    "so open sessions span the restart; a far-future per-user sentinel in "
+    "the final batch closes every open session so the emitted rows are "
+    "exactly the oracle's session set",
+)
+def events_sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the real Structured Streaming sessionizer end-to-end.
+
+    Semantics contract (mirrors queries/analytics.events_user_sessions and
+    its microsecond-exact SQL oracle): per-user sessions break on gaps
+    > 1800 s.  The staged files partition events by disjoint increasing
+    time ranges, so per-user event time is nondecreasing across
+    micro-batches — the ordered-delivery assumption any production feed
+    (Kafka per-key ordering) provides.  Parquet staging keeps microsecond
+    timestamps exact (JSON's default format truncates to milliseconds,
+    which could flip a gap comparison at the 1800.000 s boundary).
+
+    The sentinel trick: one far-future event per user in the LAST
+    micro-batch forces the in-batch gap path to close every still-open
+    session; the sentinel's own session never emits (no later event, and
+    the 30-min processing-time timeout cannot fire inside an availableNow
+    run).  Emitted rows are therefore exactly the real sessions.
+    """
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.unix_micros(F.min("ts")).alias("lo"),
+        F.unix_micros(F.max("ts")).alias("hi"),
+    ).collect()[0]
+    lo, hi = b.lo, b.hi
+    # place the restart cut INSIDE an open session, so the restart provably
+    # recovers live state: find the first intra-session gap (≤ 1800 s) whose
+    # left edge lies in the second half of the feed and cut at its midpoint
+    half = lo + (hi - lo) // 2
+    w = Window.partitionBy("user_id").orderBy("t_us")
+    span = (
+        ev.select("user_id", F.unix_micros("ts").alias("t_us"))
+        .withColumn("pt", F.lag("t_us").over(w))
+        .where(
+            F.col("pt").isNotNull()
+            & (F.col("t_us") - F.col("pt") <= 1_800_000_000)
+            & (F.col("pt") >= F.lit(half))
+        )
+        .agg(F.min(F.struct("pt", "t_us")).alias("g"))
+        .collect()[0][0]
+    )
+    cut2 = (
+        (span.pt + span.t_us) // 2
+        if span is not None
+        else lo + 2 * (hi - lo) // 3
+    )
+    cut1 = lo + (cut2 - lo) // 2
+
+    root = tempfile.mkdtemp(prefix="sparkroach_sess_stream_")
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    sink = os.path.join(root, "sink")
+    ck = os.path.join(root, "ck")
+    base = time.time() - 3600
+    cols = [f.name for f in EVENT_SCHEMA.fields]
+
+    def stage(name: str, df: DataFrame, mtime: float) -> None:
+        tmp = os.path.join(root, "stage_" + name)
+        df.select(*cols).coalesce(1).write.format("parquet").save(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dest = os.path.join(feed, name + ".parquet")
+        os.rename(os.path.join(tmp, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            sessionize(stream, gap_seconds=1800)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    try:
+        t_us = F.unix_micros("ts")
+        stage("b0", ev.where(t_us < F.lit(cut1)), base)
+        stage("b1", ev.where((t_us >= F.lit(cut1)) & (t_us < F.lit(cut2))), base + 10)
+        run_once()  # micro-batches 0,1 — then the query STOPS mid-stream
+
+        stage("b2", ev.where(t_us >= F.lit(cut2)), base + 20)
+        sentinel = ev.select("user_id").distinct().select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.timestamp_micros(
+                F.lit(hi + 30 * 24 * 3600 * 1_000_000)
+            ).alias("ts"),
+            F.col("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        stage("b3", sentinel, base + 30)
+        run_once()  # RESTART on the same checkpoint: state store recovered,
+        # open sessions continue across the restart; micro-batches 2,3
+
+        out = (
+            spark.read.parquet(sink)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"))
+            .where(F.col("user_id") < 25)
+            .orderBy("user_id")
+        )
+        # localCheckpoint (eager, block-manager backed) so the temp sink can
+        # be deleted before the caller collects — same pattern as
+        # streaming/dedup.dedup_streaming_kept
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

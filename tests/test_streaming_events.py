@@ -146,3 +146,20 @@ def test_windowed_rollup_append_drops_late_events(spark, tmp_path):
     assert len(rows) == 1
     r = rows[0]
     assert (r.window_start.hour, r.event_type, r.n) == (10, "click", 2)
+
+
+def test_sessions_streamed_equals_batch_twin(spark):
+    """The gate query drives the REAL writeStream path (parquet file
+    source, maxFilesPerTrigger=1, availableNow, restart on the same
+    checkpoint with the cut placed inside an open session) and must emit
+    exactly the batch twin's sessions.  The oracle-gate sweep checks this
+    against DuckDB too; this test pins Spark-vs-Spark equality with the
+    applyInPandasWithState path actually executed."""
+    from sparkroach.queries import QUERIES
+    from tests.conftest import SF_SMALL
+
+    streamed = QUERIES["events_sessions_streamed"].fn(spark, SF_SMALL)
+    batch = QUERIES["events_user_sessions"].fn(spark, SF_SMALL)
+    assert [tuple(r) for r in streamed.collect()] == [
+        tuple(r) for r in batch.collect()
+    ]
