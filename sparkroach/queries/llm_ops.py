@@ -242,9 +242,65 @@ def word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _lsh_candidates_cte() -> str:
+# see the "Bucket-cardinality guard" block below for the full rationale;
+# defined here because _lsh_candidates_cte embeds the capped SQL at
+# registry-import time
+LSH_BUCKET_CAP = 256
+LSH_BUCKET_REPS = 16
+
+
+def _capped_cand_sql(
+    src: str,
+    id_col: str,
+    key_cols: tuple[str, ...],
+    sfx: str = "",
+    cap: int = LSH_BUCKET_CAP,
+    k_reps: int = LSH_BUCKET_REPS,
+) -> str:
+    """DuckDB CTE fragments ``bn{sfx}, ranked{sfx}, cand{sfx}`` mirroring
+    :func:`capped_band_pairs` EXACTLY: buckets at/under ``cap`` take the
+    all-pairs join; over-cap buckets emit K-star (k_reps lowest-id members
+    × later members) plus the adjacent-rank chain.  ``cand{sfx}`` has
+    columns (doc_a, doc_b).  Keeping the oracle capped means the declared
+    semantics match the engine at EVERY scale factor — the sf0.1 sweep
+    exercises the over-cap branch as a value check, not a divergence."""
+    keys = ", ".join(key_cols)
+    on = " AND ".join(f"a.{c} = b.{c}" for c in key_cols)
+    s_keys = ", ".join(f"s.{c}" for c in key_cols)
+    # ranked is referenced six times below: MATERIALIZED stops DuckDB from
+    # inlining (and re-scanning the parquet chain behind) it per reference
+    return f"""
+        bn{sfx} AS (SELECT {keys}, COUNT(*) AS n FROM {src} GROUP BY {keys}),
+        ranked{sfx} AS MATERIALIZED (
+            SELECT s.{id_col}, {s_keys}, b.n,
+                   row_number() OVER (PARTITION BY {s_keys}
+                                      ORDER BY s.{id_col}) AS rn
+            FROM {src} s JOIN bn{sfx} b
+              ON {" AND ".join(f"s.{c} = b.{c}" for c in key_cols)}
+        ),
+        cand{sfx} AS (
+            SELECT DISTINCT doc_a, doc_b FROM (
+                SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+                FROM ranked{sfx} a JOIN ranked{sfx} b ON {on}
+                WHERE a.n <= {cap} AND a.{id_col} < b.{id_col}
+                UNION ALL
+                SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+                FROM ranked{sfx} a JOIN ranked{sfx} b ON {on}
+                WHERE a.n > {cap} AND a.rn <= {k_reps} AND a.rn < b.rn
+                UNION ALL
+                SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+                FROM ranked{sfx} a JOIN ranked{sfx} b ON {on}
+                WHERE a.n > {cap} AND b.rn = a.rn + 1
+            )
+        )
+    """
+
+
+def _lsh_candidates_cte(capped: bool = True) -> str:
     """Shared DuckDB CTE chain ending in ``cand(doc_a, doc_b)`` — used by
-    both the candidate gate and the candidate-verified Jaccard gate."""
+    the candidate gate, the candidate-verified Jaccard gate, CC, char-gram
+    scoring, and (uncapped, for the cross-batch kept-store join only) the
+    streaming dedup oracle.  ``capped=True`` mirrors capped_band_pairs."""
     sig_cols = ", ".join(
         f"{_minhash_sig_sql(i)} AS s{i}" for i in range(N_MINHASH)
     )
@@ -257,19 +313,25 @@ def _lsh_candidates_cte() -> str:
         )
         band_exprs.append(f"SELECT doc_id, {b} AS band_idx, {parts} AS band_val FROM sig")
     bands = " UNION ALL ".join(band_exprs)
-    return f"""
-        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        shing AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM w),
-        md5s AS (SELECT doc_id, {_SHINGLE_HASH_SQL_MD5S} AS ms FROM shing),
-        hashed AS (SELECT doc_id, {_SHINGLE_HASH_SQL} AS xs FROM md5s),
-        sig AS (SELECT doc_id, {sig_cols} FROM hashed),
-        bands AS ({bands}),
+    if capped:
+        cand = _capped_cand_sql("bands", "doc_id", ("band_idx", "band_val"))
+    else:
+        cand = """
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.band_idx = b.band_idx AND a.band_val = b.band_val
              AND a.doc_id < b.doc_id
         )
+    """
+    return f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        shing AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM w),
+        md5s AS (SELECT doc_id, {_SHINGLE_HASH_SQL_MD5S} AS ms FROM shing),
+        hashed AS (SELECT doc_id, {_SHINGLE_HASH_SQL} AS xs FROM md5s),
+        sig AS MATERIALIZED (SELECT doc_id, {sig_cols} FROM hashed),
+        bands AS MATERIALIZED ({bands}),
+        {cand.strip()}
     """
 
 
@@ -340,22 +402,26 @@ def lsh_bands(sh: DataFrame) -> DataFrame:
 # band self-join generates C(n,2) pairs per bucket: fine at 2-5 rows per
 # bucket, quadratic-and-skewed the moment a web corpus puts 10^5
 # boilerplate near-identical docs in one bucket (one reducer gets 10^10
-# pairs).  Buckets at or under the cap keep the EXACT all-pairs join;
-# over-cap buckets degrade to adjacent-rank chain pairs (doc[i], doc[i+1])
-# in deterministic id order — n-1 pairs instead of C(n,2), bounding pair
-# count LINEARLY in bucket size.  Honesty note on the degradation: the
-# chain keeps a true duplicate cluster connected ONLY when the over-cap
-# bucket is dominated by that one cluster (the overwhelmingly common case —
-# boilerplate floods).  If a >cap bucket interleaves two dup clusters, or
-# dups with hash-colliding non-dups, a chain edge through a non-dup fails
-# downstream Jaccard/cosine verification and can split a cluster: this is a
-# BOUNDED-RECALL APPROXIMATION above the cap, not semantics-preserving.
-# The registered DuckDB oracles are uncapped, so results diverge from the
-# declared oracle for any >cap bucket — acceptable because no testdata
-# bucket approaches the cap (the degenerate case lives only in
-# tests/test_llm_scale.py, which pins the n-1 bound and connectivity on a
-# single-cluster bucket).
-LSH_BUCKET_CAP = 64
+# pairs).  Buckets at or under the cap keep the EXACT all-pairs join
+# (C(256,2) = 32 640 pairs max per bucket — bounded per task); over-cap
+# buckets degrade to K-STAR + CHAIN pairs in deterministic id order: each
+# of the K lowest-id members pairs with every later member (K·n pairs,
+# keeps the bucket connected through rank-1 and gives every member K
+# verification chances) plus adjacent-rank chain pairs (id-consecutive
+# crawl dups).  Total over-cap pairs: K·n − K(K+1)/2 + (n−1−K) — LINEAR in
+# bucket size.  Honesty note: above the cap this is a BOUNDED-RECALL
+# APPROXIMATION, not semantics-preserving — a dup pair both of whose
+# members rank past K and are not id-adjacent is missed.  Since round 4 the
+# registered DuckDB oracles mirror the cap EXACTLY (see _capped_cand_sql),
+# so the declared semantics ARE the capped semantics and the sf0.1 sweep
+# value-checks the over-cap branch instead of silently diverging (the r3
+# sweep caught exactly that divergence: 42 107 vs 54 126 candidate rows).
+# Cap calibration: 64 proved too aggressive at sf0.1 (hyperplane embedding
+# buckets average ~125 members and the chain-only fallback collapsed
+# recall 1132→24 dup rows); 256 keeps the testdata exact while the guard
+# still bounds a 10^5-row flood bucket to ~1.6M pairs, not 10^10.
+# (The constants themselves live above _lsh_candidates_cte, which embeds
+# the capped SQL at registry-import time.)
 
 
 def capped_band_pairs(
@@ -363,6 +429,7 @@ def capped_band_pairs(
     id_col: str,
     key_cols: tuple[str, ...] = ("band_idx", "band_val"),
     cap: int = LSH_BUCKET_CAP,
+    k_reps: int = LSH_BUCKET_REPS,
 ) -> DataFrame:
     """Distinct (doc_a, doc_b) candidate pairs (doc_a < doc_b) from a
     band-bucket self-join with the LSH_BUCKET_CAP guard (see above).
@@ -371,9 +438,12 @@ def capped_band_pairs(
     partial agg), NOT an unbounded-frame window, so counting a 10^7-row
     degenerate bucket never serializes it through one window task.  The
     over-cap bucket list is tiny by construction (only flooded buckets) and
-    broadcasts; under-cap rows take the exact all-pairs self-join, over-cap
-    rows take a ``lead()`` window whose streaming frame is linear — the
-    only per-bucket single-task stage left, and it buffers nothing.
+    broadcasts; under-cap rows take the exact all-pairs self-join.
+    Over-cap rows are ranked once per bucket (row_number + lead share ONE
+    sorted exchange; both are streaming-frame, nothing buffers), then
+    emit K-star pairs (the k_reps lowest-id members × every later member —
+    the rank join distributes across buckets) plus the adjacent-rank chain.
+    Mirrored bit-for-bit by the DuckDB side in :func:`_capped_cand_sql`.
     """
     from pyspark.sql.window import Window
 
@@ -392,14 +462,26 @@ def capped_band_pairs(
     ).select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
     big = bands.join(F.broadcast(over), keys, "left_semi")
     wo = Window.partitionBy(*keys).orderBy(id_col)
-    chained = (
-        big.select(
-            F.col(id_col).alias("doc_a"),
-            F.lead(id_col).over(wo).alias("doc_b"),
-        )
-        .where(F.col("doc_b").isNotNull())
+    ranked = big.select(
+        F.col(id_col).alias("_id"),
+        *keys,
+        F.row_number().over(wo).alias("_rn"),
+        F.lead(id_col).over(wo).alias("_next"),
     )
-    return exact.unionByName(chained).distinct()
+    star = (
+        ranked.where(F.col("_rn") <= k_reps)
+        .alias("r")
+        .join(
+            ranked.alias("m"),
+            [F.col(f"r.{k}") == F.col(f"m.{k}") for k in keys]
+            + [F.col("r._rn") < F.col("m._rn")],
+        )
+        .select(F.col("r._id").alias("doc_a"), F.col("m._id").alias("doc_b"))
+    )
+    chained = ranked.where(F.col("_next").isNotNull()).select(
+        F.col("_id").alias("doc_a"), F.col("_next").alias("doc_b")
+    )
+    return exact.unionByName(star).unionByName(chained).distinct()
 
 
 def _lsh_candidate_pairs(d: DataFrame) -> DataFrame:
@@ -1514,19 +1596,16 @@ def _emb_dedup_oracle() -> str:
         f"FROM embeddings"
         for t in range(N_EMB_BANDS)
     )
+    capped = _capped_cand_sql("bands", "vec_id", ("band_idx", "bucket"))
     return f"""
         WITH bands AS ({band_selects}),
-        cand AS (
-            SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-            FROM bands a JOIN bands b
-              ON a.band_idx = b.band_idx AND a.bucket = b.bucket
-             AND a.vec_id < b.vec_id
-        ),
+        {capped.strip()},
         scored AS (
-            SELECT c.a_id, c.b_id, ea.embedding AS qe, eb.embedding AS ce
+            SELECT c.doc_a AS a_id, c.doc_b AS b_id,
+                   ea.embedding AS qe, eb.embedding AS ce
             FROM cand c
-            JOIN embeddings ea ON ea.vec_id = c.a_id
-            JOIN embeddings eb ON eb.vec_id = c.b_id
+            JOIN embeddings ea ON ea.vec_id = c.doc_a
+            JOIN embeddings eb ON eb.vec_id = c.doc_b
         ),
         pairs AS (
             SELECT a_id, b_id,

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from sparkroach.queries.llm_ops import (
     _JACC_SQL,
     _JACCARD_TAU,
+    _capped_cand_sql,
     _lsh_candidates_cte,
     _with_shingles,
     capped_band_pairs,
@@ -149,7 +150,8 @@ class StreamingDeduper:
 
         # within-batch: verified pair graph → CC → keep min id per cluster
         # (capped_band_pairs applies the bucket-cardinality guard: exact
-        # pairs under the cap, chain pairs above — CC connectivity intact)
+        # pairs under the cap, K-star + chain above — CC connectivity
+        # intact; the oracle mirrors the cap at batch granularity)
         pairs = capped_band_pairs(lsh_bands(sh), "doc_id")
         edges = (
             pairs.join(
@@ -247,8 +249,36 @@ def _cc_keep_sql(tag: str, edges_src: str, universe: str) -> str:
     """
 
 
+def _batch_edges_sql(tag: str, universe: str) -> str:
+    """CTE fragment: WITHIN-BATCH verified edges for ``universe``, with the
+    bucket cap mirrored at BATCH granularity — the engine computes
+    capped_band_pairs on each micro-batch's own bands, so bucket counts
+    (and the over-cap branch) must be evaluated against the batch subset,
+    not the whole corpus."""
+    capped = _capped_cand_sql(
+        f"bands_u{tag}", "doc_id", ("band_idx", "band_val"), sfx=tag
+    )
+    return f"""
+        bands_u{tag} AS (
+            SELECT * FROM bands
+            WHERE doc_id IN (SELECT doc_id FROM {universe})
+        ),
+        {capped.strip()},
+        vedges{tag} AS (
+            SELECT c.doc_a, c.doc_b
+            FROM cand{tag} c
+            JOIN shing sa ON sa.doc_id = c.doc_a
+            JOIN shing sb ON sb.doc_id = c.doc_b
+            WHERE {_JACC_SQL} >= {_JACCARD_TAU}
+        )
+    """
+
+
 def _streaming_oracle() -> str:
-    lsh = _lsh_candidates_cte().strip()
+    # corpus-level cand stays UNCAPPED: it feeds only the cross-batch
+    # kept-store check, whose Spark twin (bands × kept_bands equi-join,
+    # process_batch above) is itself uncapped
+    lsh = _lsh_candidates_cte(capped=False).strip()
     assert lsh.startswith("WITH ")
     return f"""
         WITH RECURSIVE {lsh[len("WITH "):]},
@@ -261,7 +291,8 @@ def _streaming_oracle() -> str:
             WHERE {_JACC_SQL} >= {_JACCARD_TAU}
         ),
         b1 AS (SELECT doc_id FROM documents, m WHERE doc_id < m.m),
-        {_cc_keep_sql("1", "edges", "b1")},
+        {_batch_edges_sql("1", "b1")},
+        {_cc_keep_sql("1", "vedges1", "b1")},
         b2 AS (
             SELECT doc_id FROM documents, m
             WHERE doc_id >= m.m
@@ -271,7 +302,8 @@ def _streaming_oracle() -> str:
                   SELECT e.doc_a FROM edges e JOIN kept1 k ON e.doc_b = k.doc_id
               )
         ),
-        {_cc_keep_sql("2", "edges", "b2")}
+        {_batch_edges_sql("2", "b2")},
+        {_cc_keep_sql("2", "vedges2", "b2")}
         SELECT doc_id, 0 AS batch_id FROM kept1
         UNION ALL
         SELECT doc_id, 1 AS batch_id FROM kept2

