@@ -1,0 +1,407 @@
+"""Training-data management plane (round 4) + the last feasible TPC-H shape.
+
+The reference is a chain indexer; a 100 TB LLM-training pipeline built on
+this engine additionally needs the DATA-MANAGEMENT operators that sit
+between raw corpus and training run: deterministic train/eval splitting,
+stratified sampling, context-window packing, benchmark-contamination
+screening, and domain-mixture weighting.  Each is Spark-first (column
+expressions + one keyed shuffle where unavoidable) and value-checked
+against a DuckDB oracle with the repo's exactness discipline: every
+compared quantity is an integer (or one final double division of
+integers), and randomness is md5-derived so both engines compute the
+identical "random" stream.
+
+Registered gated=False — the driver's 50-entry window is full this round —
+but every oracle runs in the local sweep (tests/test_oracle_gate.py,
+`python -m sparkroach.oracle`); r5 rotation candidates.
+
+TPC-H note: Q2/Q9/Q11/Q12/Q20/Q21 need partsupp / shipmode / commit-
+receipt dates, which the driver testdata does not generate; Q22 is the one
+remaining expressible shape (customer.c_acctbal + anti-join on orders).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkroach.queries.analytics import cents, cents_sql, dsum
+from sparkroach.queries.registry import register
+from sparkroach.tables import load
+
+# portable deterministic "random" in [0, 2^32): the first 8 hex chars of
+# md5(doc_id as string), identical in Spark and DuckDB (same trick as the
+# minhash shingle hash, llm_ops.py:80-92)
+_HEX = "0123456789abcdef"
+
+
+def _md5_int(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+
+
+def _md5_int_sql(expr: str) -> str:
+    m = f"md5(CAST({expr} AS VARCHAR))"
+    return "(" + " + ".join(
+        f"(instr('{_HEX}', substring({m}, {k + 1}, 1)) - 1) * {16 ** (7 - k)}"
+        for k in range(8)
+    ) + ")"
+
+
+_TOKENS = "size(split(text, ' '))"
+_TOKENS_SQL = "len(string_split(text, ' '))"
+
+
+@register(
+    "train_eval_split",
+    gated=False,  # r5 rotation candidate (driver window full)
+    oracle=f"""
+        WITH h AS (
+            SELECT lang, {_md5_int_sql("doc_id")} % 100 AS r,
+                   {_TOKENS_SQL} AS n_tokens
+            FROM documents
+        )
+        SELECT CASE WHEN r < 10 THEN 'test'
+                    WHEN r < 20 THEN 'valid'
+                    ELSE 'train' END AS split,
+               lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM h
+        GROUP BY 1, 2
+        ORDER BY split, lang
+    """,
+    survey_ref="LLM data management: deterministic train/valid/test split "
+    "(hash-based, no shuffle of the assignment itself)",
+    description="md5(doc_id)-derived 80/10/10 split: assignment is a pure "
+    "map-side column expression — reproducible across runs, engines, and "
+    "cluster sizes, never a sampled/shuffled split that drifts between "
+    "executions; the only shuffle is the reporting rollup",
+)
+def train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    r = _md5_int(F.col("doc_id")) % 100
+    split = (
+        F.when(r < 10, "test").when(r < 20, "valid").otherwise("train")
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            "lang",
+            F.expr(_TOKENS).cast("long").alias("n_tokens"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+# per-mille sampling rates by language — upsample the low-resource tail
+_LANG_RATES = {"en": 100, "fr": 200, "de": 200, "es": 300, "zh": 300}
+
+
+@register(
+    "stratified_sample_by_lang",
+    gated=False,  # r5 rotation candidate (driver window full)
+    oracle=f"""
+        WITH h AS (
+            SELECT lang, {_md5_int_sql("doc_id")} % 1000 AS r,
+                   {_TOKENS_SQL} AS n_tokens
+            FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(count(*) FILTER (WHERE r < CASE lang
+                    {" ".join(f"WHEN '{lg}' THEN {rt}" for lg, rt in _LANG_RATES.items())}
+                    ELSE 0 END) AS BIGINT) AS n_sampled,
+               CAST(SUM(n_tokens) FILTER (WHERE r < CASE lang
+                    {" ".join(f"WHEN '{lg}' THEN {rt}" for lg, rt in _LANG_RATES.items())}
+                    ELSE 0 END) AS BIGINT) AS sampled_tokens
+        FROM h
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    survey_ref="LLM data management: stratified sampling with per-stratum "
+    "rates (language rebalancing)",
+    description="deterministic per-language sampling at configured "
+    "per-mille rates (md5-derived coin, map-side): the standard corpus "
+    "rebalancing step; at 100 TB the sample predicate pushes into the "
+    "scan and nothing but the report shuffles",
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    r = _md5_int(F.col("doc_id")) % 1000
+    rate = F.lit(0)
+    for lg, rt in _LANG_RATES.items():
+        rate = F.when(F.col("lang") == lg, rt).otherwise(rate)
+    keep = r < rate
+    return (
+        d.select(
+            "lang",
+            keep.alias("keep"),
+            F.expr(_TOKENS).cast("long").alias("n_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_sampled"),
+            F.sum(F.when(F.col("keep"), F.col("n_tokens"))).alias(
+                "sampled_tokens"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_PACK_BUDGET = 2048  # tokens per context window
+
+
+@register(
+    "token_budget_packing",
+    gated=False,  # r5 rotation candidate (driver window full)
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source, {_TOKENS_SQL} AS n_tokens FROM documents
+        ),
+        c AS (
+            SELECT doc_id, source, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM t
+        )
+        SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS bin_id
+        FROM c
+        ORDER BY source, doc_id
+    """,
+    survey_ref="LLM data management: context-window packing (greedy "
+    "token-budget binning per source)",
+    description=f"assigns each doc to a {_PACK_BUDGET}-token training bin "
+    "by its cumulative start offset within its source (docs stay in "
+    "doc_id order — deterministic curriculum): one running-sum window per "
+    "source partition, streaming frame, no buffering; at 100 TB each "
+    "source packs independently, so the window parallelizes across "
+    "sources and a skewed source can be sub-partitioned by date",
+)
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.expr(_TOKENS).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            ((F.col("cum") - F.col("n_tokens")) / _PACK_BUDGET)
+            .cast("bigint")
+            .alias("bin_id"),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+# Parameters picked so the check is NON-VACUOUS on the synthetic corpus
+# (dozens of flagged pairs at sf0.001 AND sf0.01 — a 0-row gate would
+# value-match trivially); a real eval suite would use longer n-grams.
+_CONTAM_N = 3  # word n-gram length
+_CONTAM_T = 2  # shared distinct n-grams to flag
+_BENCH_MOD = 29  # doc_id % 29 == 0 → "benchmark" holdout set
+
+
+@register(
+    "benchmark_contamination",
+    gated=False,  # r5 rotation candidate (driver window full)
+    oracle=f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        g AS MATERIALIZED (
+            SELECT doc_id,
+                   list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                  for i in range(1, len(ws) - {_CONTAM_N - 2})])
+                       AS grams
+            FROM w
+        ),
+        be AS (
+            SELECT doc_id AS bench_id, unnest(grams) AS gram FROM g
+            WHERE doc_id % {_BENCH_MOD} = 0
+        ),
+        ce AS (
+            SELECT doc_id, unnest(grams) AS gram FROM g
+            WHERE doc_id % {_BENCH_MOD} <> 0
+        )
+        SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM ce c JOIN be b USING (gram)
+        GROUP BY c.doc_id, b.bench_id
+        HAVING count(*) >= {_CONTAM_T}
+        ORDER BY doc_id, bench_id
+    """,
+    survey_ref="LLM data management: benchmark-contamination screening "
+    "(n-gram overlap between corpus and eval set)",
+    description=f"flags corpus docs sharing >= {_CONTAM_T} distinct word "
+    f"{_CONTAM_N}-grams with any benchmark doc (doc_id % {_BENCH_MOD} == 0 "
+    "stands in for the eval suite): grams are map-side array exprs, the "
+    "join is benchmark-gram × corpus-gram — the benchmark side is tiny "
+    "(the eval suite), so at 100 TB it broadcasts and the corpus is "
+    "scanned once; ultra-common grams should additionally be stop-listed "
+    "by document frequency before the join (same two-stage count shape as "
+    "the LSH bucket cap) to keep the match list skew-free",
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    grams = F.when(
+        F.size(ws) >= _CONTAM_N,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(0, size(split(text, ' ')) - {_CONTAM_N}),"
+                f" i -> concat_ws(' ', slice(split(text, ' '), i + 1, {_CONTAM_N})))"
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", grams.alias("grams"))
+    bench = (
+        g.where(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.col("doc_id").alias("bench_id"), F.explode("grams").alias("gram"))
+    )
+    corpus = (
+        g.where(F.col("doc_id") % _BENCH_MOD != 0)
+        .select("doc_id", F.explode("grams").alias("gram"))
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= _CONTAM_T)
+        .orderBy("doc_id", "bench_id")
+    )
+
+
+@register(
+    "domain_mix_weights",
+    gated=False,  # r5 rotation candidate (driver window full)
+    oracle=f"""
+        WITH s AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+            FROM documents
+            GROUP BY source
+        ),
+        t AS (
+            SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM s
+        )
+        SELECT source, n_docs, n_tokens,
+               CAST(total AS DOUBLE) / (k * n_tokens) AS mix_weight
+        FROM s, t
+        ORDER BY source
+    """,
+    survey_ref="LLM data management: domain-mixture weighting (per-source "
+    "sampling weights toward a target token distribution)",
+    description="per-source token inventory and the sampling weight that "
+    "equalizes effective tokens across sources (uniform target; any "
+    "target vector is the same arithmetic): two tiny aggregates over a "
+    "single corpus scan — the inventory every mixture-tuning loop "
+    "(DoReMi-style) starts from; weight is ONE double division of exact "
+    "integers on both engines",
+)
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    s = (
+        d.select("source", F.expr(_TOKENS).cast("long").alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    t = s.agg(
+        F.sum("n_tokens").cast("long").alias("total"),
+        F.count("*").alias("k"),
+    )
+    return (
+        s.crossJoin(F.broadcast(t))  # 1-row aggregate broadcast, not a blowup
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (
+                F.col("total").cast("double")
+                / (F.col("k") * F.col("n_tokens"))
+            ).alias("mix_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    gated=False,  # r5 rotation candidate (driver window full)
+    oracle=f"""
+        WITH pos AS (
+            SELECT CAST(SUM({cents_sql("c_acctbal")}) AS BIGINT) AS total_c,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c_nationkey,
+               CAST(count(*) AS BIGINT) AS numcust,
+               CAST(SUM({cents_sql("c_acctbal")}) AS DOUBLE) / 100.0
+                   AS totacctbal
+        FROM customer, pos
+        WHERE {cents_sql("c_acctbal")} * n > total_c
+          AND c_custkey NOT IN (
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          )
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+    survey_ref="§2C aggregations — TPC-H Q22 shape: above-average balance "
+    "+ anti-join on orders (the last TPC-H shape the testdata schema can "
+    "express)",
+    description="customers with above-average positive balance and no "
+    "OPEN order, by nation (every synthetic customer has some order, so "
+    "the classic no-orders-at-all predicate would be vacuous).  The avg "
+    "threshold is compared as EXACT integer cents (bal_cents * n > "
+    "total_cents) so no float-avg ulp divergence can flip a customer "
+    "between engines; the predicate is a left-anti join (never NOT IN's "
+    "null trap on the Spark side)",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    pos = c.where(F.col("c_acctbal") > 0.0).agg(
+        dsum(cents("c_acctbal")).cast("long").alias("total_c"),
+        F.count("*").alias("n"),
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))  # 1-row aggregate broadcast
+        .where(cents("c_acctbal") * F.col("n") > F.col("total_c"))
+        .join(
+            o.where(F.col("o_orderstatus") == "O").select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            (dsum(cents("c_acctbal")).cast("double") / 100.0).alias(
+                "totacctbal"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )
