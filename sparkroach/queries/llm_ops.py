@@ -1652,16 +1652,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = capped_band_pairs(
         bands, "vec_id", key_cols=("band_idx", "bucket")
     ).select(F.col("doc_a").alias("a_id"), F.col("doc_b").alias("b_id"))
-    ea = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("qe"))
-    eb = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("ce"))
-    cosine = F.round(
-        F.expr(_DOT)
-        / (F.expr(_NORM.format(col="qe")) * F.expr(_NORM.format(col="ce"))),
-        6,
+    # Per-vector norm computed ONCE on the (tiny, broadcast) embedding side
+    # instead of twice per candidate pair: identical float value — the same
+    # sqrt(aggregate(...)) expression over the same array — so the oracle's
+    # per-pair ROUND(dot/(norm·norm), 6) still matches bit-for-bit, but the
+    # pair loop does one array traversal (the dot), not three.
+    en = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(_NORM.format(col="embedding")).alias("nrm"),
     )
+    ea = en.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("na"),
+    )
+    eb = en.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("nb"),
+    )
+    cosine = F.round(F.expr(_DOT) / (F.col("na") * F.col("nb")), 6)
     pairs = (
-        cand.join(ea, "a_id")
-        .join(eb, "b_id")
+        cand.join(F.broadcast(ea), "a_id")
+        .join(F.broadcast(eb), "b_id")
         .select("a_id", "b_id", cosine.alias("cosine"))
         .where(F.col("cosine") >= NEARDUP_TAU)
     )
