@@ -448,6 +448,15 @@ def capped_band_pairs(
     from pyspark.sql.window import Window
 
     keys = list(key_cols)
+    # ``bands`` is consumed by THREE branches below (bucket counts, the
+    # under-cap anti-join, the over-cap semi-join); without materialization
+    # each branch recomputes the full upstream signature pipeline (the
+    # md5-per-shingle stage dominates) — measured 4.2 s → 1.5 s at sf0.1
+    # for minhash_lsh_candidates.  At cluster scale this is the standard
+    # persist-a-multi-consumed-intermediate move: the band table is
+    # O(n_docs × n_bands) narrow rows (≪ corpus bytes), block-manager
+    # backed; lineage truncation is the deliberate trade.
+    bands = bands.localCheckpoint(eager=True)
     counts = bands.groupBy(*keys).agg(F.count("*").alias("_bn"))
     over = counts.where(F.col("_bn") > cap).select(*keys)
     small = bands.join(F.broadcast(over), keys, "left_anti").select(

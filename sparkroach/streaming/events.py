@@ -90,13 +90,24 @@ SESSION_STATE = T.StructType(
 )
 
 
-def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+def sessionize(
+    events: DataFrame, gap_seconds: int = 1800, idle_timeout: bool = True
+) -> DataFrame:
     """Custom stateful operator: per-user sessions with a gap timeout.
 
     State per user is three longs; a session closes (and emits one row)
     when a gap > gap_seconds appears inside a batch or the processing-time
     timeout fires with no new events.  This is the applyInPandasWithState
     template for any custom accumulate-and-emit operator.
+
+    ``idle_timeout=False`` disables the processing-time timeout (sessions
+    then only close via in-batch gaps).  Use it for availableNow runs
+    whose feed carries an explicit close signal: with timeouts registered,
+    an availableNow trigger does NOT terminate after the last file — it
+    keeps firing empty "cleaning up state" batches until every pending
+    processing-time timeout (up to gap_seconds of WALL CLOCK) has fired,
+    which for a gate query means minutes of 0-row batches and a leaked
+    running query if the caller stops waiting.
 
     The closure is self-contained (see functions/multimodal.py for why).
     """
@@ -144,7 +155,8 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
                 last = t_us if t_us > last else last
                 n += 1
             state.update((start, last, n))
-            state.setTimeoutDuration(gap_seconds * 1000)
+            if idle_timeout:
+                state.setTimeoutDuration(gap_seconds * 1000)
         yield pd.DataFrame(closed, columns=[f.name for f in SESSION_OUTPUT.fields])
 
     return (
@@ -154,7 +166,11 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             outputStructType=SESSION_OUTPUT,
             stateStructType=SESSION_STATE,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 
@@ -188,8 +204,10 @@ def events_sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     The sentinel trick: one far-future event per user in the LAST
     micro-batch forces the in-batch gap path to close every still-open
     session; the sentinel's own session never emits (no later event, and
-    the 30-min processing-time timeout cannot fire inside an availableNow
-    run).  Emitted rows are therefore exactly the real sessions.
+    idle_timeout=False means no processing-time timeout ever fires — which
+    also lets the availableNow run terminate immediately after the last
+    staged file instead of spinning state-cleanup batches).  Emitted rows
+    are therefore exactly the real sessions.
     """
     import os
     import shutil
@@ -197,6 +215,16 @@ def events_sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time
 
     from pyspark.sql.window import Window
+
+    # The state-store partition count is frozen from
+    # spark.sql.shuffle.partitions at FIRST query start (and baked into the
+    # checkpoint).  Under a vanilla driver session that default is 200 —
+    # 200 state stores × one Python worker round each × 4 micro-batches of
+    # tiny data (measured: 10× wall-clock on an idle 8-core local session).
+    # Pin a small count for the ephemeral stream (fresh checkpoint per
+    # invocation) and restore the caller's conf after.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     ev = load(spark, sf_dir, "events")
     b = ev.agg(
@@ -253,7 +281,12 @@ def events_sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(feed)
         )
         q = (
-            sessionize(stream, gap_seconds=1800)
+            # idle_timeout=False: the sentinel batch closes open sessions,
+            # so no processing-time timeouts are registered and the
+            # availableNow run terminates right after the last staged file
+            # (with timeouts it would spin "cleaning up state" empty
+            # batches for up to 30 min of wall clock — see sessionize)
+            sessionize(stream, gap_seconds=1800, idle_timeout=False)
             .writeStream.format("parquet")
             .outputMode("append")
             .option("path", sink)
@@ -261,7 +294,8 @@ def events_sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()  # guard: never leak a running query into the session
 
     try:
         t_us = F.unix_micros("ts")
@@ -297,3 +331,149 @@ def events_sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+        if prev_parts is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+@register(
+    "events_rollup_streamed",
+    gated=False,  # r5 rotation candidate (driver window full)
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour_bucket,
+               event_type,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+        ORDER BY hour_bucket, event_type
+    """,
+    survey_ref="§2C streaming windowed agg — the REAL writeStream path for "
+    "the BUILT-IN watermarked aggregation (windowed_rollup): file source → "
+    "watermark + tumbling window → parquet sink in append mode, with a "
+    "query restart (agg state recovered from checkpoint) mid-stream",
+    description="genuinely-streaming rollup gate: events staged as "
+    "time-ordered parquet micro-batch files, run availableNow, restarted "
+    "on the same checkpoint so in-flight windows span the restart; two "
+    "far-future sentinel batches advance the watermark past every real "
+    "window so append mode finalizes them all exactly once, then the "
+    "sentinel windows are filtered out — the sink must equal the batch "
+    "twin events_minute_rollup's oracle bit-for-bit",
+)
+def events_rollup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the real watermarked window aggregation end-to-end.
+
+    Semantics contract (mirrors queries/analytics.events_minute_rollup):
+    1-hour tumbling event-time windows, decimal-exact value sums.  Append
+    mode emits each window EXACTLY ONCE, when the watermark (max event
+    time seen in the PREVIOUS micro-batch minus 2 h) passes the window
+    end.  The staged files partition events into disjoint increasing time
+    ranges, so the watermark only moves forward.
+
+    The sentinel trick, adapted for the built-in operator: a first
+    far-future batch (hi + 30 d) advances the watermark past every real
+    window, and a second one (hi + 31 d) provides the batch DURING which
+    that advanced watermark evicts + emits them (eviction in batch N uses
+    the watermark derived from batch N−1).  The sentinels' own windows
+    stay open in state forever and are filtered by window_start ≤ hi.
+
+    The restart cut sits between the two real batches, so windows
+    straddling the cut prove the aggregation state (partial counts +
+    decimal sums) is recovered from the checkpoint, not recomputed.
+    """
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    # see events_sessions_streamed: pin a small state-store partition count
+    # for the ephemeral stream, restore the caller's conf in finally
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.unix_micros(F.min("ts")).alias("lo"),
+        F.unix_micros(F.max("ts")).alias("hi"),
+    ).collect()[0]
+    lo, hi = b.lo, b.hi
+    cut = lo + (hi - lo) // 2
+
+    root = tempfile.mkdtemp(prefix="sparkroach_rollup_stream_")
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    sink = os.path.join(root, "sink")
+    ck = os.path.join(root, "ck")
+    base = time.time() - 3600
+    cols = [f.name for f in EVENT_SCHEMA.fields]
+
+    def stage(name: str, df: DataFrame, mtime: float) -> None:
+        tmp = os.path.join(root, "stage_" + name)
+        df.select(*cols).coalesce(1).write.format("parquet").save(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dest = os.path.join(feed, name + ".parquet")
+        os.rename(os.path.join(tmp, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            windowed_rollup(stream, window="1 hour", watermark="2 hours")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()  # guard: never leak a running query into the session
+
+    def sentinel(n: int, t_us: int) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(-n).cast("long").alias("event_id"),
+            F.timestamp_micros(F.lit(t_us)).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+
+    try:
+        t_us = F.unix_micros("ts")
+        stage("b0", ev.where(t_us < F.lit(cut)), base)
+        run_once()  # micro-batch 0 — the query STOPS with open windows
+
+        stage("b1", ev.where(t_us >= F.lit(cut)), base + 10)
+        stage("b2", sentinel(1, hi + 30 * 24 * 3600 * 1_000_000), base + 20)
+        stage("b3", sentinel(2, hi + 31 * 24 * 3600 * 1_000_000), base + 30)
+        run_once()  # RESTART on the same checkpoint: window state recovered;
+        # b2 advances the watermark, b3 is the batch whose commit emits
+        # every real window
+
+        out = (
+            spark.read.parquet(sink)
+            .where(F.unix_micros("window_start") <= F.lit(hi))
+            .select(
+                F.col("window_start").alias("hour_bucket"),
+                "event_type",
+                "n",
+                "total_value",
+            )
+            .orderBy("hour_bucket", "event_type")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        if prev_parts is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

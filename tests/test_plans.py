@@ -62,13 +62,18 @@ def test_desc_keyset_page_is_topk_not_global_sort(spark):
     assert "l_orderkey" in plan.split("PushedFilters")[1][:300]  # pushed range
 
 
-def test_minhash_reuses_band_exchange(spark):
-    # the band self-join must compute the signature pipeline ONCE and reuse
-    # the shuffle for the other side (ReusedExchange), not re-derive it
+def test_minhash_computes_signatures_once(spark):
+    # the band table feeds three consumers (bucket counts, under-cap
+    # anti-join, over-cap semi-join); capped_band_pairs materializes it
+    # ONCE (localCheckpoint — stronger than r3's ReusedExchange: the
+    # signature pipeline cannot be re-derived by ANY branch), so the
+    # executed plan must read the bands from block-manager scans and
+    # contain NO md5 signature recomputation downstream
     df = QUERIES["minhash_lsh_candidates"].fn(spark, SF_SMALL)
-    df.collect()  # AQE finalizes reuse at execution
+    df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in executed
+    assert "ExistingRDD" in executed or "Scan ExistingRDD" in executed
+    assert "md5" not in executed  # signatures were computed before the plan
 
 
 def test_minhash_has_no_cartesian_product(spark):

@@ -63,7 +63,18 @@ def test_sessionize_stateful(spark, feed, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # with ProcessingTimeTimeout registered, availableNow does NOT
+    # terminate after the data batches — it keeps firing empty
+    # state-cleanup batches until the 30-min timeouts could fire.  Poll
+    # for the emitted row, then stop the query instead of leaking it.
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if spark.sql("SELECT count(*) FROM sessions_test").collect()[0][0] >= 1:
+            break
+        _time.sleep(0.5)
+    q.stop()
     rows = spark.sql(
         "SELECT * FROM sessions_test ORDER BY user_id, session_start"
     ).collect()
