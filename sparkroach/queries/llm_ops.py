@@ -543,7 +543,9 @@ def _verified_pairs(d: DataFrame) -> DataFrame:
     """(doc_a, doc_b, jaccard) for every LSH candidate pair — the shared
     candidate-generate → exact-verify stage (unthresholded, unsorted)."""
     cand = _lsh_candidate_pairs(d)
-    sh = _with_shingles(d)
+    # materialize the shingle sets once: both join sides below would
+    # otherwise re-split + re-shingle the corpus independently
+    sh = _with_shingles(d).localCheckpoint(eager=True)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -843,7 +845,9 @@ def ngram_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    g = d.select("doc_id", grams.alias("grams"))
+    # materialize the gram sets once: both join sides below would otherwise
+    # re-derive the per-char transform independently
+    g = d.select("doc_id", grams.alias("grams")).localCheckpoint(eager=True)
     ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("g_a"))
     gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("g_b"))
     inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
