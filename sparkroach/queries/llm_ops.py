@@ -2194,9 +2194,12 @@ def _ivf_multiprobe_parts(
 
 
 def _recall_report_oracle() -> str:
+    from sparkroach.queries import llm_ops2 as _l2  # registers SQ/PQ oracles
     from sparkroach.queries.registry import QUERIES as _Q
 
     truth_sql = _Q["ann_cosine_topk"].oracle
+    sq_sql = _Q["ann_int8_quantized"].oracle
+    pq_sql = _Q["ann_pq_adc"].oracle
     label_sql = _Q["ann_ivf_label"].oracle
     km_sql = _Q["ann_ivf_kmeans"].oracle
     km_assign_sql = _ivf_kmeans_oracle(select="assign")
@@ -2269,16 +2272,30 @@ def _recall_report_oracle() -> str:
         mp2 AS (SELECT q_id, c_id FROM ({mp2_sql}) t),
         mp1p AS (SELECT q_id, label FROM ({mp1_probes_sql}) t),
         mp2p AS (SELECT q_id, label FROM ({mp2_probes_sql}) t),
+        sq AS (SELECT q_id, c_id FROM ({sq_sql}) t),
+        pq AS (SELECT q_id, c_id FROM ({pq_sql}) t),
+        cost_full AS (
+            -- quantized methods scan the (compressed) full corpus: the
+            -- candidate count is N-1, the win is bytes-per-candidate
+            SELECT q_id,
+                   (SELECT CAST(count(*) AS BIGINT) FROM embeddings) - 1
+                       AS candidates
+            FROM qlab
+        ),
         {hits_cte("lab", "lab")},
         {hits_cte("km", "km")},
         {hits_cte("mp1", "mp1")},
         {hits_cte("mp2", "mp2")},
+        {hits_cte("sq", "sq")},
+        {hits_cte("pq", "pq")},
         {mp_cost_cte("mp1", "mp1p")},
         {mp_cost_cte("mp2", "mp2p")}
         {method_row("ivf_kmeans", 1, "hits_km", "cost_km")}
         UNION ALL {method_row("ivf_label", 1, "hits_lab", "cost_lab")}
         UNION ALL {method_row("ivf_multiprobe", 1, "hits_mp1", "cost_mp1")}
         UNION ALL {method_row("ivf_multiprobe", 2, "hits_mp2", "cost_mp2")}
+        UNION ALL {method_row("int8_sq", 1, "hits_sq", "cost_full")}
+        UNION ALL {method_row("pq_adc", 1, "hits_pq", "cost_full")}
         ORDER BY method, n_probes, q_id
     """
 
@@ -2370,10 +2387,23 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes1, mp1 = _ivf_multiprobe_parts(spark, sf_dir, 1)
     probes2, mp2 = _ivf_multiprobe_parts(spark, sf_dir, 2)
 
+    # quantized methods (int8 SQ, PQ-ADC) scan the full compressed corpus:
+    # candidates = N - 1 per query; the win is bytes-per-candidate
+    from sparkroach.queries.llm_ops2 import ann_int8_quantized, ann_pq_adc
+
+    n_corpus = e.count()
+    cost_full = qlab.select(
+        "q_id", F.lit(n_corpus - 1).cast("long").alias("candidates")
+    )
+
     return (
         report_row("ivf_kmeans", 1, km, cost_km)
         .unionByName(report_row("ivf_label", 1, lab, cost_lab))
         .unionByName(report_row("ivf_multiprobe", 1, mp1, mp_cost(probes1)))
         .unionByName(report_row("ivf_multiprobe", 2, mp2, mp_cost(probes2)))
+        .unionByName(
+            report_row("int8_sq", 1, ann_int8_quantized(spark, sf_dir), cost_full)
+        )
+        .unionByName(report_row("pq_adc", 1, ann_pq_adc(spark, sf_dir), cost_full))
         .orderBy("method", "n_probes", "q_id")
     )

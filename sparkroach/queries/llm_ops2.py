@@ -1,6 +1,6 @@
 """LLM-data-pipeline operators, set 2 (round 4).
 
-Four operators a 100 TB training-data pipeline runs between raw corpus and
+Five operators a 100 TB training-data pipeline runs between raw corpus and
 training mix, beyond the dedup/ANN family in llm_ops.py:
 
 - ``vocab_term_stats``     — corpus vocabulary table (corpus frequency,
@@ -330,5 +330,182 @@ def ann_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "c_id", qcos.alias("qcosine"))
         .select("q_id", "c_id", "qcosine", F.row_number().over(w).alias("rank"))
         .where(F.col("rank") <= _SQ_TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# product-quantized ANN (PQ + ADC)
+
+_PQ_M = 8  # subvectors (64 dims / 8)
+_PQ_DSUB = 8  # dims per subvector
+_PQ_K = 16  # centroids per subvector → 4 bits/code, M bytes/vector total
+
+
+def _pq_codebook() -> list[list[list[float]]]:
+    """Deterministic codebook: centroid[m][k][j] = (md5int % 2001 − 1000)/1000
+    ∈ [−1, 1] with 3 decimals.  Computed driver-side (hashlib) and embedded
+    as NUMERIC LITERALS in both engines' expressions, so there is no
+    cross-engine hash arithmetic to keep in sync — both engines parse the
+    identical decimal literal to the identical double (correctly-rounded
+    strtod).  A production pipeline would train these with k-means (see
+    ann_ivf_kmeans for the trained-centroid pattern); the ADC machinery is
+    identical either way."""
+    import hashlib
+
+    def md5i(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    return [
+        [
+            [
+                (md5i(f"pq|{m}|{k}|{j}") % 2001 - 1000) / 1000.0
+                for j in range(_PQ_DSUB)
+            ]
+            for k in range(_PQ_K)
+        ]
+        for m in range(_PQ_M)
+    ]
+
+
+_PQ_CB = _pq_codebook()
+
+
+def _pq_dist_terms(vec: str, m: int, k: int, spark_side: bool) -> str:
+    """Unrolled ||vec_sub − centroid||² with one fixed left-assoc order on
+    both engines (Spark element_at is 1-indexed; DuckDB [] is 1-indexed)."""
+    terms = []
+    for j in range(_PQ_DSUB):
+        idx = m * _PQ_DSUB + j + 1
+        el = (
+            f"CAST(element_at({vec}, {idx}) AS DOUBLE)"
+            if spark_side
+            else f"{vec}[{idx}]::DOUBLE"
+        )
+        c = repr(_PQ_CB[m][k][j])
+        terms.append(f"(({el} - {c}) * ({el} - {c}))")
+    return " + ".join(terms)
+
+
+def _pq_code_expr(m: int) -> str:
+    """Spark expr: the argmin centroid id for subvector m — array_min over
+    (dist, k) structs compares lexicographically, so ties break on the
+    lower centroid id with the identical rule as the oracle's
+    row_number(ORDER BY d, k)."""
+    structs = ", ".join(
+        f"named_struct('d', {_pq_dist_terms('embedding', m, k, True)}, 'k', {k})"
+        for k in range(_PQ_K)
+    )
+    return f"array_min(array({structs})).k"
+
+
+def _pq_lut_expr(spark_side: bool, vec: str = "qe") -> str:
+    """The query-side ADC lookup table as a nested array literal-expression:
+    lut[m][k] = ||q_sub − centroid[m][k]||²."""
+    rows = []
+    for m in range(_PQ_M):
+        cells = ", ".join(
+            _pq_dist_terms(vec, m, k, spark_side) for k in range(_PQ_K)
+        )
+        rows.append(f"array({cells})" if spark_side else f"[{cells}]")
+    return ("array(" + ", ".join(rows) + ")") if spark_side else ("[" + ", ".join(rows) + "]")
+
+
+_PQ_TOP_K = 10
+_PQ_N_QUERIES = 8
+
+
+def _pq_oracle() -> str:
+    # corpus codes: relational argmin (row_number over dist, k) — the same
+    # (d, k) tie rule as Spark's array_min struct compare
+    dist_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, {k} AS k, "
+        f"{_pq_dist_terms('embedding', m, k, False)} AS d FROM embeddings"
+        for m in range(_PQ_M)
+        for k in range(_PQ_K)
+    )
+    lut = _pq_lut_expr(False, vec="embedding")
+    score = (
+        "("
+        + " + ".join(
+            f"lut[{m + 1}][codes[{m + 1}] + 1]" for m in range(_PQ_M)
+        )
+        + ")"
+    )
+    return f"""
+        WITH dists AS ({dist_rows}),
+        coded AS (
+            SELECT vec_id, m, k AS code FROM (
+                SELECT vec_id, m, k,
+                       row_number() OVER (PARTITION BY vec_id, m
+                                          ORDER BY d, k) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ),
+        codes AS (
+            SELECT vec_id, list(code ORDER BY m) AS codes
+            FROM coded GROUP BY vec_id
+        ),
+        q AS (
+            SELECT vec_id AS q_id, {lut} AS lut
+            FROM embeddings WHERE vec_id < {_PQ_N_QUERIES}
+        ),
+        scored AS (
+            SELECT q_id, c.vec_id AS c_id, ROUND({score}, 6) AS adc_dist
+            FROM q CROSS JOIN codes c
+            WHERE q_id <> c.vec_id
+        )
+        SELECT q_id, c_id, adc_dist, rank FROM (
+            SELECT q_id, c_id, adc_dist,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY adc_dist, c_id) AS rank
+            FROM scored
+        ) WHERE rank <= {_PQ_TOP_K}
+        ORDER BY q_id, rank
+    """
+
+
+@register(
+    "ann_pq_adc",
+    gated=False,  # r5 rotation candidate (driver window full)
+    oracle=_pq_oracle(),
+    survey_ref="LLM ops: ANN similarity search — product quantization with "
+    "asymmetric distance computation (PQ-ADC, Jégou et al. 2011: the "
+    "standard billion-scale vector-search compression)",
+    description=f"PQ: {_PQ_M} subvectors × {_PQ_K} centroids (4-bit codes "
+    "— 32× memory compression vs float32); encoding is a map-only argmin "
+    "per subvector against a broadcast codebook; queries build an "
+    f"{_PQ_M}×{_PQ_K} ADC lookup table once and score the corpus by "
+    "TABLE LOOKUPS ONLY (one fixed-order fold over M cells per pair — no "
+    "float vector math in the scan). At 100 TB the corpus lives as "
+    "M-byte codes, the scan is cache-resident, and the codebook/LUT "
+    "broadcast; both engines share one explicit (dist, centroid-id) "
+    "argmin tie rule and one left-assoc summation order, so ADC scores "
+    "are bit-identical before the final ROUND",
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    codes_expr = (
+        "array(" + ", ".join(_pq_code_expr(m) for m in range(_PQ_M)) + ")"
+    )
+    codes = e.select("vec_id", F.expr(codes_expr).alias("codes"))
+    q = e.where(F.col("vec_id") < _PQ_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+    ).select("q_id", F.expr(_pq_lut_expr(True)).alias("lut"))
+    score = F.expr(
+        " + ".join(
+            f"element_at(element_at(lut, {m + 1}), element_at(codes, {m + 1}) + 1)"
+            for m in range(_PQ_M)
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("c_id"))
+    return (
+        F.broadcast(q)
+        .crossJoin(codes.select(F.col("vec_id").alias("c_id"), "codes"))
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", F.round(score, 6).alias("adc_dist"))
+        .select("q_id", "c_id", "adc_dist", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= _PQ_TOP_K)
         .orderBy("q_id", "rank")
     )
