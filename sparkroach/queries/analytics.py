@@ -186,6 +186,7 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_minute_rollup",
+    gated=False,  # r4 end-of-round: rotated OUT (driver-green r1-r3) to record this session's new ops
     oracle="""
         SELECT date_trunc('hour', ts) AS hour_bucket,
                event_type,

@@ -55,7 +55,7 @@ _TOKENS_SQL = "len(string_split(text, ' '))"
 
 @register(
     "train_eval_split",
-    gated=False,  # r5 rotation candidate (driver window full)
+    # r4 end-of-round: rotated IN for a first driver recording this round
     oracle=f"""
         WITH h AS (
             SELECT lang, {_md5_int_sql("doc_id")} % 100 AS r,
@@ -106,7 +106,7 @@ _LANG_RATES = {"en": 100, "fr": 200, "de": 200, "es": 300, "zh": 300}
 
 @register(
     "stratified_sample_by_lang",
-    gated=False,  # r5 rotation candidate (driver window full)
+    # r4 end-of-round: rotated IN for a first driver recording this round
     oracle=f"""
         WITH h AS (
             SELECT lang, {_md5_int_sql("doc_id")} % 1000 AS r,
@@ -162,7 +162,7 @@ _PACK_BUDGET = 2048  # tokens per context window
 
 @register(
     "token_budget_packing",
-    gated=False,  # r5 rotation candidate (driver window full)
+    # r4 end-of-round: rotated IN for a first driver recording this round
     oracle=f"""
         WITH t AS (
             SELECT doc_id, source, {_TOKENS_SQL} AS n_tokens FROM documents
@@ -225,7 +225,7 @@ _BENCH_MOD = 29  # doc_id % 29 == 0 → "benchmark" holdout set
 
 @register(
     "benchmark_contamination",
-    gated=False,  # r5 rotation candidate (driver window full)
+    # r4 end-of-round: rotated IN for a first driver recording this round
     oracle=f"""
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         g AS MATERIALIZED (
@@ -292,7 +292,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "domain_mix_weights",
-    gated=False,  # r5 rotation candidate (driver window full)
+    # r4 end-of-round: rotated IN for a first driver recording this round
     oracle=f"""
         WITH s AS (
             SELECT source,
@@ -351,7 +351,7 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q22_global_sales_opportunity",
-    gated=False,  # r5 rotation candidate (driver window full)
+    # r4 end-of-round: rotated IN for a first driver recording this round
     oracle=f"""
         WITH pos AS (
             SELECT CAST(SUM({cents_sql("c_acctbal")}) AS BIGINT) AS total_c,

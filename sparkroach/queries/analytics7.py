@@ -66,7 +66,7 @@ _REV_SQL = f"{cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')})"
 
 @register(
     "q8_market_share",
-    gated=False,  # r5 rotation candidate (driver window full)
+    # r4 end-of-round: rotated IN for a first driver recording this round
     oracle=f"""
         WITH flat AS (
             SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -156,7 +156,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q9_product_profit",
-    gated=False,  # r5 rotation candidate (driver window full)
+    # r4 end-of-round: rotated IN for a first driver recording this round
     oracle=f"""
         WITH flat AS (
             SELECT n_name AS nation,
@@ -215,7 +215,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q20_dominant_supplier",
-    gated=False,  # r5 rotation candidate (driver window full)
+    # r4 end-of-round: rotated IN for a first driver recording this round
     oracle="""
         WITH shipped AS (
             SELECT l_suppkey, l_partkey,
@@ -277,7 +277,7 @@ def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q21_waiting_supplier",
-    gated=False,  # r5 rotation candidate (driver window full)
+    # r4 end-of-round: rotated IN for a first driver recording this round
     oracle="""
         WITH l1 AS (
             SELECT DISTINCT l_orderkey, l_suppkey, l_linestatus FROM lineitem
@@ -346,7 +346,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q11_important_stock",
-    gated=False,  # r5 rotation candidate (driver window full)
+    # r4 end-of-round: rotated IN for a first driver recording this round
     oracle=f"""
         WITH value_per_part AS (
             SELECT l_partkey,
@@ -408,7 +408,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q12_late_shipping",
-    gated=False,  # r5 rotation candidate (driver window full)
+    # r4 end-of-round: rotated IN for a first driver recording this round
     oracle="""
         SELECT l_returnflag,
                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')

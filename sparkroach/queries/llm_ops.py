@@ -345,6 +345,7 @@ def _lsh_oracle() -> str:
 
 @register(
     "minhash_lsh_candidates",
+    gated=False,  # r4 end-of-round: rotated OUT (driver-green r1-r3) to record this session's new ops
     oracle=_lsh_oracle(),
     bench=True,  # r02: heavy LLM op in the headline set (VERDICT #8)
     survey_ref="LLM ops: MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join)",
@@ -975,6 +976,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "token_count_by_source",
+    gated=False,  # r4 end-of-round: rotated OUT (driver-green r1-r3) to record this session's new ops
     oracle="""
         SELECT source,
                count(*) AS n_docs,

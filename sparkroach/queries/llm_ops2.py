@@ -49,7 +49,7 @@ PASSAGE_WORDS = 16  # word n-gram window for passage-level dedup
 
 @register(
     "vocab_term_stats",
-    gated=False,  # r5 rotation candidate (driver window full)
+    # r4 end-of-round: rotated IN for a first driver recording this round
     oracle="""
         WITH words AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -94,7 +94,7 @@ def vocab_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "source_term_salience",
-    gated=False,  # r5 rotation candidate (driver window full)
+    # r4 end-of-round: rotated IN for a first driver recording this round
     oracle="""
         WITH words AS (
             SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
@@ -157,7 +157,7 @@ def source_term_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "passage_dedup_exact",
-    gated=False,  # r5 rotation candidate (driver window full)
+    # r4 end-of-round: rotated IN for a first driver recording this round
     oracle=f"""
         WITH w AS (
             SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -262,7 +262,7 @@ _INORM2_SQL = "list_sum([x * x for x in {col}])"
 
 @register(
     "ann_int8_quantized",
-    gated=False,  # r5 rotation candidate (driver window full)
+    # r4 end-of-round: rotated IN for a first driver recording this round
     oracle=f"""
         WITH quant AS (
             SELECT vec_id,
@@ -467,7 +467,7 @@ def _pq_oracle() -> str:
 
 @register(
     "ann_pq_adc",
-    gated=False,  # r5 rotation candidate (driver window full)
+    # r4 end-of-round: rotated IN for a first driver recording this round
     oracle=_pq_oracle(),
     survey_ref="LLM ops: ANN similarity search — product quantization with "
     "asymmetric distance computation (PQ-ADC, Jégou et al. 2011: the "

@@ -79,6 +79,7 @@ def txn_round_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "txn_keyset_pagination",
+    gated=False,  # r4 end-of-round: rotated OUT (driver-green r1-r3) to record this session's new ops
     oracle="""
         SELECT l_orderkey, l_linenumber, l_partkey,
                CAST(l_extendedprice AS DOUBLE) AS l_extendedprice
@@ -112,6 +113,7 @@ def txn_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "txn_keyset_page_desc",
+    gated=False,  # r4 end-of-round: rotated OUT (driver-green r1-r3) to record this session's new ops
     oracle="""
         SELECT l_orderkey, l_linenumber, l_partkey,
                CAST(l_extendedprice AS DOUBLE) AS l_extendedprice
@@ -221,6 +223,7 @@ def txn_amount_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "txn_effective_amount",
+    gated=False,  # r4 end-of-round: rotated OUT (driver-green r1-r3) to record this session's new ops
     oracle="""
         SELECT l_orderkey, l_linenumber,
                CAST(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -254,6 +257,7 @@ def txn_effective_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "txn_time_window_join",
+    gated=False,  # r4 end-of-round: rotated OUT (driver-green r1-r3) to record this session's new ops
     oracle="""
         SELECT l.l_returnflag,
                count(*) AS n,
@@ -285,6 +289,7 @@ def txn_time_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "participation_semijoin",
+    gated=False,  # r4 end-of-round: rotated OUT (driver-green r1-r3) to record this session's new ops
     bench=True,  # r02: the chain-read path (address+range semi-join page) in the headline set
     oracle="""
         SELECT o_orderkey, o_custkey, o_orderdate
@@ -330,6 +335,7 @@ def txn_json_field_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "block_with_payset",
+    gated=False,  # r4 end-of-round: rotated OUT (driver-green r1-r3) to record this session's new ops
     oracle="""
         SELECT o.o_orderkey, o.o_orderdate, l.l_linenumber, l.l_partkey,
                CAST(l.l_quantity AS DOUBLE) AS l_quantity
@@ -363,6 +369,7 @@ def block_with_payset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "account_keyset_page",
+    gated=False,  # r4 end-of-round: rotated OUT (driver-green r1-r3) to record this session's new ops
     oracle="""
         SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
         FROM customer
@@ -406,6 +413,7 @@ def account_balance_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "account_has_asset_semijoin",
+    gated=False,  # r4 end-of-round: rotated OUT (driver-green r1-r3) to record this session's new ops
     oracle="""
         SELECT c.c_custkey, c.c_name
         FROM customer c
@@ -431,6 +439,7 @@ def account_has_asset_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "account_resources_agg",
+    gated=False,  # r4 end-of-round: rotated OUT (driver-green r1-r3) to record this session's new ops
     oracle="""
         SELECT c.c_custkey, c.c_name,
                count(o.o_orderkey) AS n_orders,
@@ -463,6 +472,7 @@ def account_resources_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "account_max_resources_guard",
+    gated=False,  # r4 end-of-round: rotated OUT (driver-green r1-r3) to record this session's new ops
     oracle="""
         SELECT o_custkey, count(*) AS n_orders
         FROM orders
@@ -490,6 +500,7 @@ def account_max_resources_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "asset_ilike_search",
+    gated=False,  # r4 end-of-round: rotated OUT (driver-green r1-r3) to record this session's new ops
     oracle="""
         SELECT p_partkey, p_name, p_type
         FROM part
@@ -538,6 +549,7 @@ def asset_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "asset_balance_query",
+    gated=False,  # r4 end-of-round: rotated OUT (driver-green r1-r3) to record this session's new ops
     oracle="""
         SELECT l_orderkey, l_linenumber, l_suppkey,
                CAST(CAST(l_quantity AS DECIMAL(20,0)) AS DOUBLE) AS amount
@@ -587,6 +599,7 @@ def app_creator_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "box_keyset_page",
+    gated=False,  # r4 end-of-round: rotated OUT (driver-green r1-r3) to record this session's new ops
     oracle="""
         SELECT doc_id, source, n_chars
         FROM documents
@@ -614,6 +627,7 @@ def box_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "health_probe",
+    gated=False,  # r4 end-of-round: rotated OUT (driver-green r1-r3) to record this session's new ops
     oracle="""
         SELECT max(o_orderkey) AS max_round, count(*) AS n_rounds,
                max(o_orderdate) AS latest_time
@@ -633,6 +647,7 @@ def health_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "prune_candidates",
+    gated=False,  # r4 end-of-round: rotated OUT (driver-green r1-r3) to record this session's new ops
     oracle="""
         SELECT count(*) AS n_prunable, min(l_shipdate) AS oldest
         FROM lineitem

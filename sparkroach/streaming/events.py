@@ -339,7 +339,7 @@ def events_sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_rollup_streamed",
-    gated=False,  # r5 rotation candidate (driver window full)
+    # r4 end-of-round: rotated IN for a first driver recording this round
     oracle="""
         SELECT date_trunc('hour', ts) AS hour_bucket,
                event_type,
