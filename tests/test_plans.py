@@ -165,3 +165,13 @@ def test_capped_band_pairs_has_no_unbounded_window(spark):
     assert "lead(" in plan
     # … and the over-cap bucket list joins by broadcast
     assert "BroadcastExchange" in plan
+
+
+def test_range_join_is_bucketed_hash_join_not_nested_loop(spark):
+    """The point-in-interval range join has no equality key; the bucketed
+    composition must plan as a hash join on the bucket, never a
+    BroadcastNestedLoopJoin / CartesianProduct."""
+    plan = _plan(spark, "events_session_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "bucket" in plan
