@@ -303,3 +303,152 @@ def decode_real_features(media: DataFrame) -> DataFrame:
             yield pdf_out
 
     return media.mapInPandas(_decode, DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# "video": a multi-frame container (concatenated P6 frames) + frame sampling
+# ---------------------------------------------------------------------------
+
+# A real video codec (MP4/H.264) needs libraries this environment lacks —
+# but the frame-sampling OPERATOR (the brief's multimodal list: decode /
+# feature-extract / resize / frame-sample) doesn't care what the frames
+# are encoded as.  A concatenated-P6 sequence is a legitimate multi-frame
+# container (the same idea as Y4M: raw frames behind tiny headers) that
+# the stdlib can genuinely parse, so the sampling stage below does REAL
+# sequential frame parsing — no doc_id formulas on the decode side.
+
+
+def video_params(doc_id: int) -> dict:
+    return {
+        "n_frames": 6 + (doc_id % 10),
+        "width": 4 + (doc_id % 7),
+        "height": 4 + ((doc_id // 7) % 5),
+    }
+
+
+def frame_rgb(doc_id: int, f: int) -> tuple[int, int, int]:
+    return (
+        (doc_id + 11 * f) % 256,
+        (doc_id * 7 + 3 * f) % 256,
+        (doc_id * 13 + 5 * f) % 256,
+    )
+
+
+def encode_video(doc_id: int) -> bytes:
+    """Concatenated P6 frames, one fill color per frame."""
+    p = video_params(doc_id)
+    w, h = p["width"], p["height"]
+    frames = []
+    for f in range(p["n_frames"]):
+        header = f"P6\n{w} {h}\n255\n".encode("ascii")
+        frames.append(header + bytes(frame_rgb(doc_id, f)) * (w * h))
+    return b"".join(frames)
+
+
+def _p6_frame(payload: bytes, pos: int) -> tuple[int, int, int, int]:
+    """Parse ONE P6 frame starting at ``pos``: returns (width, height,
+    raster_start, raster_end).  Same single-whitespace-after-maxval rule
+    as decode_ppm."""
+    ws = frozenset(b" \t\r\n\x0b\x0c")
+
+    def _token(p: int) -> tuple[bytes, int]:
+        while p < len(payload) and payload[p] in ws:
+            p += 1
+        start = p
+        while p < len(payload) and payload[p] not in ws:
+            p += 1
+        return payload[start:p], p
+
+    magic, pos = _token(pos)
+    if magic != b"P6":
+        raise ValueError(f"not a P6 frame at offset: {magic!r}")
+    wtok, pos = _token(pos)
+    htok, pos = _token(pos)
+    mtok, pos = _token(pos)
+    w, h, maxval = int(wtok), int(htok), int(mtok)
+    if maxval != 255:
+        raise ValueError(f"expected maxval 255, got {maxval}")
+    raster_start = pos + 1  # exactly one whitespace byte after maxval
+    raster_end = raster_start + 3 * w * h
+    if raster_end > len(payload):
+        raise ValueError("truncated P6 raster")
+    return w, h, raster_start, raster_end
+
+
+def decode_video_frames(payload: bytes, sample_every: int = 2) -> dict:
+    """REAL sequential frame parse + every-k-th frame sampling: walks the
+    concatenated P6 frames, sums raster bytes of sampled frames only."""
+    pos = 0
+    n_frames = 0
+    n_sampled = 0
+    sampled_pixel_sum = 0
+    width = height = None
+    while pos < len(payload):
+        w, h, rs, re_ = _p6_frame(payload, pos)
+        if width is None:
+            width, height = w, h
+        elif (w, h) != (width, height):
+            raise ValueError("frame dimensions changed mid-stream")
+        if n_frames % sample_every == 0:
+            n_sampled += 1
+            sampled_pixel_sum += sum(payload[rs:re_])
+        n_frames += 1
+        pos = re_
+    return {
+        "n_frames": n_frames,
+        "width": width,
+        "height": height,
+        "n_sampled": n_sampled,
+        "sampled_pixel_sum": sampled_pixel_sum,
+    }
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_sampled", T.LongType()),
+        T.StructField("sampled_pixel_sum", T.LongType()),
+    ]
+)
+
+
+def synthesize_video_media(docs: DataFrame) -> DataFrame:
+    """(doc_id) → (media_id, container='ppms', payload) multi-frame bytes."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkroach.functions.media import encode_video
+
+        for pdf in batches:
+            out = []
+            for mid in pdf["doc_id"]:
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "container": "ppms",
+                        "payload": encode_video(int(mid)),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "container", "payload"])
+
+    return docs.select("doc_id").mapInPandas(_encode, MEDIA_SCHEMA)
+
+
+def frame_sample_features(media: DataFrame, sample_every: int = 2) -> DataFrame:
+    """(media_id, payload) → per-video frame-sample features.  Map-only."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkroach.functions.media import decode_video_frames
+
+        cols = [f.name for f in FRAME_SAMPLE_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                feat = decode_video_frames(bytes(payload), sample_every)
+                feat["media_id"] = int(mid)
+                out.append(feat)
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.mapInPandas(_decode, FRAME_SAMPLE_SCHEMA)

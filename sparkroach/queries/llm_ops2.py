@@ -509,3 +509,62 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _PQ_TOP_K)
         .orderBy("q_id", "rank")
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    gated=False,  # r5 rotation candidate (driver window full)
+    oracle="""
+        WITH vp AS (
+            SELECT doc_id,
+                   6 + (doc_id % 10) AS nf,
+                   4 + (doc_id % 7) AS w,
+                   4 + ((doc_id // 7) % 5) AS h
+            FROM documents
+        ),
+        fr AS (
+            SELECT doc_id, nf, w, h, f
+            FROM vp, range(0, 16) t(f)
+            WHERE f < nf AND f % 2 = 0
+        ),
+        s AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_sampled,
+                   CAST(SUM(((doc_id + 11 * f) % 256
+                             + (doc_id * 7 + 3 * f) % 256
+                             + (doc_id * 13 + 5 * f) % 256) * w * h)
+                        AS BIGINT) AS sampled_pixel_sum
+            FROM fr GROUP BY doc_id
+        )
+        SELECT v.doc_id AS media_id,
+               CAST(v.nf AS BIGINT) AS n_frames,
+               CAST(v.w AS INT) AS width,
+               CAST(v.h AS INT) AS height,
+               s.n_sampled, s.sampled_pixel_sum
+        FROM vp v JOIN s ON s.doc_id = v.doc_id
+        ORDER BY media_id
+    """,
+    survey_ref="LLM ops: multimodal frame sampling — multi-frame container "
+    "(concatenated P6, Y4M-style) decoded by REAL sequential frame "
+    "parsing through mapInPandas; every-2nd-frame sampling",
+    description="synthesize a multi-frame video payload per document "
+    "(6-15 real P6 frames, per-frame fill colors), then SAMPLE every 2nd "
+    "frame by genuinely walking the container byte stream (tokenized "
+    "frame headers, raster skips — no arithmetic shortcuts on the decode "
+    "side) and sum sampled raster bytes. The oracle recomputes the exact "
+    "integers from the generator formulas. Map-only both ways; at 100 TB "
+    "frame sampling is the standard decode-cost reducer before feature "
+    "extraction, and Arrow batch size bounds executor memory against "
+    "multi-MB payload rows",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach._shiplib import ensure_shipped
+    from sparkroach.functions.media import (
+        frame_sample_features,
+        synthesize_video_media,
+    )
+
+    ensure_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    media = synthesize_video_media(docs)
+    return frame_sample_features(media, sample_every=2).orderBy("media_id")

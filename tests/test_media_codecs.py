@@ -136,3 +136,34 @@ def test_spark_encode_decode_pipeline(spark):
             p = ppm_params(doc_id) if c == "ppm" else bmp_params(doc_id)
             assert r["pixel_sum"] == p["width"] * p["height"] * sum(p["rgb"])
             assert r["sample_rate"] is None
+
+
+def test_video_round_trip_and_frame_sampling():
+    """encode_video → decode_video_frames: real sequential P6 parsing must
+    recover frame count/dims and the sampled raster sums for a spread of
+    doc ids, including sample_every variations."""
+    from sparkroach.functions import media
+
+    for d in (0, 1, 6, 7, 13, 97, 255, 256, 499, 1234):
+        enc = media.encode_video(d)
+        p = media.video_params(d)
+        for k in (1, 2, 3):
+            got = media.decode_video_frames(enc, sample_every=k)
+            exp = sum(
+                sum(media.frame_rgb(d, f)) * p["width"] * p["height"]
+                for f in range(0, p["n_frames"], k)
+            )
+            assert got["n_frames"] == p["n_frames"]
+            assert (got["width"], got["height"]) == (p["width"], p["height"])
+            assert got["n_sampled"] == len(range(0, p["n_frames"], k))
+            assert got["sampled_pixel_sum"] == exp
+
+
+def test_video_decoder_rejects_corruption():
+    from sparkroach.functions import media
+
+    enc = media.encode_video(42)
+    with pytest.raises(ValueError):
+        media.decode_video_frames(enc[:-5])  # truncated raster
+    with pytest.raises(ValueError):
+        media.decode_video_frames(b"P5" + enc[2:])  # wrong magic
