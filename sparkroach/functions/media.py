@@ -452,3 +452,99 @@ def frame_sample_features(media: DataFrame, sample_every: int = 2) -> DataFrame:
             yield pd.DataFrame(out, columns=cols)
 
     return media.mapInPandas(_decode, FRAME_SAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# resize: nearest-neighbor downscale over a gradient image
+# ---------------------------------------------------------------------------
+
+# The constant-fill PPMs above are useless for proving a resize actually
+# resamples (any pixel equals any other); the gradient image below varies
+# per pixel, so the strided downscale's output depends on WHICH pixels
+# were kept — the oracle recomputes the kept-coordinate sum exactly.
+
+
+def gradient_ppm_params(doc_id: int) -> dict:
+    return {"width": 6 + (doc_id % 11), "height": 6 + ((doc_id // 11) % 7)}
+
+
+def gradient_pixel(doc_id: int, x: int, y: int) -> tuple[int, int, int]:
+    return (
+        (doc_id + 3 * x + 5 * y) % 256,
+        (doc_id * 7 + 2 * x + y) % 256,
+        (doc_id * 13 + x + 4 * y) % 256,
+    )
+
+
+def encode_gradient_ppm(doc_id: int) -> bytes:
+    p = gradient_ppm_params(doc_id)
+    w, h = p["width"], p["height"]
+    raster = bytearray()
+    for y in range(h):
+        for x in range(w):
+            raster += bytes(gradient_pixel(doc_id, x, y))
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + bytes(raster)
+
+
+def decode_resize_ppm(payload: bytes, factor: int = 2) -> dict:
+    """REAL parse + nearest-neighbor downscale: keep pixels at coordinates
+    divisible by ``factor`` (numpy strided slicing over the true raster)."""
+    import numpy as np
+
+    w, h, rs, re_ = _p6_frame(payload, 0)
+    img = np.frombuffer(payload[rs:re_], dtype=np.uint8).reshape(h, w, 3)
+    small = img[::factor, ::factor, :]
+    return {
+        "width": w,
+        "height": h,
+        "out_width": small.shape[1],
+        "out_height": small.shape[0],
+        "out_pixel_sum": int(small.astype(np.int64).sum()),
+    }
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("out_pixel_sum", T.LongType()),
+    ]
+)
+
+
+def synthesize_gradient_media(docs: DataFrame) -> DataFrame:
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkroach.functions.media import encode_gradient_ppm
+
+        for pdf in batches:
+            out = []
+            for mid in pdf["doc_id"]:
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "container": "ppm",
+                        "payload": encode_gradient_ppm(int(mid)),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "container", "payload"])
+
+    return docs.select("doc_id").mapInPandas(_encode, MEDIA_SCHEMA)
+
+
+def resize_features(media: DataFrame, factor: int = 2) -> DataFrame:
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkroach.functions.media import decode_resize_ppm
+
+        cols = [f.name for f in RESIZE_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                feat = decode_resize_ppm(bytes(payload), factor)
+                feat["media_id"] = int(mid)
+                out.append(feat)
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.mapInPandas(_decode, RESIZE_SCHEMA)

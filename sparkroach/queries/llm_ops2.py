@@ -568,3 +568,55 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = synthesize_video_media(docs)
     return frame_sample_features(media, sample_every=2).orderBy("media_id")
+
+
+@register(
+    "multimodal_resize",
+    gated=False,  # r5 rotation candidate (driver window full)
+    oracle="""
+        WITH gp AS (
+            SELECT doc_id,
+                   6 + (doc_id % 11) AS w,
+                   6 + ((doc_id // 11) % 7) AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT doc_id, w, h, x, y,
+                   (doc_id + 3 * x + 5 * y) % 256
+                   + (doc_id * 7 + 2 * x + y) % 256
+                   + (doc_id * 13 + x + 4 * y) % 256 AS v
+            FROM gp, range(0, 17) tx(x), range(0, 13) ty(y)
+            WHERE x < w AND y < h AND x % 2 = 0 AND y % 2 = 0
+        )
+        SELECT doc_id AS media_id,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST((w + 1) // 2 AS INT) AS out_width,
+               CAST((h + 1) // 2 AS INT) AS out_height,
+               CAST(SUM(v) AS BIGINT) AS out_pixel_sum
+        FROM px
+        GROUP BY doc_id, w, h
+        ORDER BY media_id
+    """,
+    survey_ref="LLM ops: multimodal resize — nearest-neighbor downscale of "
+    "a gradient image via real numpy strided resampling through "
+    "mapInPandas",
+    description="per-document gradient PPM (pixel value varies with "
+    "coordinates, so the resize output depends on WHICH pixels survive), "
+    "parsed and downscaled 2x by numpy strided slicing over the true "
+    "raster; the oracle recomputes the kept-coordinate sums exactly. "
+    "Completes the brief's multimodal operator list (decode / "
+    "feature-extract / frame-sample / resize). Map-only; the downscaled "
+    "payload is 4x smaller — at 100 TB resize-before-featurize is the "
+    "standard decode-bandwidth saver",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach._shiplib import ensure_shipped
+    from sparkroach.functions.media import (
+        resize_features,
+        synthesize_gradient_media,
+    )
+
+    ensure_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    media = synthesize_gradient_media(docs)
+    return resize_features(media, factor=2).orderBy("media_id")

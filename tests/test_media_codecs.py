@@ -167,3 +167,24 @@ def test_video_decoder_rejects_corruption():
         media.decode_video_frames(enc[:-5])  # truncated raster
     with pytest.raises(ValueError):
         media.decode_video_frames(b"P5" + enc[2:])  # wrong magic
+
+
+def test_gradient_resize_round_trip():
+    """encode_gradient_ppm → decode_resize_ppm: the strided downscale must
+    keep exactly the even-coordinate pixels (factor 2) / every-3rd (factor
+    3), proven by exact kept-coordinate sums."""
+    from sparkroach.functions import media
+
+    for d in (0, 5, 11, 76, 120, 499):
+        enc = media.encode_gradient_ppm(d)
+        p = media.gradient_ppm_params(d)
+        for k in (1, 2, 3):
+            got = media.decode_resize_ppm(enc, factor=k)
+            exp = sum(
+                sum(media.gradient_pixel(d, x, y))
+                for y in range(0, p["height"], k)
+                for x in range(0, p["width"], k)
+            )
+            assert got["out_pixel_sum"] == exp
+            assert got["out_width"] == (p["width"] + k - 1) // k
+            assert got["out_height"] == (p["height"] + k - 1) // k
