@@ -1,0 +1,461 @@
+"""LLM-data-pipeline operators, set 3 (round 4, continuation).
+
+Four more operators a 100 TB training-data pipeline runs between raw
+corpus and training mix:
+
+- ``simhash_hamming_pairs``  — SimHash near-dup PAIRS: 64-bit shingle
+                               SimHash, 16-bit band blocking, exact
+                               Hamming verify.  Completes the SimHash
+                               story (``simhash_docs`` emits signatures;
+                               this turns them into dup candidates the
+                               way Google's web-crawl dedup did —
+                               Manku et al., WWW'07).
+- ``doc_rarity_score``       — per-document mean/min document-frequency
+                               of its tokens: the engine-exact analog of
+                               unigram-LM perplexity filtering (CCNet
+                               style) — low mean-df docs are rare-token
+                               outliers, high mean-df docs are boilerplate.
+- ``bigram_top_transitions`` — corpus bigram table with conditional
+                               continuation probability P(next|prev):
+                               the first pass of n-gram LM estimation
+                               and a tokenizer-merge-candidate census.
+- ``quality_filter_funnel``  — the end-to-end preprocessing funnel:
+                               language filter → token-count quality gate
+                               → near-dup drop (minhash-LSH verified),
+                               reported as per-source survivor counts —
+                               the acceptance report every corpus refresh
+                               ships with.
+
+Exactness discipline (registry.py): integer math until at most one final
+double division computed identically on both engines; hash-derived
+"randomness" only.
+
+Reference parity note: the reference (algorand/conduit-cockroachdb) has
+no LLM plane; this module is part of the beyond-reference surface the
+build brief requires.
+
+Registered gated=False — the driver's 50-entry window is full this round —
+but every oracle runs in the local sweep (tests/test_oracle_gate.py,
+`python -m sparkroach.oracle`); r5 rotation candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkroach.queries.llm_ops import (
+    _JACC_SQL,
+    _JACCARD_TAU,
+    _SHINGLES_SQL,
+    _capped_cand_sql,
+    _lsh_candidates_cte,
+    _verified_pairs,
+    _with_shingles,
+    capped_band_pairs,
+)
+from sparkroach.queries.registry import register
+from sparkroach.tables import load
+
+# ---------------------------------------------------------------------------
+# simhash_hamming_pairs
+# ---------------------------------------------------------------------------
+
+# 64-bit SimHash (two 32-bit halves from one md5 per shingle) over word-
+# bigram shingles — the token-set variant in simhash_docs is near-constant
+# on a small-vocabulary corpus (every doc contains most of the vocabulary),
+# while the shingle basis matches the minhash family and discriminates by
+# word ORDER.  4 bands × 16 bits: by pigeonhole, any pair within Hamming
+# distance 3 shares at least one untouched band, so recall is EXACT for
+# the declared threshold (under-cap buckets; over-cap buckets degrade per
+# the shared LSH_BUCKET_CAP policy, mirrored in the oracle).
+N_SIMHAM_HALF = 32  # bits per half
+SIMHAM_TAU = 3  # max Hamming distance reported (4 bands ⇒ exact recall)
+_HEX = "0123456789abcdef"
+
+
+def _simham_half_sql(half: int) -> tuple[str, str]:
+    """(bit-vote SUM column list, signature value expr) for one 32-bit
+    half of the 64-bit SimHash, DuckDB side.  ``half`` 0 reads md5 hex
+    positions 1-8, half 1 positions 9-16 — the same integers Spark gets
+    from conv(substring(md5, 1|9, 8), 16, 10)."""
+    sums = []
+    for j in range(N_SIMHAM_HALF):
+        p = half * 8 + j // 4 + 1
+        shift = 3 - (j % 4)
+        digit = f"(instr('{_HEX}', substring(m, {p}, 1)) - 1)"
+        bit = f"(({digit} // {2 ** shift}) % 2)"
+        sums.append(f"SUM(2 * {bit} - 1) AS h{half}c{j}")
+    value = " + ".join(
+        f"(CASE WHEN h{half}c{j} > 0 THEN {2 ** (N_SIMHAM_HALF - 1 - j)} ELSE 0 END)"
+        for j in range(N_SIMHAM_HALF)
+    )
+    return ", ".join(sums), value
+
+
+def _simham_sims_cte() -> str:
+    """CTE chain ending in ``sims(doc_id, sim_hi, sim_lo)`` — shared by
+    the registered oracle and the brute-force recall test."""
+    c0, v0 = _simham_half_sql(0)
+    c1, v1 = _simham_half_sql(1)
+    return f"""
+        w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        shing AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM w),
+        toks AS (SELECT doc_id, md5(unnest(shingles)) AS m FROM shing),
+        bits AS (SELECT doc_id, {c0}, {c1} FROM toks GROUP BY doc_id),
+        sims AS MATERIALIZED (
+            SELECT doc_id, CAST({v0} AS BIGINT) AS sim_hi,
+                   CAST({v1} AS BIGINT) AS sim_lo
+            FROM bits
+        )
+    """
+
+
+def _simham_oracle() -> str:
+    band_val = (
+        "CASE WHEN b.band_idx = 0 THEN (sim_hi >> 16) & 65535 "
+        "WHEN b.band_idx = 1 THEN sim_hi & 65535 "
+        "WHEN b.band_idx = 2 THEN (sim_lo >> 16) & 65535 "
+        "ELSE sim_lo & 65535 END"
+    )
+    ham = (
+        "bit_count(xor(sa.sim_hi, sb.sim_hi)) "
+        "+ bit_count(xor(sa.sim_lo, sb.sim_lo))"
+    )
+    return f"""
+        WITH {_simham_sims_cte().strip()},
+        bands AS MATERIALIZED (
+            SELECT doc_id, b.band_idx, {band_val} AS band_val
+            FROM sims, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+        ),
+        {_capped_cand_sql("bands", "doc_id", ("band_idx", "band_val")).strip()}
+        SELECT c.doc_a, c.doc_b, CAST({ham} AS BIGINT) AS hamming
+        FROM cand c
+        JOIN sims sa ON sa.doc_id = c.doc_a
+        JOIN sims sb ON sb.doc_id = c.doc_b
+        WHERE {ham} <= {SIMHAM_TAU}
+        ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle=_simham_oracle(),
+    survey_ref="LLM ops: SimHash near-dup pairs — 64-bit shingle SimHash, "
+    "16-bit band blocking, exact Hamming verify (Manku et al. WWW'07)",
+    description=f"64-bit SimHash over word-bigram shingles (one md5 per "
+    "shingle, split into two 32-bit halves; bit-votes are one grouped agg "
+    "with map-side combine), 4×16-bit bands via the shared capped band "
+    f"join, exact Hamming <= {SIMHAM_TAU} verify on candidates only.  "
+    "Pigeonhole makes recall exact at this threshold for under-cap "
+    "buckets; all heavy stages are linear in corpus size",
+    gated=False,
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        _with_shingles(d)
+        .select("doc_id", F.explode("shingles").alias("tok"))
+        .select("doc_id", F.md5("tok").alias("m"))
+        .select(
+            "doc_id",
+            F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("hv_hi"),
+            F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("hv_lo"),
+        )
+    )
+    votes = []
+    for half in ("hi", "lo"):
+        for j in range(N_SIMHAM_HALF):
+            bit = F.shiftright(F.col(f"hv_{half}"), N_SIMHAM_HALF - 1 - j).bitwiseAND(
+                F.lit(1)
+            )
+            votes.append(F.sum(bit * 2 - 1).alias(f"{half}{j}"))
+    bits = toks.groupBy("doc_id").agg(*votes)
+
+    def sig(half: str):
+        value = None
+        for j in range(N_SIMHAM_HALF):
+            term = F.when(
+                F.col(f"{half}{j}") > 0, F.lit(2 ** (N_SIMHAM_HALF - 1 - j))
+            ).otherwise(F.lit(0))
+            value = term if value is None else value + term
+        return value.cast("long")
+
+    sims = bits.select(
+        "doc_id", sig("hi").alias("sim_hi"), sig("lo").alias("sim_lo")
+    )
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            expr.alias("band_val"),
+        )
+        for i, expr in enumerate(
+            [
+                F.shiftright("sim_hi", 16).bitwiseAND(F.lit(65535)),
+                F.col("sim_hi").bitwiseAND(F.lit(65535)),
+                F.shiftright("sim_lo", 16).bitwiseAND(F.lit(65535)),
+                F.col("sim_lo").bitwiseAND(F.lit(65535)),
+            ]
+        )
+    ]
+    bands = sims.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_val")
+    pairs = capped_band_pairs(bands, "doc_id")
+    sa = sims.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sim_hi").alias("a_hi"),
+        F.col("sim_lo").alias("a_lo"),
+    )
+    sb = sims.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sim_hi").alias("b_hi"),
+        F.col("sim_lo").alias("b_lo"),
+    )
+    ham = (
+        F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+        + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+    ).cast("long")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= SIMHAM_TAU)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_rarity_score
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_rarity_score",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        df AS (
+            SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM words GROUP BY term
+        )
+        SELECT w.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(df) AS BIGINT) AS df_sum,
+               CAST(min(df) AS BIGINT) AS min_df,
+               CAST(CAST(sum(df) AS BIGINT) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS mean_df
+        FROM words w JOIN df ON w.term = df.term
+        GROUP BY w.doc_id
+        ORDER BY doc_id
+    """,
+    survey_ref="LLM ops: document rarity scoring — per-doc token "
+    "document-frequency stats (the engine-exact analog of unigram-LM "
+    "perplexity filtering, CCNet style)",
+    description="vocabulary document-frequency table (vocab-sized, "
+    "broadcasts) joined back to every token occurrence; per-doc mean and "
+    "min df are integer sums with ONE final IEEE division, so both "
+    "engines agree bit-for-bit.  Low mean_df = rare-token outlier doc, "
+    "high mean_df = boilerplate; min_df flags hapax-bearing docs",
+    gated=False,
+)
+def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    df = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        words.join(F.broadcast(df), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("df").alias("df_sum"),
+            F.min("df").alias("min_df"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "df_sum",
+            "min_df",
+            (F.col("df_sum").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "mean_df"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram_top_transitions
+# ---------------------------------------------------------------------------
+
+N_TOP_TRANSITIONS = 20
+
+
+@register(
+    "bigram_top_transitions",
+    oracle=f"""
+        WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        bg AS (
+            SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])
+                AS b
+            FROM w
+        ),
+        pc AS (SELECT b, CAST(count(*) AS BIGINT) AS pair_cf FROM bg GROUP BY b),
+        pv AS (
+            SELECT string_split(b, ' ')[1] AS prev_term,
+                   CAST(sum(pair_cf) AS BIGINT) AS prev_cf
+            FROM pc GROUP BY 1
+        ),
+        scored AS (
+            SELECT string_split(b, ' ')[1] AS prev_term,
+                   string_split(b, ' ')[2] AS next_term,
+                   pair_cf, prev_cf,
+                   CAST(pair_cf AS DOUBLE) / CAST(prev_cf AS DOUBLE) AS cond_p
+            FROM pc JOIN pv ON string_split(pc.b, ' ')[1] = pv.prev_term
+        )
+        SELECT prev_term, next_term, pair_cf, prev_cf, cond_p
+        FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY pair_cf DESC, prev_term, next_term
+            ) AS rn
+            FROM scored
+        )
+        WHERE rn <= {N_TOP_TRANSITIONS}
+        ORDER BY pair_cf DESC, prev_term, next_term
+    """,
+    survey_ref="LLM ops: bigram language-model counts — corpus transition "
+    "table with conditional continuation probability (n-gram LM "
+    "estimation / tokenizer-merge census)",
+    description=f"corpus bigram counts via per-doc array transform (no "
+    "self-join: consecutive-token pairs are built map-side), grouped "
+    "twice (pair and prefix totals, both with map-side combine; prefix "
+    "totals are vocab-sized and broadcast); cond_p = pair_cf/prev_cf is "
+    "one exact integer division.  The global top-"
+    f"{N_TOP_TRANSITIONS} window runs over the vocab²-bounded aggregate, "
+    "never the corpus",
+    gated=False,
+)
+def bigram_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    idx = F.when(F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)).otherwise(
+        F.expr("CAST(array() AS ARRAY<INT>)")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(ws, i).alias("prev_term"),
+            F.element_at(ws, i + 1).alias("next_term"),
+        ),
+    )
+    b = d.select(F.explode(pairs).alias("p")).select("p.prev_term", "p.next_term")
+    pc = b.groupBy("prev_term", "next_term").agg(F.count("*").alias("pair_cf"))
+    pv = pc.groupBy("prev_term").agg(F.sum("pair_cf").alias("prev_cf"))
+    scored = pc.join(F.broadcast(pv), "prev_term").select(
+        "prev_term",
+        "next_term",
+        "pair_cf",
+        "prev_cf",
+        (F.col("pair_cf").cast("double") / F.col("prev_cf").cast("double")).alias(
+            "cond_p"
+        ),
+    )
+    w = Window.orderBy(F.col("pair_cf").desc(), "prev_term", "next_term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= N_TOP_TRANSITIONS)
+        .drop("rn")
+        .orderBy(F.col("pair_cf").desc(), "prev_term", "next_term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality_filter_funnel
+# ---------------------------------------------------------------------------
+
+FUNNEL_LANG = "en"
+FUNNEL_MIN_TOKENS = 30
+FUNNEL_MAX_TOKENS = 90
+
+
+def _funnel_oracle() -> str:
+    quality = (
+        f"lang = '{FUNNEL_LANG}' AND len(string_split(text, ' ')) "
+        f"BETWEEN {FUNNEL_MIN_TOKENS} AND {FUNNEL_MAX_TOKENS}"
+    )
+    return f"""
+        {_lsh_candidates_cte()},
+        vp AS (
+            SELECT DISTINCT c.doc_b FROM cand c
+            JOIN shing sa ON sa.doc_id = c.doc_a
+            JOIN shing sb ON sb.doc_id = c.doc_b
+            WHERE {_JACC_SQL} >= {_JACCARD_TAU}
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (WHERE lang = '{FUNNEL_LANG}') AS BIGINT)
+                   AS n_lang,
+               CAST(count(*) FILTER (WHERE {quality}) AS BIGINT) AS n_quality,
+               CAST(count(*) FILTER (WHERE {quality} AND vp.doc_b IS NULL)
+                    AS BIGINT) AS n_final,
+               CAST(count(*) FILTER (WHERE {quality} AND vp.doc_b IS NULL)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS retention
+        FROM documents d LEFT JOIN vp ON vp.doc_b = d.doc_id
+        GROUP BY source
+        ORDER BY source
+    """
+
+
+@register(
+    "quality_filter_funnel",
+    oracle=_funnel_oracle(),
+    survey_ref="LLM ops: end-to-end preprocessing funnel — language filter "
+    "→ token-count quality gate → near-dup drop, per-source survivor "
+    "accounting (the corpus-refresh acceptance report)",
+    description="three stacked per-doc predicates (language, token-count "
+    "band, not-a-dropped-near-dup) aggregated per source in ONE grouped "
+    "pass over the corpus.  The near-dup drop set is the minhash-LSH "
+    "verified doc_b side (keep-lowest-id greedy) — tiny by construction, "
+    "broadcast to the flag join; retention = n_final/n_docs is one exact "
+    "integer division",
+    gated=False,
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    dropped = (
+        _verified_pairs(d)
+        .where(F.col("jaccard") >= _JACCARD_TAU)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    is_lang = F.col("lang") == FUNNEL_LANG
+    is_quality = is_lang & n_tokens.between(FUNNEL_MIN_TOKENS, FUNNEL_MAX_TOKENS)
+    is_final = is_quality & F.col("_drop").isNull()
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        d.join(F.broadcast(dropped), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            flag(is_lang).alias("n_lang"),
+            flag(is_quality).alias("n_quality"),
+            flag(is_final).alias("n_final"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_lang",
+            "n_quality",
+            "n_final",
+            (F.col("n_final").cast("double") / F.col("n_docs").cast("double")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("source")
+    )

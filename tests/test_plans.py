@@ -175,3 +175,23 @@ def test_range_join_is_bucketed_hash_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "bucket" in plan
+
+
+def test_simhash_hamming_pairs_is_banded_not_quadratic(spark):
+    """The SimHash pair generator must go through the capped band join
+    (hash join on band keys + broadcast over-cap list), never an n²
+    cross product; the verify stage joins candidates back by doc id."""
+    plan = _plan(spark, "simhash_hamming_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" in plan  # over-cap bucket list broadcasts
+
+
+def test_funnel_is_one_grouped_pass_with_broadcast_drop_set(spark):
+    """quality_filter_funnel: the near-dup drop set joins by broadcast
+    (it is tiny by construction) and the per-source accounting is one
+    hash aggregate — no sort-merge join against the corpus."""
+    plan = _plan(spark, "quality_filter_funnel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
