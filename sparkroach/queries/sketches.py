@@ -256,3 +256,263 @@ def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("ALL").alias("event_type"), "exact_distinct")
     exact = exact_t.unionByName(exact_all)
     return summary.join(F.broadcast(exact), "event_type").orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: heavy hitters with additive merge
+# ---------------------------------------------------------------------------
+
+CMS_W = 256  # counters per row
+CMS_D = 3  # hash rows
+CMS_TOP = 20
+
+# md5("<row>|<key>") → 32-bit int → % W; the "<row>|" prefix makes the D
+# hash rows pairwise independent from one md5 family
+_CMS_H32 = " + ".join(
+    f"(instr('{_HEX}', substring(md5(CAST(j AS VARCHAR) || '|' || b), {k + 1}, 1))"
+    f" - 1) * {16 ** (7 - k)}"
+    for k in range(8)
+)
+
+
+def _cms_bucket_col(j: int):
+    """Spark Column: CMS bucket of column `b` under hash row j."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("b"))), 1, 8), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(CMS_W))
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+        WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        bg AS (
+            SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])
+                AS b
+            FROM w
+        ),
+        cf AS (SELECT b, CAST(count(*) AS BIGINT) AS exact_cf FROM bg GROUP BY b),
+        hashed AS (
+            SELECT b, exact_cf, j, CAST({_CMS_H32} AS BIGINT) % {CMS_W} AS bucket
+            FROM cf CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) rows
+        ),
+        counters AS (
+            SELECT j, bucket, CAST(SUM(exact_cf) AS BIGINT) AS c
+            FROM hashed GROUP BY j, bucket
+        ),
+        est AS (
+            SELECT h.b, h.exact_cf, MIN(c.c) AS cms_est
+            FROM hashed h
+            JOIN counters c ON c.j = h.j AND c.bucket = h.bucket
+            GROUP BY h.b, h.exact_cf
+        )
+        SELECT b AS term, exact_cf, CAST(cms_est AS BIGINT) AS cms_est,
+               CAST(cms_est - exact_cf AS BIGINT) AS overestimate
+        FROM (
+            SELECT *, row_number() OVER (ORDER BY exact_cf DESC, b) AS rn
+            FROM est
+        )
+        WHERE rn <= {CMS_TOP}
+        ORDER BY exact_cf DESC, term
+    """,
+    survey_ref="LLM/analytics ops: Count-Min sketch heavy hitters — "
+    "fixed-size frequency sketch with ADDITIVE merge (Cormode & "
+    "Muthukrishnan 2005), engine-exact integer counters",
+    description=f"{CMS_D}×{CMS_W} Count-Min over corpus word bigrams: "
+    "counters are plain integer SUMS, so partial sketches from any data "
+    "split merge by addition (linearity — the partial-aggregation "
+    "property, like HLL's register max).  est = min over rows of the "
+    "term's counter; CMS guarantees est >= exact (no underestimates), "
+    "test-pinned.  The counter table is D·W rows regardless of corpus "
+    "size and broadcasts back for the estimate join; the exact counts "
+    "computed alongside ARE the accuracy statement",
+    gated=False,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    idx = F.when(F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)).otherwise(
+        F.expr("CAST(array() AS ARRAY<INT>)")
+    )
+    bigrams = F.transform(
+        idx, lambda i: F.concat(F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1))
+    )
+    cf = (
+        d.select(F.explode(bigrams).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("exact_cf"))
+    )
+    hashed = cf.select(
+        "b",
+        "exact_cf",
+        *[_cms_bucket_col(j).alias(f"k{j}") for j in range(CMS_D)],
+    )
+    est = hashed
+    for j in range(CMS_D):
+        counters = (
+            hashed.groupBy(f"k{j}")
+            .agg(F.sum("exact_cf").alias(f"c{j}"))
+        )
+        est = est.join(F.broadcast(counters), f"k{j}")
+    cms = F.least(*[F.col(f"c{j}") for j in range(CMS_D)]).cast("long")
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy(F.col("exact_cf").desc(), "term")
+    return (
+        est.select(
+            F.col("b").alias("term"),
+            "exact_cf",
+            cms.alias("cms_est"),
+            (cms - F.col("exact_cf")).cast("long").alias("overestimate"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= CMS_TOP)
+        .drop("rn")
+        .orderBy(F.col("exact_cf").desc(), "term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning (the runtime-filter construct)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 4096  # bits
+BLOOM_K = 3  # hashes per key
+BLOOM_PRICE = 400000  # build-side predicate: "hot" orders
+
+_BLOOM_H32 = " + ".join(
+    f"(instr('{_HEX}', substring(md5(CAST(i AS VARCHAR) || '|' "
+    f"|| CAST(key AS VARCHAR)), {k + 1}, 1)) - 1) * {16 ** (7 - k)}"
+    for k in range(8)
+)
+
+
+def _bloom_pos_sql(src: str) -> str:
+    """CTE fragment: (key, pos) — the BLOOM_K bit positions of each key
+    in ``src`` (a CTE with a ``key`` column)."""
+    return f"""
+        SELECT key, CAST({_BLOOM_H32} AS BIGINT) % {BLOOM_M} AS pos
+        FROM {src} CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) hh
+    """
+
+
+@register(
+    "bloom_semijoin_prune",
+    oracle=f"""
+        WITH hot AS (
+            SELECT o_orderkey AS key FROM orders
+            WHERE o_totalprice > {BLOOM_PRICE}
+        ),
+        bits AS (SELECT DISTINCT pos FROM ({_bloom_pos_sql("hot")})),
+        lk AS (
+            SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        probe AS ({_bloom_pos_sql("lk")}),
+        hits AS (
+            SELECT p.key, count(*) AS n_hit
+            FROM probe p JOIN bits ON bits.pos = p.pos
+            GROUP BY p.key
+        ),
+        flags AS (
+            SELECT lk.key, lk.n_rows,
+                   (COALESCE(h.n_hit, 0) = {BLOOM_K}) AS pass_bloom,
+                   (hot.key IS NOT NULL) AS is_true
+            FROM lk
+            LEFT JOIN hits h ON h.key = lk.key
+            LEFT JOIN hot ON hot.key = lk.key
+        )
+        SELECT CAST(SUM(n_rows) AS BIGINT) AS n_lineitem,
+               CAST(SUM(n_rows) FILTER (WHERE pass_bloom) AS BIGINT)
+                   AS n_pass_bloom,
+               CAST(SUM(n_rows) FILTER (WHERE is_true) AS BIGINT)
+                   AS n_true_match,
+               CAST(SUM(n_rows) FILTER (WHERE pass_bloom AND NOT is_true)
+                    AS BIGINT) AS false_positives,
+               CAST(SUM(n_rows) FILTER (WHERE pass_bloom AND NOT is_true)
+                    AS DOUBLE)
+                   / CAST(SUM(n_rows) FILTER (WHERE NOT is_true) AS DOUBLE)
+                   AS fp_rate
+        FROM flags
+    """,
+    survey_ref="LLM/analytics ops: Bloom-filter semi-join pruning — the "
+    "runtime-filter construct (build a bit set from the dimension "
+    "predicate, prune the fact scan map-side before the join shuffle)",
+    description=f"{BLOOM_M}-bit / {BLOOM_K}-hash Bloom filter built from "
+    f"orders with o_totalprice > {BLOOM_PRICE}, probed by every lineitem "
+    "order key; reports rows passing the filter vs the true semi-join "
+    "next to the false-positive count and rate — Bloom's no-false-"
+    "negative guarantee (n_pass >= n_true, every true row passes) is "
+    "test-pinned.  At 100 TB the bit set (KB-sized) broadcasts and the "
+    "probe is a map-side predicate on the fact scan, eliminating the "
+    "shuffle of never-matching rows; here it is expressed relationally "
+    "(positions ⋈ bit set) so both engines compute the identical exact "
+    "integers.  The fixed m demonstrates saturation honestly: at larger "
+    "SF the fill fraction rises and fp_rate with it — sizing m to n is "
+    "the documented deployment knob",
+    gated=False,
+)
+def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    hot = o.where(F.col("o_totalprice") > BLOOM_PRICE).select(
+        F.col("o_orderkey").alias("key")
+    )
+
+    def positions(df: DataFrame) -> DataFrame:
+        pos_structs = [
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}|"), F.col("key").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(BLOOM_M),
+            ).alias(f"p{i}")
+            for i in range(BLOOM_K)
+        ]
+        return df.select("key", *pos_structs)
+
+    bits = (
+        positions(hot)
+        .select(F.explode(F.array(*[f"p{i}" for i in range(BLOOM_K)])).alias("pos"))
+        .distinct()
+    )
+    lk = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count("*").alias("n_rows")
+    )
+    probe = positions(lk).select(
+        "key", F.explode(F.array(*[f"p{i}" for i in range(BLOOM_K)])).alias("pos")
+    )
+    hits = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy("key")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    flags = (
+        lk.join(hits, "key", "left")
+        .join(hot.withColumn("_hot", F.lit(1)), "key", "left")
+        .select(
+            "n_rows",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) == BLOOM_K).alias("pass_bloom"),
+            F.col("_hot").isNotNull().alias("is_true"),
+        )
+    )
+    csum = lambda c: F.sum(F.when(c, F.col("n_rows")).otherwise(0)).cast(  # noqa: E731
+        "long"
+    )
+    fp = csum(F.col("pass_bloom") & ~F.col("is_true"))
+    return flags.agg(
+        F.sum("n_rows").cast("long").alias("n_lineitem"),
+        csum(F.col("pass_bloom")).alias("n_pass_bloom"),
+        csum(F.col("is_true")).alias("n_true_match"),
+        fp.alias("false_positives"),
+        (fp.cast("double") / csum(~F.col("is_true")).cast("double")).alias(
+            "fp_rate"
+        ),
+    )

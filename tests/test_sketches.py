@@ -60,3 +60,28 @@ def test_registers_are_bounded_and_consistent(spark):
         assert r.used_buckets <= r.reg_sum <= 25 * r.used_buckets
         # ALL dominates every shard register-wise, so also in used buckets
         assert r.exact_distinct > 0
+
+
+def test_cms_never_underestimates(spark):
+    """Count-Min's core guarantee: est >= exact for every key (counters
+    only ever ADD colliding mass).  With 916 distinct bigrams in 3x256
+    counters, collisions are certain — the overestimate column must be
+    non-vacuous."""
+    rows = QUERIES["cms_heavy_hitters"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.cms_est >= r.exact_cf
+        assert r.overestimate == r.cms_est - r.exact_cf
+    assert any(r.overestimate > 0 for r in rows)
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Every true semi-join row must pass the Bloom filter (the filter
+    only ever over-approximates): n_pass - false_positives == n_true.
+    The FP side must be non-vacuous at sf0.001 (m=4096 bits over ~300
+    keys -> ~0.8% fp measured), or the op demonstrates nothing."""
+    r = QUERIES["bloom_semijoin_prune"].fn(spark, SF_SMALL).collect()[0]
+    assert r.n_pass_bloom - r.false_positives == r.n_true_match
+    assert r.false_positives > 0
+    assert 0.0 < r.fp_rate < 0.05
+    assert r.fp_rate == r.false_positives / (r.n_lineitem - r.n_true_match)
