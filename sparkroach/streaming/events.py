@@ -477,3 +477,169 @@ def events_rollup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.shuffle.partitions")
         else:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+JOIN_WINDOW_HOURS = 2
+
+
+@register(
+    "events_join_streamed",
+    oracle=f"""
+        SELECT s.user_id, s.ts AS signup_ts, p.ts AS purchase_ts,
+               p.value AS purchase_value
+        FROM events s JOIN events p
+          ON s.user_id = p.user_id
+         AND s.event_type = 'signup' AND p.event_type = 'purchase'
+         AND p.ts >= s.ts
+         AND p.ts <= s.ts + INTERVAL {JOIN_WINDOW_HOURS} HOUR
+        ORDER BY s.user_id, signup_ts, purchase_ts
+    """,
+    survey_ref="§2C streaming — STREAM-STREAM interval join through the "
+    "real writeStream path: two watermarked file sources, inner join on "
+    "key + event-time range, append sink, restart mid-stream with the "
+    "buffered join state recovered from the checkpoint",
+    description=f"signup and purchase streams joined on user within a "
+    f"{JOIN_WINDOW_HOURS}-hour event-time window — Spark buffers each "
+    "side's rows in watermark-bounded state and emits matches exactly "
+    "once.  The restart cut is placed INSIDE the widest matched pair "
+    "(found from the data), so the signup is buffered before the restart "
+    "and its purchase arrives after: the emitted pair proves join state "
+    "recovery, not recomputation.  Sink must equal the batch interval "
+    "join bit-for-bit",
+    gated=False,  # r5 rotation candidate (driver window full this round)
+)
+def events_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive a real stream-stream inner interval join end-to-end.
+
+    Both sides read the same staged parquet feed (each readStream source
+    tracks its own file progress); watermarks bound the join state on
+    both sides.  Eviction safety of the straddling pair is by
+    construction: the pair spans the cut with |p.ts − s.ts| ≤ the join
+    window, and b0's max event time is < cut, so the signup's state
+    cannot be evicted before the restart (watermark = max_seen − delay ≤
+    cut − delay < s.ts + window).
+    """
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    ev = load(spark, sf_dir, "events")
+    w_us = JOIN_WINDOW_HOURS * 3600 * 1_000_000
+    # find the widest matched pair to place the restart cut inside it
+    s_side = ev.where(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("su"), F.unix_micros("ts").alias("s_us")
+    )
+    p_side = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.unix_micros("ts").alias("p_us")
+    )
+    widest = (
+        s_side.join(
+            p_side,
+            (F.col("su") == F.col("pu"))
+            & (F.col("p_us") >= F.col("s_us"))
+            & (F.col("p_us") <= F.col("s_us") + F.lit(w_us)),
+        )
+        .select((F.col("p_us") - F.col("s_us")).alias("gap"), "s_us", "p_us")
+        .orderBy(F.col("gap").desc())
+        .limit(1)
+        .collect()
+    )
+    if widest and widest[0].gap >= 2:
+        cut = widest[0].s_us + widest[0].gap // 2
+    else:  # no matched pair with room — fall back to the global midpoint
+        b = ev.agg(
+            F.unix_micros(F.min("ts")).alias("lo"),
+            F.unix_micros(F.max("ts")).alias("hi"),
+        ).collect()[0]
+        cut = b.lo + (b.hi - b.lo) // 2
+
+    root = tempfile.mkdtemp(prefix="sparkroach_join_stream_")
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    sink = os.path.join(root, "sink")
+    ck = os.path.join(root, "ck")
+    base = time.time() - 3600
+    cols = [f.name for f in EVENT_SCHEMA.fields]
+
+    def stage(name: str, df: DataFrame, mtime: float) -> None:
+        tmp = os.path.join(root, "stage_" + name)
+        df.select(*cols).coalesce(1).write.format("parquet").save(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dest = os.path.join(feed, name + ".parquet")
+        os.rename(os.path.join(tmp, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    def run_once() -> None:
+        def source() -> DataFrame:
+            return (
+                spark.readStream.schema(EVENT_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(feed)
+            )
+
+        signups = (
+            source()
+            .where(F.col("event_type") == "signup")
+            .select(
+                F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts")
+            )
+            .withWatermark("signup_ts", f"{JOIN_WINDOW_HOURS} hours")
+        )
+        purchases = (
+            source()
+            .where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("value").alias("purchase_value"),
+            )
+            .withWatermark("purchase_ts", f"{JOIN_WINDOW_HOURS} hours")
+        )
+        joined = signups.join(
+            purchases,
+            F.expr(
+                f"""s_user = p_user
+                AND purchase_ts >= signup_ts
+                AND purchase_ts <= signup_ts + INTERVAL {JOIN_WINDOW_HOURS} HOURS"""
+            ),
+        ).select(
+            F.col("s_user").alias("user_id"),
+            "signup_ts",
+            "purchase_ts",
+            "purchase_value",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()  # guard: never leak a running query into the session
+
+    try:
+        t_us = F.unix_micros("ts")
+        stage("b0", ev.where(t_us < F.lit(cut)), base)
+        run_once()  # signups before the cut are now buffered join state
+        stage("b1", ev.where(t_us >= F.lit(cut)), base + 10)
+        run_once()  # RESTART on the same checkpoint: the straddling pair
+        # can only be emitted from RECOVERED state
+        out = spark.read.parquet(sink).orderBy(
+            "user_id", "signup_ts", "purchase_ts"
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        if prev_parts is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

@@ -174,3 +174,50 @@ def test_sessions_streamed_equals_batch_twin(spark):
     assert [tuple(r) for r in streamed.collect()] == [
         tuple(r) for r in batch.collect()
     ]
+
+
+def test_stream_stream_join_restart_cut_straddles_a_pair(spark):
+    """events_join_streamed places its restart cut inside the WIDEST
+    matched (signup, purchase) pair.  For the recovery claim to be
+    non-vacuous, such a pair must exist with room for a cut (gap >= 2 us)
+    — verify from the batch side, and verify the streamed result contains
+    a pair straddling that cut (signup before, purchase at/after)."""
+    from pyspark.sql import functions as F
+
+    from sparkroach.queries import QUERIES
+    from sparkroach.streaming.events import JOIN_WINDOW_HOURS
+    from sparkroach.tables import load
+    from tests.conftest import SF_SMALL
+
+    ev = load(spark, SF_SMALL, "events")
+    w_us = JOIN_WINDOW_HOURS * 3600 * 1_000_000
+    s = ev.where(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("su"), F.unix_micros("ts").alias("s_us")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.unix_micros("ts").alias("p_us")
+    )
+    widest = (
+        s.join(
+            p,
+            (F.col("su") == F.col("pu"))
+            & (F.col("p_us") >= F.col("s_us"))
+            & (F.col("p_us") <= F.col("s_us") + F.lit(w_us)),
+        )
+        .select((F.col("p_us") - F.col("s_us")).alias("gap"), "s_us", "p_us")
+        .orderBy(F.col("gap").desc())
+        .limit(1)
+        .collect()
+    )
+    assert widest and widest[0].gap >= 2, "no matched pair with cut room"
+    cut = widest[0].s_us + widest[0].gap // 2
+
+    streamed = QUERIES["events_join_streamed"].fn(spark, SF_SMALL).collect()
+    assert len(streamed) > 0
+    straddling = [
+        r
+        for r in streamed
+        if r.signup_ts.timestamp() * 1_000_000 < cut
+        <= r.purchase_ts.timestamp() * 1_000_000
+    ]
+    assert straddling, "no emitted pair spans the restart cut"
