@@ -459,3 +459,287 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# inverted_index_postings
+# ---------------------------------------------------------------------------
+
+POSTINGS_HEAD = 10
+
+
+@register(
+    "inverted_index_postings",
+    oracle=f"""
+        WITH words AS (
+            SELECT DISTINCT doc_id,
+                   unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        occ AS (
+            SELECT doc_id, term, 1 AS one FROM words
+        ),
+        cf AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS cf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            GROUP BY term
+        )
+        SELECT w.term,
+               CAST(count(*) AS BIGINT) AS df,
+               cf.cf,
+               (list_sort(list(w.doc_id)))[1:{POSTINGS_HEAD}] AS postings_head
+        FROM words w JOIN cf ON cf.term = w.term
+        GROUP BY w.term, cf.cf
+        ORDER BY w.term
+    """,
+    survey_ref="LLM ops: inverted index construction — per-term posting "
+    "lists (document frequency + head of the sorted doc-id list), the "
+    "retrieval-side artifact every RAG/search corpus build produces",
+    description="distinct (doc_id, term) pairs grouped per term: df is "
+    "the posting count, postings_head the first "
+    f"{POSTINGS_HEAD} doc ids in sorted order (the posting list head — "
+    "full lists would be emitted to a term-bucketed store at scale; the "
+    "head keeps the gate row bounded while pinning real order).  One "
+    "shuffle on term with map-side combine; corpus frequency joins from "
+    "the vocab-sized side",
+    gated=False,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    all_words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    words = all_words.distinct()
+    cf = all_words.groupBy("term").agg(F.count("*").alias("cf"))
+    return (
+        words.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_HEAD).alias(
+                "postings_head"
+            ),
+        )
+        .join(F.broadcast(cf), "term")
+        .select("term", "df", "cf", "postings_head")
+        .orderBy("term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix_weights
+# ---------------------------------------------------------------------------
+
+# α = 0.5 (square-root temperature sampling, the multilingual-mix
+# standard): sqrt() is IEEE-correctly-rounded in BOTH engines (unlike
+# ln/exp/pow), so the weights are bit-identical without integer tricks.
+MIX_ALPHA_NOTE = "alpha=0.5 via sqrt (IEEE-exact in both engines)"
+
+
+@register(
+    "temperature_mix_weights",
+    oracle="""
+        WITH tok AS (
+            SELECT source,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        w AS (
+            SELECT source, n_tokens,
+                   sqrt(CAST(n_tokens AS DOUBLE)) AS weight_sqrt,
+                   CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,9))
+                       AS wd
+            FROM tok
+        ),
+        tot AS (
+            SELECT CAST(SUM(wd) AS DOUBLE) AS sum_w,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_n
+            FROM w
+        )
+        SELECT w.source, w.n_tokens, w.weight_sqrt,
+               w.weight_sqrt / tot.sum_w AS share,
+               (w.weight_sqrt / tot.sum_w)
+                   / (CAST(w.n_tokens AS DOUBLE) / CAST(tot.sum_n AS DOUBLE))
+                   AS boost
+        FROM w CROSS JOIN tot
+        ORDER BY source
+    """,
+    survey_ref="LLM data management: temperature-sampled mix weights "
+    "(w_i ∝ n_i^0.5) — the standard rebalancing between corpus-size-"
+    "proportional and uniform sampling for multilingual/multi-source "
+    "training mixes",
+    description="per-source token inventory → sqrt-temperature weight.  "
+    "sqrt is IEEE-correctly-rounded in both engines (unlike ln/exp/pow), "
+    "so no integer surrogate is needed; the weight SUM crosses an "
+    "aggregation and is therefore decimal-cast first (order-insensitive "
+    "under partial aggregation).  boost = share/natural_share > 1 marks "
+    "up-sampled (small) sources — the point of temperature sampling, "
+    "visible in the output",
+    gated=False,
+)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    tok = d.groupBy("source").agg(F.sum(n_tokens).cast("long").alias("n_tokens"))
+    w = tok.select(
+        "source",
+        "n_tokens",
+        F.sqrt(F.col("n_tokens").cast("double")).alias("weight_sqrt"),
+        F.sqrt(F.col("n_tokens").cast("double"))
+        .cast("decimal(28,9)")
+        .alias("wd"),
+    )
+    tot = w.agg(
+        F.sum("wd").cast("double").alias("sum_w"),
+        F.sum("n_tokens").cast("long").alias("sum_n"),
+    )
+    share = F.col("weight_sqrt") / F.col("sum_w")
+    natural = F.col("n_tokens").cast("double") / F.col("sum_n").cast("double")
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            "weight_sqrt",
+            share.alias("share"),
+            (share / natural).alias("boost"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pagerank_dup_graph
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 3
+PR_DAMP = "CAST(0.85 AS DOUBLE)"
+PR_TELE = "CAST(0.15 AS DOUBLE)"
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank, DuckDB side.  Per-edge
+    contributions are ROUNDed to 12 decimals and DECIMAL-summed so the
+    per-node sum is order-insensitive (floating sums would depend on
+    reduce order and could never hash-match a distributed engine)."""
+    lsh = _lsh_candidates_cte().strip()
+    assert lsh.startswith("WITH ")
+    ctes = [
+        lsh[len("WITH "):],
+        f"""edges AS (
+            SELECT c.doc_a, c.doc_b FROM cand c
+            JOIN shing sa ON sa.doc_id = c.doc_a
+            JOIN shing sb ON sb.doc_id = c.doc_b
+            WHERE {_JACC_SQL} >= {_JACCARD_TAU}
+        )""",
+        """sym AS (
+            SELECT doc_a AS src, doc_b AS dst FROM edges
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM edges
+        )""",
+        """nodes AS (
+            SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM sym GROUP BY src
+        )""",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM nodes)",
+        """pr0 AS (
+            SELECT node, degree, CAST(1 AS DOUBLE) / n.nd AS pr
+            FROM nodes CROSS JOIN nn n
+        )""",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"""c{i} AS (
+                SELECT s.dst AS node,
+                       CAST(SUM(CAST(ROUND(p.pr / p.degree, 12)
+                                     AS DECIMAL(28,12))) AS DOUBLE) AS s
+                FROM pr{i - 1} p JOIN sym s ON s.src = p.node
+                GROUP BY s.dst
+            )""",
+        )
+        ctes.append(
+            f"""pr{i} AS (
+                SELECT nodes.node, nodes.degree,
+                       {PR_TELE} / n.nd
+                       + {PR_DAMP} * COALESCE(c{i}.s, CAST(0 AS DOUBLE)) AS pr
+                FROM nodes CROSS JOIN nn n
+                LEFT JOIN c{i} ON c{i}.node = nodes.node
+            )""",
+        )
+    body = ",\n".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT node AS doc_id, degree, pr AS pagerank
+        FROM pr{PR_ITERS}
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "pagerank_dup_graph",
+    oracle=_pagerank_oracle(),
+    survey_ref="LLM ops: PageRank over the verified near-dup graph — the "
+    "iterative-graph-algorithm shape beyond connected components "
+    "(centrality picks the canonical representative of a dup cluster by "
+    "connectivity, not id order)",
+    description=f"{PR_ITERS} fixed power iterations over the symmetric "
+    "LSH-verified pair graph: each iteration is one equi-join shuffle "
+    "(contributions) + one grouped sum.  Per-edge contributions are "
+    "rounded→DECIMAL before summing, making the per-node sum order-"
+    "insensitive — the property that lets a distributed engine and a "
+    "single-threaded one agree bit-for-bit, and that makes cluster runs "
+    "reproducible under partial aggregation.  At 100 TB the edge list is "
+    "partitioned by src and the rank table broadcast-or-co-partitioned; "
+    "iteration count is fixed (power iteration, no convergence test)",
+    gated=False,
+)
+def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    edges = (
+        _verified_pairs(d)
+        .where(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_a", "doc_b")
+    )
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    # the edge set feeds the degree table AND every iteration's join
+    sym = sym.localCheckpoint(eager=True)
+    nodes = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    nn = nodes.agg(F.count("*").cast("double").alias("nd"))
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", "degree", (F.lit(1.0) / F.col("nd")).alias("pr")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            pr.join(sym, pr["node"] == sym["src"])
+            .select(
+                F.col("dst"),
+                F.round(F.col("pr") / F.col("degree"), 12)
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("double").alias("s"))
+        )
+        pr = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                "degree",
+                (
+                    F.lit(0.15) / F.col("nd")
+                    + F.lit(0.85)
+                    * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return pr.select(
+        F.col("node").alias("doc_id"), "degree", F.col("pr").alias("pagerank")
+    ).orderBy("doc_id")

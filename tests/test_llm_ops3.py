@@ -96,3 +96,32 @@ def test_funnel_thresholds_split_the_corpus():
     # the quality band must sit strictly inside the observed token-count
     # range (10..99 at every SF) for the gate to be non-trivial
     assert 10 < FUNNEL_MIN_TOKENS < FUNNEL_MAX_TOKENS < 99
+
+
+def test_postings_heads_are_sorted_prefixes(spark):
+    rows = QUERIES["inverted_index_postings"].fn(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.postings_head == sorted(r.postings_head)
+        assert len(r.postings_head) == min(r.df, 10)
+        assert r.cf >= r.df  # every posting has >= 1 occurrence
+
+
+def test_temperature_mix_boosts_small_sources(spark):
+    rows = QUERIES["temperature_mix_weights"].fn(spark, SF_SMALL).collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    smallest = min(rows, key=lambda r: r.n_tokens)
+    largest = max(rows, key=lambda r: r.n_tokens)
+    # sqrt-temperature up-samples small sources, down-samples large ones
+    assert smallest.boost > 1.0 > largest.boost
+
+
+def test_pagerank_mass_is_conserved(spark):
+    rows = QUERIES["pagerank_dup_graph"].fn(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    # symmetric graph has no dangling nodes, so total rank stays ~1
+    # (up to the 1e-12 per-edge contribution rounding)
+    assert abs(sum(r.pagerank for r in rows) - 1.0) < 1e-6
+    for r in rows:
+        assert r.degree >= 1
+        assert r.pagerank > 0
