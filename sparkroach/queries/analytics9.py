@@ -1,0 +1,189 @@
+"""Event-analytics breadth, round-4 continuation: built-in session
+windows, pivot, and semi-structured (JSON) column extraction.
+
+- ``events_session_window_builtin`` — Spark's native ``session_window``
+  (dynamic gap-merged event-time windows), the built-in complement to the
+  custom applyInPandasWithState sessionizer gated earlier.  The oracle
+  mirrors the built-in's HALF-OPEN gap semantics (a gap of exactly the
+  window duration starts a NEW session — `>=`, where the lag-based
+  `events_user_sessions` oracle uses `>`), so the two sessionizations are
+  deliberately distinct declared semantics, both value-checked.
+- ``events_type_pivot``     — PIVOT: one row per user, one column per
+  event type (explicit value list → deterministic schema; conditional
+  aggregation under the hood, map-side combined).
+- ``events_props_stats``    — semi-structured extraction: a JSON props
+  column parsed per row (get_json_object / json_extract), aggregated with
+  exact integer sums — the events-table analog of the chain plane's
+  JSON-field filters.
+
+Reference parity note: the reference's query surface has JSON field
+predicates (txn JSON); these extend the same capability to the analytics
+plane.  Registered gated=False (driver window full); r5 rotation
+candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkroach.queries.registry import register
+from sparkroach.tables import load
+
+SESSION_GAP = "30 minutes"
+_GAP_US = 1_800_000_000
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_session_window_builtin",
+    oracle=f"""
+        WITH us AS (
+            SELECT user_id, event_id, ts,
+                   epoch_us(ts::TIMESTAMP) AS t_us
+            FROM events
+        ),
+        g AS (
+            SELECT user_id, ts, t_us,
+                   CASE WHEN t_us - lag(t_us) OVER (
+                                PARTITION BY user_id ORDER BY t_us, event_id)
+                             >= {_GAP_US}
+                        OR lag(t_us) OVER (
+                                PARTITION BY user_id ORDER BY t_us, event_id)
+                           IS NULL
+                        THEN 1 ELSE 0 END AS ns
+            FROM us
+        ),
+        s AS (
+            SELECT user_id, ts, t_us,
+                   SUM(ns) OVER (
+                       PARTITION BY user_id ORDER BY t_us, ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM g
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+    survey_ref="§2C streaming/windowing — BUILT-IN session_window (dynamic "
+    "gap-merged event-time windows), complement of the custom "
+    "applyInPandasWithState sessionizer",
+    description="Spark's native session_window(ts, '30 minutes') grouped "
+    "per user: windows within the gap merge, session_end = last event + "
+    "gap (half-open semantics: a gap of exactly 30 min starts a NEW "
+    "session — the oracle mirrors `>=`, where the custom sessionizer's "
+    "declared semantics use `>`).  Works identically under readStream "
+    "with a watermark; batch form gated here",
+    gated=False,
+)
+def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "events_type_pivot",
+    oracle=f"""
+        SELECT user_id,
+               {", ".join(
+                   f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+                   f" AS {t}" for t in EVENT_TYPES
+               )},
+               CAST(count(*) AS BIGINT) AS total
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    survey_ref="relational breadth: PIVOT — one column per category value "
+    "(explicit value list, deterministic schema)",
+    description="groupBy(user).pivot(event_type, [explicit values]) — "
+    "the explicit list avoids the extra distinct-values job AND pins the "
+    "output schema (a driver-side distinct scan at 100 TB is a full "
+    "column pass; category dictionaries are known in production).  "
+    "Compiles to conditional aggregation with map-side combine — one "
+    "shuffle, same cost as a plain groupBy",
+    gated=False,
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    pv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+    total = None
+    for t in EVENT_TYPES:
+        pv = pv.withColumn(t, F.col(t).cast("long"))
+        total = F.col(t) if total is None else total + F.col(t)
+    return pv.withColumn("total", total.cast("long")).orderBy("user_id")
+
+
+@register(
+    "events_props_stats",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS k_sum,
+               CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS k_min,
+               CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS k_max,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS k_avg
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    survey_ref="semi-structured columns: JSON field extraction + "
+    "aggregation over an event-properties column (the analytics-plane "
+    "analog of the chain plane's txn-JSON predicates)",
+    description="get_json_object per row (JVM-side JSON path, no Python), "
+    "aggregated with exact integer sums and ONE final division.  At "
+    "100 TB the extraction is map-side and the shuffle carries only the "
+    "per-type partial aggregates; for hot paths the production move is "
+    "materializing the extracted column at ingest (as the chain plane "
+    "does for txn fields)",
+    gated=False,
+)
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "k_sum",
+            "k_min",
+            "k_max",
+            (F.col("k_sum").cast("double") / F.col("n").cast("double")).alias(
+                "k_avg"
+            ),
+        )
+        .orderBy("event_type")
+    )
