@@ -158,6 +158,7 @@ def source_term_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "passage_dedup_exact",
     # r4 end-of-round: rotated IN for a first driver recording this round
+    bench=True,  # late r4: heavy linear text op added to the headline set
     oracle=f"""
         WITH w AS (
             SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -204,7 +205,14 @@ def passage_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice(ws, i + 1, PASSAGE_WORDS), " ")
         ),
     )
-    p = d.select("doc_id", F.explode(passages).alias("ph"))
+    # the exploded (doc_id, passage-hash) frame feeds BOTH the per-hash
+    # doc count and the join back; without materialization each consumer
+    # re-runs the window-slice + md5-per-gram stage (the dominant cost —
+    # measured 4.2 s → 2.0 s at sf0.1).  Same persist-a-multi-consumed-
+    # intermediate move as capped_band_pairs.
+    p = d.select("doc_id", F.explode(passages).alias("ph")).localCheckpoint(
+        eager=True
+    )
     hd = p.groupBy("ph").agg(F.countDistinct("doc_id").alias("nd"))
     dup = F.when(F.col("nd") > 1, 1).otherwise(0)
     return (

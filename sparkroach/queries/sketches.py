@@ -140,6 +140,7 @@ def _summary_sql(group: str = "") -> str:
 
 @register(
     "hll_distinct_sketch",
+    bench=True,  # late r4: sketch-family representative in the headline set
     oracle=f"""
         WITH md AS (
             SELECT md5(CAST(event_id AS VARCHAR)) AS m FROM events
@@ -338,10 +339,14 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = F.transform(
         idx, lambda i: F.concat(F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1))
     )
+    # cf (vocab-sized) feeds the D counter tables AND the estimate join;
+    # materializing it stops each consumer re-running the corpus bigram
+    # explode (D+1 scans otherwise)
     cf = (
         d.select(F.explode(bigrams).alias("b"))
         .groupBy("b")
         .agg(F.count("*").alias("exact_cf"))
+        .localCheckpoint(eager=True)
     )
     hashed = cf.select(
         "b",

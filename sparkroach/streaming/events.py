@@ -643,3 +643,111 @@ def events_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.shuffle.partitions")
         else:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+@register(
+    "events_dedup_streamed",
+    oracle="""
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM events
+        ORDER BY event_id
+    """,
+    survey_ref="§2C streaming — BUILT-IN streaming deduplication "
+    "(dropDuplicates + watermark) through the real writeStream path: "
+    "at-least-once upstream delivery collapsed to exactly-once output",
+    description="the events feed is staged with every row DELIVERED "
+    "TWICE in different micro-batches (the at-least-once redelivery "
+    "every real broker exhibits), run through "
+    "dropDuplicates(event_id, ts) — the event-time column is in the "
+    "keys, which is what lets the watermark actually EVICT dedup state "
+    "— with a query restart "
+    "between the two deliveries — the redelivered rows can only be "
+    "suppressed by dedup state recovered from the checkpoint.  Sink "
+    "must equal the original events exactly",
+    gated=False,  # r5 rotation candidate (driver window full this round)
+)
+def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive built-in streaming dedup end-to-end under redelivery.
+
+    Watermark note: dropDuplicates state is keyed by event_id and
+    evicted once the watermark passes the row's event time by the delay.
+    The duplicate delivery is staged with the SAME time range as the
+    original (b1 replays b0), and the watermark delay spans the whole
+    feed's time range, so no dedup state is evicted before the replay
+    arrives — suppression is guaranteed by construction, and the restart
+    between delivery and replay proves the state store survives."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.unix_micros(F.min("ts")).alias("lo"),
+        F.unix_micros(F.max("ts")).alias("hi"),
+    ).collect()[0]
+    # watermark delay > full feed span ⇒ no state evicted mid-run
+    delay_s = (b.hi - b.lo) // 1_000_000 + 3600
+
+    root = tempfile.mkdtemp(prefix="sparkroach_dedup_stream_")
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    sink = os.path.join(root, "sink")
+    ck = os.path.join(root, "ck")
+    base = time.time() - 3600
+    cols = [f.name for f in EVENT_SCHEMA.fields]
+
+    def stage(name: str, df: DataFrame, mtime: float) -> None:
+        tmp = os.path.join(root, "stage_" + name)
+        df.select(*cols).coalesce(1).write.format("parquet").save(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dest = os.path.join(feed, name + ".parquet")
+        os.rename(os.path.join(tmp, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        # the event-time column MUST be part of the dedup keys: with a
+        # key subset that excludes it, Spark cannot associate state rows
+        # with event time and never evicts them (unbounded state — the
+        # documented dropDuplicates+watermark contract).  Redelivered
+        # rows carry identical (event_id, ts), so suppression is
+        # unchanged; state is genuinely watermark-bounded.
+        deduped = stream.withWatermark("ts", f"{delay_s} seconds").dropDuplicates(
+            ["event_id", "ts"]
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()  # guard: never leak a running query into the session
+
+    try:
+        stage("b0", ev, base)  # first delivery: every event once
+        run_once()  # dedup state now holds every event_id
+        stage("b1", ev, base + 10)  # REDELIVERY: the whole feed again
+        run_once()  # RESTART on the same checkpoint — the replayed rows
+        # are suppressed only if the state store was recovered
+        out = spark.read.parquet(sink).orderBy("event_id")
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        if prev_parts is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
