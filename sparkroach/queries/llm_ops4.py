@@ -1,0 +1,394 @@
+"""LLM-data-pipeline operators, set 4: semantic dedup (SemDeDup), BPE
+pair counting, triangle counting over the near-dup graph, and TF-IDF
+term ranking.
+
+Beyond-reference surface (the reference engine — algorand/
+conduit-cockroachdb — has no text/embedding plane; these are the
+training-data operators SURVEY.md's north star calls for), each
+expressed Spark-first with an exact DuckDB oracle:
+
+- ``semdedup_clusters``: the SemDeDup recipe (Abbas et al. 2023,
+  arXiv:2303.09540) — k-means-cluster the embedding space, then look for
+  near-duplicates ONLY within a cluster.  Cluster blocking is the scale
+  story: candidate generation is an equi-join on the cluster id instead
+  of an n² scan, and the per-cluster pair work is bounded by the shared
+  ``capped_band_pairs`` guard (the same cap every LSH family member
+  uses), so a degenerate cluster can never go quadratic.
+- ``bpe_pair_counts``: the first iteration of byte-pair-encoding
+  tokenizer training — corpus-weighted adjacent-symbol pair frequencies.
+  Two grouped aggregations; the pair table is bounded by charset² so the
+  final global rank is a broadcast-scale sort, never a data-scale one.
+- ``triangle_count_dup_graph``: per-node triangle counts on the
+  LSH-verified near-dup graph via the oriented wedge join (each edge
+  stored once as doc_a < doc_b; wedge (a,b),(a,c) with b < c closes iff
+  (b,c) is an edge — every triangle counted exactly once).  The standard
+  distributed triangle algorithm: two equi-join shuffles over the edge
+  list, no matrix products.
+- ``tfidf_top_terms``: per-document top terms by TF-IDF with LINEAR idf
+  (tf·N/df as one IEEE division of exact integers).  log-idf would rank
+  identically (log is monotone) but ln() is libm whose last-ulp varies
+  by engine — the linear variant keeps the score bit-identical in Spark
+  and DuckDB, the same determinism discipline as the HLL estimator in
+  sketches.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkroach.queries.llm_ops import (
+    _DOT,
+    _DOT_SQL,
+    _JACC_SQL,
+    _JACCARD_TAU,
+    _NORM,
+    _NORM_SQL,
+    _capped_cand_sql,
+    _ivf_kmeans_oracle,
+    _ivf_kmeans_parts,
+    _lsh_candidates_cte,
+    _verified_pairs,
+    NEARDUP_TAU,
+    capped_band_pairs,
+)
+from sparkroach.queries.registry import register
+from sparkroach.tables import load
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup blocked by k-means clusters
+# ---------------------------------------------------------------------------
+
+# same cosine threshold as dedup_embedding_cosine so the two blocking
+# strategies (hyperplane LSH vs k-means clusters) are directly comparable
+SEMDEDUP_TAU = NEARDUP_TAU
+
+
+def _semdedup_oracle() -> str:
+    """Cluster assignment = the trained k-means of ann_ivf_kmeans (one
+    Lloyd iteration, deterministic seeds/ties), reused verbatim; pair
+    generation mirrors capped_band_pairs keyed on the cluster id."""
+    assign = _ivf_kmeans_oracle("assign")
+    capped = _capped_cand_sql("assign", "vec_id", ("cluster",))
+    return f"""
+        WITH assign AS MATERIALIZED ({assign}),
+        {capped.strip()},
+        scored AS (
+            SELECT c.doc_a AS a_id, c.doc_b AS b_id,
+                   ea.embedding AS qe, eb.embedding AS ce
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.doc_a
+            JOIN embeddings eb ON eb.vec_id = c.doc_b
+        ),
+        pairs AS (
+            SELECT a_id, b_id,
+                   ROUND({_DOT_SQL}
+                         / ({_NORM_SQL.format(col="qe")} * {_NORM_SQL.format(col="ce")}),
+                         6) AS cosine
+            FROM scored
+        )
+        SELECT p.b_id AS dup_id, a.cluster,
+               MIN(p.a_id) AS keep_id,
+               COUNT(*) AS n_matches, MAX(p.cosine) AS max_cosine
+        FROM pairs p JOIN assign a ON a.vec_id = p.b_id
+        WHERE p.cosine >= {SEMDEDUP_TAU}
+        GROUP BY p.b_id, a.cluster
+        ORDER BY dup_id
+    """
+
+
+@register(
+    "semdedup_clusters",
+    oracle=_semdedup_oracle(),
+    survey_ref="LLM ops: SEMANTIC dedup, SemDeDup-style — k-means-cluster "
+    "the embedding space, near-dup search only within a cluster "
+    "(cluster-blocked complement to the hyperplane-LSH-blocked "
+    "dedup_embedding_cosine)",
+    description="SemDeDup (Abbas et al. 2023): assign every embedding to a "
+    "trained k-means centroid (the ann_ivf_kmeans training pass — "
+    "broadcast centroids, the corpus never shuffles for assignment), "
+    "generate candidate pairs ONLY within a cluster through the shared "
+    f"capped band join, verify with exact cosine >= {SEMDEDUP_TAU}, keep "
+    "the lowest vec_id.  At 100 TB the cluster count scales with n so "
+    "per-cluster membership stays bounded; candidate generation is one "
+    "equi-join on the cluster id and the cap guard makes a degenerate "
+    "cluster linear, not quadratic",
+    gated=False,  # r5 rotation candidate (driver window full this round)
+)
+def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a2, _ = _ivf_kmeans_parts(spark, sf_dir)
+    # the assignment feeds candidate generation AND the dup-side cluster
+    # join; one k-means chain, not two
+    a2 = a2.localCheckpoint(eager=True)
+    cand = capped_band_pairs(a2, "vec_id", key_cols=("cluster",)).select(
+        F.col("doc_a").alias("a_id"), F.col("doc_b").alias("b_id")
+    )
+    e = load(spark, sf_dir, "embeddings")
+    # per-vector norm once on the broadcast side (same move as
+    # dedup_embedding_cosine — identical float, one traversal per pair)
+    en = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(_NORM.format(col="embedding")).alias("nrm"),
+    )
+    ea = en.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("na"),
+    )
+    eb = en.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("nb"),
+    )
+    cosine = F.round(F.expr(_DOT) / (F.col("na") * F.col("nb")), 6)
+    pairs = (
+        cand.join(F.broadcast(ea), "a_id")
+        .join(F.broadcast(eb), "b_id")
+        .select("a_id", "b_id", cosine.alias("cosine"))
+        .where(F.col("cosine") >= SEMDEDUP_TAU)
+    )
+    return (
+        pairs.groupBy(F.col("b_id").alias("dup_id"))
+        .agg(
+            F.min("a_id").alias("keep_id"),
+            F.count("*").alias("n_matches"),
+            F.max("cosine").alias("max_cosine"),
+        )
+        .join(
+            a2.select(F.col("vec_id").alias("dup_id"), "cluster"), "dup_id"
+        )
+        .select("dup_id", "cluster", "keep_id", "n_matches", "max_cosine")
+        .orderBy("dup_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counting: tokenizer training's inner loop, first iteration
+# ---------------------------------------------------------------------------
+
+BPE_TOP = 20
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+        WITH w AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        wf AS (
+            SELECT w, COUNT(*) AS f FROM w WHERE length(w) >= 2 GROUP BY w
+        ),
+        p AS (
+            SELECT unnest([substring(w, i, 2) for i in range(1, length(w))])
+                       AS pair,
+                   f
+            FROM wf
+        ),
+        pc AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS n FROM p GROUP BY pair),
+        r AS (
+            SELECT pair, n,
+                   row_number() OVER (ORDER BY n DESC, pair) AS rank
+            FROM pc
+        )
+        SELECT pair, n, rank FROM r WHERE rank <= {BPE_TOP} ORDER BY rank
+    """,
+    survey_ref="LLM ops: BPE tokenizer training, first merge iteration — "
+    "corpus-weighted adjacent-symbol pair frequencies (the op a tokenizer "
+    "trainer runs over the whole corpus before every merge)",
+    description="byte-pair-encoding pair statistics: word frequencies "
+    "(first grouped agg — collapses the corpus to its vocabulary), then "
+    "adjacent character pairs per DISTINCT word weighted by word "
+    "frequency (second grouped agg over a charset²-bounded pair space).  "
+    f"Top {BPE_TOP} pairs = the first BPE merge candidates.  The global "
+    "rank window runs over the bounded pair table, never the corpus — at "
+    "100 TB both aggs have map-side partial combine and the rank input "
+    "is a few thousand rows regardless of corpus size",
+    gated=False,  # r5 rotation candidate (driver window full this round)
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = d.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.length("w") >= 2
+    )
+    wf = w.groupBy("w").agg(F.count("*").alias("f"))
+    pairs = F.expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+    )
+    pc = (
+        wf.select(F.explode(pairs).alias("pair"), "f")
+        .groupBy("pair")
+        .agg(F.sum("f").alias("n"))
+    )
+    # global rank over the charset²-bounded pair table (single-partition
+    # window by design: the input is vocabulary-of-pairs-sized, not
+    # corpus-sized)
+    wr = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return (
+        pc.select("pair", "n", F.row_number().over(wr).alias("rank"))
+        .where(F.col("rank") <= BPE_TOP)
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting over the verified near-dup graph
+# ---------------------------------------------------------------------------
+
+
+def _triangle_oracle() -> str:
+    lsh = _lsh_candidates_cte().strip()
+    return f"""
+        {lsh},
+        edges AS (
+            SELECT c.doc_a, c.doc_b
+            FROM cand c
+            JOIN shing sa ON sa.doc_id = c.doc_a
+            JOIN shing sb ON sb.doc_id = c.doc_b
+            WHERE {_JACC_SQL} >= {_JACCARD_TAU}
+        ),
+        tri AS (
+            SELECT x.doc_a AS a, x.doc_b AS b, y.doc_b AS c
+            FROM edges x
+            JOIN edges y ON x.doc_a = y.doc_a AND x.doc_b < y.doc_b
+            JOIN edges z ON z.doc_a = x.doc_b AND z.doc_b = y.doc_b
+        ),
+        nodes AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+        SELECT doc_id, COUNT(*) AS n_triangles
+        FROM nodes GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register(
+    "triangle_count_dup_graph",
+    oracle=_triangle_oracle(),
+    survey_ref="LLM ops: triangle counting on the verified near-dup graph — "
+    "the clustering-coefficient primitive (distinguishes clique-like dup "
+    "clusters from chain-like hash-collision artifacts)",
+    description="exact per-node triangle counts via the oriented wedge "
+    "join: edges stored once as doc_a < doc_b, wedges (a,b)x(a,c) with "
+    "b < c, closed by an equi-join back to the edge list — each triangle "
+    "counted exactly once, no matrix products, no symmetric blowup.  At "
+    "100 TB this is two equi-join shuffles over the (corpus-vanishing) "
+    "edge list; the orientation bounds wedge fan-out by the max "
+    "HIGH-degree of a node's lower-id neighbors, the standard skew guard "
+    "for distributed triangle counting",
+    gated=False,  # r5 rotation candidate (driver window full this round)
+)
+def triangle_count_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    # the edge list feeds the wedge join twice and the closing semi-join;
+    # materialize once (same move as pagerank_dup_graph's sym table)
+    edges = (
+        _verified_pairs(d)
+        .where(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    x = edges.alias("x")
+    y = edges.alias("y")
+    z = edges.alias("z")
+    wedges = x.join(
+        y,
+        (F.col("x.doc_a") == F.col("y.doc_a"))
+        & (F.col("x.doc_b") < F.col("y.doc_b")),
+    ).select(
+        F.col("x.doc_a").alias("a"),
+        F.col("x.doc_b").alias("b"),
+        F.col("y.doc_b").alias("c"),
+    )
+    tri = wedges.join(
+        z,
+        (F.col("b") == F.col("z.doc_a")) & (F.col("c") == F.col("z.doc_b")),
+    ).select("a", "b", "c")
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP = 3
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+        WITH n AS (SELECT COUNT(*) AS nn FROM documents),
+        w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM w WHERE length(term) > 0 GROUP BY doc_id, term
+        ),
+        dfc AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+        s AS (
+            SELECT t.doc_id, t.term,
+                   CAST(t.tf AS BIGINT) AS tf,
+                   CAST(d.df_docs AS BIGINT) AS df_docs,
+                   CAST(t.tf * n.nn AS DOUBLE) / CAST(d.df_docs AS DOUBLE)
+                       AS tfidf
+            FROM tf t JOIN dfc d USING (term) CROSS JOIN n
+        ),
+        r AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, term
+                   ) AS rank
+            FROM s
+        )
+        SELECT doc_id, term, tf, df_docs, tfidf, rank
+        FROM r WHERE rank <= {TFIDF_TOP}
+        ORDER BY doc_id, rank
+    """,
+    survey_ref="LLM ops: TF-IDF term ranking per document — the retrieval-"
+    "side relevance score over the inverted-index statistics "
+    "(inverted_index_postings provides the postings, this ranks them)",
+    description=f"top {TFIDF_TOP} terms per document by tf·N/df with "
+    "LINEAR idf: log-idf ranks identically (log is monotone in N/df) but "
+    "ln() is libm whose last ulp differs across engines — tf·N is an "
+    "exact integer and the single IEEE division is bit-identical in "
+    "Spark and DuckDB (the sketches.py determinism discipline).  Plan: "
+    "one grouped agg for tf (map-side combine), one for df, one "
+    "term-keyed equi-join (both sides already partitioned by term from "
+    "their aggregations), per-doc rank window.  No driver-side anything",
+    gated=False,  # r5 rotation candidate (driver window full this round)
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n = d.agg(F.count("*").alias("nn"))
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.length("term") > 0)
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+    s = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df_docs",
+            (
+                (F.col("tf") * F.col("nn")).cast("double")
+                / F.col("df_docs").cast("double")
+            ).alias("tfidf"),
+        )
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        s.select("doc_id", "term", "tf", "df_docs", "tfidf",
+                 F.row_number().over(wr).alias("rank"))
+        .where(F.col("rank") <= TFIDF_TOP)
+        .orderBy("doc_id", "rank")
+    )

@@ -521,3 +521,139 @@ def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+# Fixed equi-width histogram over per-document token counts: the simplest
+# MERGEABLE quantile sketch (bin counts are integers, merge = addition —
+# the same property that makes Count-Min mergeable).  Production engines
+# use KLL/t-digest for unbounded domains; for a BOUNDED integer domain the
+# fixed-bin histogram is exact-mergeable AND engine-exact, which is what a
+# hash-compared oracle needs.  The quantile answer is the LOWER BOUND of
+# the first bin whose cumulative count reaches the target rank — within
+# HIST_BIN_W of the true quantile by construction (the error bound is
+# structural, not probabilistic).
+
+HIST_BIN_W = 4  # token-count units per bin
+HIST_NBINS = 64  # domain cap: counts >= 252 clamp into the last bin
+
+_TOK_SQL = "len(string_split(text, ' '))"
+_HIST_BIN_SQL = f"LEAST({_TOK_SQL} // {HIST_BIN_W}, {HIST_NBINS - 1})"
+
+
+def _hist_quantile_sql(src_expr: str, label: str) -> str:
+    """One histogram chain: bin counts for grouping ``src_expr``, then
+    rank-threshold quantile buckets.  ceil(q·n) in pure integers:
+    ceil(a/b) = (a + b - 1) // b."""
+    return f"""
+        h_{label} AS (
+            SELECT {src_expr} AS source, {_HIST_BIN_SQL} AS bin,
+                   COUNT(*) AS c
+            FROM documents GROUP BY 1, 2
+        ),
+        t_{label} AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_bins_used
+            FROM h_{label} GROUP BY source
+        ),
+        cum_{label} AS (
+            SELECT source, bin, c,
+                   SUM(c) OVER (PARTITION BY source ORDER BY bin) AS cum
+            FROM h_{label}
+        ),
+        q_{label} AS (
+            SELECT c.source,
+                   MIN(CASE WHEN c.cum >= (t.n_docs + 1) // 2
+                            THEN c.bin END) * {HIST_BIN_W} AS p50_bucket_lo,
+                   MIN(CASE WHEN c.cum >= (9 * t.n_docs + 9) // 10
+                            THEN c.bin END) * {HIST_BIN_W} AS p90_bucket_lo
+            FROM cum_{label} c JOIN t_{label} t USING (source)
+            GROUP BY c.source
+        ),
+        r_{label} AS (
+            SELECT t.source, t.n_docs, t.n_bins_used,
+                   q.p50_bucket_lo, q.p90_bucket_lo
+            FROM t_{label} t JOIN q_{label} q USING (source)
+        )
+    """
+
+
+@register(
+    "hist_quantile_sketch",
+    oracle=f"""
+        WITH {_hist_quantile_sql("source", "s")},
+        {_hist_quantile_sql("'ALL'", "g").strip()}
+        SELECT source, n_docs, n_bins_used, p50_bucket_lo, p90_bucket_lo
+        FROM (SELECT * FROM r_s UNION ALL SELECT * FROM r_g)
+        ORDER BY source
+    """,
+    survey_ref="LLM ops: mergeable quantile sketch — fixed-bin histogram "
+    "over per-doc token counts, per-source sketches plus the merged "
+    "global row (completes the mergeable-sketch family: HLL for distinct, "
+    "CMS for frequency, histogram for quantiles)",
+    description=f"equi-width histogram sketch ({HIST_NBINS} bins × "
+    f"{HIST_BIN_W} tokens): one grouped agg builds every per-source "
+    "sketch map-side; quantiles are rank thresholds over the cumulative "
+    "bin counts (pure integer arithmetic — ceil via (a+b-1)//b — so both "
+    "engines agree exactly).  The 'ALL' row is the per-source sketches "
+    "MERGED BY ADDITION, the property that lets 100 TB quantiles be "
+    "computed per-partition and combined without re-touching data; a "
+    "test pins merged == direct.  Answer error is bounded by the bin "
+    "width by construction",
+    gated=False,  # r5 rotation candidate (driver window full this round)
+)
+def hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = F.size(F.split("text", " "))
+    bin_col = F.least(
+        (tok / HIST_BIN_W).cast("long"), F.lit(HIST_NBINS - 1)
+    )
+
+    def chain(src_col) -> DataFrame:
+        h = (
+            d.select(src_col.alias("source"), bin_col.alias("bin"))
+            .groupBy("source", "bin")
+            .agg(F.count("*").alias("c"))
+        )
+        t = h.groupBy("source").agg(
+            F.sum("c").alias("n_docs"), F.count("*").alias("n_bins_used")
+        )
+        wc = (
+            Window.partitionBy("source")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = h.withColumn("cum", F.sum("c").over(wc)).join(t, "source")
+        # integer rank thresholds, cross-multiplied so no division happens
+        # at all: cum >= ceil(q·n) ⇔ cum/q >= n ⇔ cum·(1/q) >= n over
+        # integers (cum >= (n+1)//2 ⇔ 2·cum >= n; cum >= (9n+9)//10 ⇔
+        # 10·cum >= 9n) — the oracle states the //-form, this states the
+        # multiplied form; equal on every integer input
+        q = cum.groupBy("source").agg(
+            (
+                F.min(
+                    F.when(F.col("cum") * 2 >= F.col("n_docs"), F.col("bin"))
+                )
+                * HIST_BIN_W
+            ).alias("p50_bucket_lo"),
+            (
+                F.min(
+                    F.when(
+                        F.col("cum") * 10 >= 9 * F.col("n_docs"), F.col("bin")
+                    )
+                )
+                * HIST_BIN_W
+            ).alias("p90_bucket_lo"),
+        )
+        return t.join(q, "source").select(
+            "source", "n_docs", "n_bins_used", "p50_bucket_lo", "p90_bucket_lo"
+        )
+
+    per_source = chain(F.col("source"))
+    merged = chain(F.lit("ALL"))
+    return per_source.unionByName(merged).orderBy("source")

@@ -646,6 +646,189 @@ def events_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_left_join_streamed",
+    oracle=f"""
+        SELECT s.user_id, s.ts AS signup_ts, p.ts AS purchase_ts,
+               p.value AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON s.user_id = p.user_id
+         AND p.ts >= s.ts
+         AND p.ts <= s.ts + INTERVAL {JOIN_WINDOW_HOURS} HOUR
+        ORDER BY s.user_id, signup_ts, purchase_ts
+    """,
+    survey_ref="§2C streaming — stream-stream LEFT OUTER interval join "
+    "through the real writeStream path: matched pairs emit on arrival, "
+    "null-extended rows emit ONLY when the watermark proves no match can "
+    "still arrive (the state-expiry emission path the inner join never "
+    "exercises)",
+    description="the left-outer complement to events_join_streamed: "
+    "signups with no purchase in the window must surface as null-extended "
+    "rows, which Spark emits from EXPIRING state — so the gate proves the "
+    "watermark-eviction emission path, not just match buffering.  "
+    "Far-future sentinel batches advance the watermark past every real "
+    "signup's window (emission happens in the batch AFTER the advance), "
+    "a restart sits mid-stream inside the widest matched pair, and the "
+    "sink must equal the batch LEFT JOIN bit-for-bit",
+    gated=False,  # r5 rotation candidate (driver window full this round)
+)
+def events_left_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive a real stream-stream left-outer interval join end-to-end.
+
+    Timing contract: null-extended rows for a signup at S are emitted
+    once the watermark passes S + window (+ delay) — during the batch
+    AFTER the watermark-advancing one (eviction in batch N uses the
+    watermark derived from batch N−1), hence TWO sentinel batches, the
+    same two-step as events_rollup_streamed.  The sentinel signup's own
+    state never expires (no later batch) and is filtered by user_id >= 0
+    regardless.  Premature eviction of real signups is impossible: all
+    real files precede the sentinels in mtime order, so while real rows
+    flow the watermark is bounded by real event times minus the delay.
+    """
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    ev = load(spark, sf_dir, "events")
+    w_us = JOIN_WINDOW_HOURS * 3600 * 1_000_000
+    # restart cut inside the widest matched pair (see events_join_streamed)
+    s_side = ev.where(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("su"), F.unix_micros("ts").alias("s_us")
+    )
+    p_side = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.unix_micros("ts").alias("p_us")
+    )
+    widest = (
+        s_side.join(
+            p_side,
+            (F.col("su") == F.col("pu"))
+            & (F.col("p_us") >= F.col("s_us"))
+            & (F.col("p_us") <= F.col("s_us") + F.lit(w_us)),
+        )
+        .select((F.col("p_us") - F.col("s_us")).alias("gap"), "s_us", "p_us")
+        .orderBy(F.col("gap").desc())
+        .limit(1)
+        .collect()
+    )
+    b = ev.agg(
+        F.unix_micros(F.min("ts")).alias("lo"),
+        F.unix_micros(F.max("ts")).alias("hi"),
+    ).collect()[0]
+    if widest and widest[0].gap >= 2:
+        cut = widest[0].s_us + widest[0].gap // 2
+    else:
+        cut = b.lo + (b.hi - b.lo) // 2
+
+    root = tempfile.mkdtemp(prefix="sparkroach_ljoin_stream_")
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    sink = os.path.join(root, "sink")
+    ck = os.path.join(root, "ck")
+    base = time.time() - 3600
+    cols = [f.name for f in EVENT_SCHEMA.fields]
+
+    def stage(name: str, df: DataFrame, mtime: float) -> None:
+        tmp = os.path.join(root, "stage_" + name)
+        df.select(*cols).coalesce(1).write.format("parquet").save(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dest = os.path.join(feed, name + ".parquet")
+        os.rename(os.path.join(tmp, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    def sentinel(n: int, t_us: int) -> DataFrame:
+        # one row of EACH type so both branches' watermarks advance
+        # (the query watermark is the min across inputs)
+        return spark.createDataFrame(
+            [
+                (-(2 * n), None, -1, "signup", 0.0, "{}"),
+                (-(2 * n + 1), None, -1, "purchase", 0.0, "{}"),
+            ],
+            EVENT_SCHEMA,
+        ).withColumn("ts", F.timestamp_micros(F.lit(t_us)))
+
+    def run_once() -> None:
+        def source() -> DataFrame:
+            return (
+                spark.readStream.schema(EVENT_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(feed)
+            )
+
+        signups = (
+            source()
+            .where(F.col("event_type") == "signup")
+            .select(
+                F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts")
+            )
+            .withWatermark("signup_ts", f"{JOIN_WINDOW_HOURS} hours")
+        )
+        purchases = (
+            source()
+            .where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("value").alias("purchase_value"),
+            )
+            .withWatermark("purchase_ts", f"{JOIN_WINDOW_HOURS} hours")
+        )
+        joined = signups.join(
+            purchases,
+            F.expr(
+                f"""s_user = p_user
+                AND purchase_ts >= signup_ts
+                AND purchase_ts <= signup_ts + INTERVAL {JOIN_WINDOW_HOURS} HOURS"""
+            ),
+            "leftOuter",
+        ).select(
+            F.col("s_user").alias("user_id"),
+            "signup_ts",
+            "purchase_ts",
+            "purchase_value",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()  # guard: never leak a running query into the session
+
+    try:
+        t_us = F.unix_micros("ts")
+        stage("b0", ev.where(t_us < F.lit(cut)), base)
+        run_once()  # pre-cut signups are now buffered join state
+        stage("b1", ev.where(t_us >= F.lit(cut)), base + 10)
+        stage("b2", sentinel(1, b.hi + 30 * 24 * 3600 * 1_000_000), base + 20)
+        stage("b3", sentinel(2, b.hi + 31 * 24 * 3600 * 1_000_000), base + 30)
+        run_once()  # RESTART: straddling pair from recovered state; b2
+        # advances the watermark past every real signup's window, b3 is
+        # the batch whose processing evicts + emits the null-extended rows
+        out = (
+            spark.read.parquet(sink)
+            .where(F.col("user_id") >= 0)
+            .orderBy("user_id", "signup_ts", "purchase_ts")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        if prev_parts is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+@register(
     "events_dedup_streamed",
     oracle="""
         SELECT event_id, ts, user_id, event_type, value, props
