@@ -187,3 +187,108 @@ def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-grain aggregation (CUBE / GROUPING SETS) and UNPIVOT
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_grouping_sets",
+    oracle="""
+        SELECT source, lang,
+               CAST(GROUPING(source, lang) AS BIGINT) AS grouping_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM documents
+        GROUP BY CUBE (source, lang)
+        ORDER BY grouping_id, source, lang
+    """,
+    survey_ref="analytics breadth: multi-grain aggregation — CUBE / "
+    "GROUPING SETS with grouping_id (the report-rollup SQL surface: all "
+    "four grains of (source, lang) in one pass)",
+    description="CUBE(source, lang) token/char totals with grouping_id "
+    "disambiguating the grains (both engines put the leftmost column in "
+    "the most significant bit).  Spark plans this as one Expand (4 "
+    "replicas of each row, one per grain) + a single hash aggregate with "
+    "map-side combine — one corpus pass for all grains.  At 100 TB the "
+    "Expand factor is the cost dial: with G grouping sets the shuffle "
+    "carries G× the distinct-group rows (not G× the corpus — partial "
+    "aggregation collapses first), and a very wide cube should be split "
+    "into unioned grouped aggs over a shared cached scan instead",
+    gated=False,  # r5 rotation candidate (driver window full this round)
+)
+def docs_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = F.size(F.split("text", " "))
+    return (
+        d.select("source", "lang", tok.alias("_t"), "n_chars")
+        .cube("source", "lang")
+        .agg(
+            F.grouping_id().alias("grouping_id"),
+            F.count("*").alias("n_docs"),
+            F.sum("_t").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .select(
+            "source", "lang", "grouping_id", "n_docs", "n_tokens", "n_chars"
+        )
+        .orderBy("grouping_id", "source", "lang")
+    )
+
+
+UNPIVOT_VALUE_THR = 150  # "high-value" cut: every SF has (user, type)
+# cells with zero qualifying events AND cells with many, so the melt's
+# zero rows are non-vacuous at sf0.001, sf0.01 and sf0.1 alike
+
+
+@register(
+    "events_value_unpivot",
+    oracle=f"""
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        t(event_type) AS (
+            VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')
+        ),
+        c AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events WHERE value > {UNPIVOT_VALUE_THR} GROUP BY 1, 2
+        )
+        SELECT u.user_id, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        FROM u CROSS JOIN t
+        LEFT JOIN c USING (user_id, event_type)
+        ORDER BY user_id, event_type
+    """,
+    survey_ref="analytics breadth: UNPIVOT/melt — the wide→long inverse "
+    "of events_type_pivot, producing an explicit zero row for every "
+    "(user, type) with no qualifying event",
+    description="pivot then unpivot: per-user HIGH-VALUE event counts "
+    f"(value > {UNPIVOT_VALUE_THR}) into one column per event type (the "
+    "events_type_pivot shape), melted back to (user_id, event_type, n) "
+    "with DataFrame.unpivot.  The zero rows are the point — they exist "
+    "only in the wide form, so the round trip is NOT the identity on the "
+    "naive long aggregate (the oracle builds them with a dimension cross "
+    "join).  Unpivot is a map-side Expand projection: no shuffle beyond "
+    "the originating aggregation, row count multiplies by the (fixed, "
+    "explicit) column list — never a data-dependent distinct scan",
+    gated=False,  # r5 rotation candidate (driver window full this round)
+)
+def events_value_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("event_type") == t)
+                    & (F.col("value") > UNPIVOT_VALUE_THR),
+                    1,
+                ).otherwise(0)
+            ).alias(t)
+            for t in EVENT_TYPES
+        ]
+    )
+    return (
+        wide.unpivot("user_id", EVENT_TYPES, "event_type", "n")
+        .orderBy("user_id", "event_type")
+    )

@@ -138,28 +138,34 @@ def _summary_sql(group: str = "") -> str:
     return f"SELECT {group}{',' if group else ''} {cols}"
 
 
+# the global events.event_id sketch summary — shared verbatim by
+# hll_distinct_sketch and the streaming merge gate (streaming/events.py),
+# whose register-wise-max compaction must land on the identical sketch
+HLL_GLOBAL_ORACLE = f"""
+    WITH md AS (
+        SELECT md5(CAST(event_id AS VARCHAR)) AS m FROM events
+    ),
+    hs AS (SELECT CAST({_H32_SQL} AS BIGINT) AS h FROM md),
+    rb AS (
+        SELECT h >> {_REST_BITS} AS bucket,
+               h & {(1 << _REST_BITS) - 1} AS rest
+        FROM hs
+    ),
+    regs AS (SELECT bucket, MAX({_RHO_SQL}) AS m_j FROM rb GROUP BY bucket),
+    summary AS ({_summary_sql()} FROM regs)
+    SELECT s.*, e.exact_distinct
+    FROM summary s
+    CROSS JOIN (
+        SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS exact_distinct
+        FROM events
+    ) e
+"""
+
+
 @register(
     "hll_distinct_sketch",
     bench=True,  # late r4: sketch-family representative in the headline set
-    oracle=f"""
-        WITH md AS (
-            SELECT md5(CAST(event_id AS VARCHAR)) AS m FROM events
-        ),
-        hs AS (SELECT CAST({_H32_SQL} AS BIGINT) AS h FROM md),
-        rb AS (
-            SELECT h >> {_REST_BITS} AS bucket,
-                   h & {(1 << _REST_BITS) - 1} AS rest
-            FROM hs
-        ),
-        regs AS (SELECT bucket, MAX({_RHO_SQL}) AS m_j FROM rb GROUP BY bucket),
-        summary AS ({_summary_sql()} FROM regs)
-        SELECT s.*, e.exact_distinct
-        FROM summary s
-        CROSS JOIN (
-            SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS exact_distinct
-            FROM events
-        ) e
-    """,
+    oracle=HLL_GLOBAL_ORACLE,
     survey_ref="LLM/analytics ops: mergeable distinct-count sketch — "
     "HyperLogLog built from scratch with engine-exact integer registers "
     "(the 100 TB replacement for exact COUNT(DISTINCT))",

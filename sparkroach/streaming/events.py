@@ -934,3 +934,140 @@ def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.shuffle.partitions")
         else:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+@register(
+    "hll_streaming_merge",
+    # oracle shared verbatim with the batch sketch: the streamed,
+    # redelivered, restarted pipeline must land on the IDENTICAL sketch
+    oracle=None,  # bound below after sketches imports cleanly
+    survey_ref="§2C streaming — STREAMING sketch maintenance: per-micro-"
+    "batch HyperLogLog partials appended to a durable sketch log through "
+    "foreachBatch, compacted by register-wise max; at-least-once "
+    "redelivery and a mid-stream restart leave the result bit-identical "
+    "to the batch sketch (merge idempotence IS the dedup)",
+    description="the streaming face of mergeability: each micro-batch "
+    "computes its own 256-register partial (one grouped max over the "
+    "batch) and APPENDS it to a parquet sketch log — no read-modify-"
+    "write, no coordination.  The whole feed's first half is REDELIVERED "
+    "after a query restart: because register-wise max is idempotent and "
+    "commutative, the replayed partial is absorbed with no dedup state "
+    "at all — the algebra does what events_dedup_streamed needs a state "
+    "store for.  Final compaction reads only the tiny partial log.  "
+    "Sink must equal hll_distinct_sketch's oracle bit-for-bit",
+    gated=False,  # r5 rotation candidate (driver window full this round)
+)
+def hll_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain a HyperLogLog over an event stream, exactly as a 100 TB
+    deployment would: partial sketches per micro-batch, durable append
+    log, max-merge compaction at read time.  The gate's delivery plan —
+    half the feed, restart, the other half PLUS a full replay of the
+    first half — proves the at-least-once safety claim by construction
+    rather than asserting it."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from sparkroach.queries.sketches import _hashed, _rho_col, _summary_cols
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.unix_micros(F.min("ts")).alias("lo"),
+        F.unix_micros(F.max("ts")).alias("hi"),
+    ).collect()[0]
+    cut = b.lo + (b.hi - b.lo) // 2
+
+    root = tempfile.mkdtemp(prefix="sparkroach_hll_stream_")
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    store = os.path.join(root, "sketch_log")
+    ck = os.path.join(root, "ck")
+    base = time.time() - 3600
+    cols = [f.name for f in EVENT_SCHEMA.fields]
+
+    def stage(name: str, df: DataFrame, mtime: float) -> None:
+        tmp = os.path.join(root, "stage_" + name)
+        df.select(*cols).coalesce(1).write.format("parquet").save(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dest = os.path.join(feed, name + ".parquet")
+        os.rename(os.path.join(tmp, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            regs = (
+                _hashed(batch_df.select("event_id"), "event_id")
+                .select("bucket", _rho_col().alias("rho"))
+                .groupBy("bucket")
+                .agg(F.max("rho").alias("m_j"))
+            )
+            # append-only: a crash between this write and the checkpoint
+            # commit re-runs the batch and re-appends — max-merge absorbs
+            # the duplicate partial, so the log needs no transactionality
+            regs.coalesce(1).write.mode("append").parquet(store)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()  # guard: never leak a running query into the session
+
+    try:
+        t_us = F.unix_micros("ts")
+        first = ev.where(t_us < F.lit(cut))
+        stage("b0", first, base)
+        run_once()  # partial sketch of the first half is in the log
+        stage("b1", ev.where(t_us >= F.lit(cut)), base + 10)
+        stage("b2", first, base + 20)  # AT-LEAST-ONCE: full redelivery
+        run_once()  # RESTART on the same checkpoint; the replayed half's
+        # partial lands in the log and max-merge absorbs it
+        merged = (
+            spark.read.parquet(store)
+            .groupBy("bucket")
+            .agg(F.max("m_j").alias("m_j"))
+        )
+        summary = merged.agg(*_summary_cols())
+        exact = ev.agg(
+            F.countDistinct("event_id").cast("long").alias("exact_distinct")
+        )
+        return summary.crossJoin(F.broadcast(exact)).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        if prev_parts is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _bind_hll_streaming_oracle() -> None:
+    """Attach the shared batch-sketch oracle after import (sketches.py and
+    this module are registry siblings; importing it at module top would
+    be fine today but this keeps the dependency one-directional and the
+    shared-verbatim contract explicit)."""
+    from dataclasses import replace
+
+    from sparkroach.queries.registry import QUERIES
+    from sparkroach.queries.sketches import HLL_GLOBAL_ORACLE
+
+    q = QUERIES["hll_streaming_merge"]
+    if q.oracle is None:
+        QUERIES["hll_streaming_merge"] = replace(q, oracle=HLL_GLOBAL_ORACLE)
+
+
+_bind_hll_streaming_oracle()

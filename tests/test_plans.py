@@ -195,3 +195,34 @@ def test_funnel_is_one_grouped_pass_with_broadcast_drop_set(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
+
+
+def test_cube_is_one_expand_over_one_scan(spark):
+    """CUBE(source, lang) must plan as a single Expand feeding one hash
+    aggregate over ONE corpus scan — not four separate scans unioned."""
+    import re
+
+    plan = _plan(spark, "docs_grouping_sets")
+    assert "Expand" in plan
+    scans = [
+        line for line in plan.splitlines()
+        if re.match(r"\(\d+\) Scan parquet", line.strip())
+    ]
+    assert len(scans) == 1
+    assert "HashAggregate" in plan
+
+
+def test_unpivot_keeps_zero_rows_and_stays_expand_shaped(spark):
+    """The melt must surface explicit zero rows (they exist only in the
+    wide form) and plan as a map-side Expand — no extra shuffle, no
+    data-dependent distinct scan."""
+    from tests.conftest import SF_SMALL as _SF
+
+    df = QUERIES["events_value_unpivot"].fn(spark, _SF)
+    rows = df.collect()
+    assert any(r.n == 0 for r in rows), "no zero rows — melt is vacuous"
+    n_users = len({r.user_id for r in rows})
+    assert len(rows) == n_users * 5
+    plan = _plan(spark, "events_value_unpivot")
+    assert "Expand" in plan
+    assert "CartesianProduct" not in plan

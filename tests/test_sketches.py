@@ -85,3 +85,19 @@ def test_bloom_has_no_false_negatives(spark):
     assert r.false_positives > 0
     assert 0.0 < r.fp_rate < 0.05
     assert r.fp_rate == r.false_positives / (r.n_lineitem - r.n_true_match)
+
+
+def test_streaming_hll_equals_batch_sketch(spark):
+    """The streamed, redelivered, restarted sketch log must compact to
+    the IDENTICAL sketch — register-wise max absorbs the at-least-once
+    replay with no dedup state (the algebra IS the dedup)."""
+    batch = QUERIES["hll_distinct_sketch"].fn(spark, SF_SMALL).collect()
+    streamed = QUERIES["hll_streaming_merge"].fn(spark, SF_SMALL).collect()
+    assert len(batch) == len(streamed) == 1
+    assert batch[0].asDict() == streamed[0].asDict()
+
+
+def test_hist_sketch_rows_cover_all_sources_plus_merged(spark):
+    rows = QUERIES["hist_quantile_sketch"].fn(spark, SF_SMALL).collect()
+    sources = {r.source for r in rows}
+    assert "ALL" in sources and len(sources) == 21  # 20 sources + merged
