@@ -392,3 +392,254 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TFIDF_TOP)
         .orderBy("doc_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN graph construction (IVF-blocked)
+# ---------------------------------------------------------------------------
+
+KNN_K = 4
+
+
+def _knn_pairs_sql(eps: float | None = None) -> str:
+    """Shared CTE chain: trained assignment → capped within-cluster pairs
+    → exact rounded cosine.  ``pairs(a_id, b_id, cosine)``; with ``eps``
+    also ``edges`` (thresholded) and ``sym`` (symmetrized)."""
+    assign = _ivf_kmeans_oracle("assign")
+    capped = _capped_cand_sql("assign", "vec_id", ("cluster",))
+    base = f"""
+        assign AS MATERIALIZED ({assign}),
+        {capped.strip()},
+        scored AS (
+            SELECT c.doc_a AS a_id, c.doc_b AS b_id,
+                   ea.embedding AS qe, eb.embedding AS ce
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.doc_a
+            JOIN embeddings eb ON eb.vec_id = c.doc_b
+        ),
+        pairs AS MATERIALIZED (
+            SELECT a_id, b_id,
+                   ROUND({_DOT_SQL}
+                         / ({_NORM_SQL.format(col="qe")} * {_NORM_SQL.format(col="ce")}),
+                         6) AS cosine
+            FROM scored
+        )
+    """
+    if eps is None:
+        return base
+    return f"""{base},
+        edges AS (SELECT a_id, b_id FROM pairs WHERE cosine >= {eps}),
+        sym AS (
+            SELECT a_id AS src, b_id AS dst FROM edges
+            UNION ALL
+            SELECT b_id AS src, a_id AS dst FROM edges
+        )
+    """
+
+
+@register(
+    "knn_graph_ivf",
+    oracle=f"""
+        WITH {_knn_pairs_sql().strip()},
+        sym AS (
+            SELECT a_id AS vec_id, b_id AS nbr_id, cosine FROM pairs
+            UNION ALL
+            SELECT b_id AS vec_id, a_id AS nbr_id, cosine FROM pairs
+        ),
+        r AS (
+            SELECT vec_id, nbr_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY cosine DESC, nbr_id
+                   ) AS rank
+            FROM sym
+        )
+        SELECT vec_id, nbr_id, cosine, rank
+        FROM r WHERE rank <= {KNN_K}
+        ORDER BY vec_id, rank
+    """,
+    survey_ref="LLM ops: kNN GRAPH construction — every vector's top-k "
+    "neighbors (the artifact HNSW builds, UMAP embeddings, diversity "
+    "sampling and graph-based dedup all start from), IVF-cluster-blocked",
+    description=f"top-{KNN_K} neighbor graph over ALL vectors (not just "
+    "query vectors): candidates are the capped within-cluster pairs of "
+    "the trained k-means assignment, scored once per unordered pair and "
+    "symmetrized, ranked per vector.  Recall is the IVF trade (neighbors "
+    "in other clusters are missed — same dial as ann_ivf_kmeans, more "
+    "clusters probed → more recall); isolated vectors (no same-cluster "
+    "candidate) have no rows by declared semantics.  At 100 TB the pair "
+    "generation is the capped equi-join and the rank is per-vector — "
+    "nothing global, nothing quadratic",
+    gated=False,  # r5 rotation candidate (driver window full this round)
+)
+def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _knn_scored_pairs(spark, sf_dir)
+    sym = pairs.select(
+        F.col("a_id").alias("vec_id"), F.col("b_id").alias("nbr_id"), "cosine"
+    ).unionByName(
+        pairs.select(
+            F.col("b_id").alias("vec_id"),
+            F.col("a_id").alias("nbr_id"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id")
+    )
+    return (
+        sym.select("vec_id", "nbr_id", "cosine", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= KNN_K)
+        .orderBy("vec_id", "rank")
+    )
+
+
+def _knn_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a_id, b_id, cosine) for every capped within-cluster pair of the
+    trained IVF assignment — shared by the kNN graph and DBSCAN."""
+    a2, _ = _ivf_kmeans_parts(spark, sf_dir)
+    a2 = a2.localCheckpoint(eager=True)
+    cand = capped_band_pairs(a2, "vec_id", key_cols=("cluster",)).select(
+        F.col("doc_a").alias("a_id"), F.col("doc_b").alias("b_id")
+    )
+    e = load(spark, sf_dir, "embeddings")
+    en = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(_NORM.format(col="embedding")).alias("nrm"),
+    )
+    ea = en.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("na"),
+    )
+    eb = en.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("nb"),
+    )
+    cosine = F.round(F.expr(_DOT) / (F.col("na") * F.col("nb")), 6)
+    # the scored pair table feeds the symmetrize + rank (kNN) or the
+    # edge/degree/CC chain (DBSCAN) — materialize so consumers never
+    # re-run the k-means + pair generation upstream
+    return (
+        cand.join(F.broadcast(ea), "a_id")
+        .join(F.broadcast(eb), "b_id")
+        .select("a_id", "b_id", cosine.alias("cosine"))
+        .localCheckpoint(eager=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN over the blocked similarity graph
+# ---------------------------------------------------------------------------
+
+DBSCAN_EPS = 0.3  # cosine threshold for the eps-neighborhood
+DBSCAN_MINPTS = 3  # neighbors (excluding self) required for a core point
+
+
+def _dbscan_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_knn_pairs_sql(DBSCAN_EPS).strip()},
+        deg AS (SELECT src AS vec_id, COUNT(*) AS d FROM sym GROUP BY src),
+        core AS (SELECT vec_id FROM deg WHERE d >= {DBSCAN_MINPTS}),
+        ce AS (
+            SELECT e.a_id, e.b_id FROM edges e
+            JOIN core ca ON ca.vec_id = e.a_id
+            JOIN core cb ON cb.vec_id = e.b_id
+        ),
+        csym AS (
+            SELECT a_id AS src, b_id AS dst FROM ce
+            UNION ALL
+            SELECT b_id AS src, a_id AS dst FROM ce
+        ),
+        reach(node, r) AS (
+            SELECT vec_id, vec_id FROM core
+            UNION
+            SELECT s.dst, reach.r FROM reach JOIN csym s ON s.src = reach.node
+        ),
+        comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+        border AS (
+            SELECT s.src AS vec_id, MIN(comp.cluster_id) AS cluster_id
+            FROM sym s
+            JOIN core c ON c.vec_id = s.dst
+            JOIN comp ON comp.node = s.dst
+            WHERE s.src NOT IN (SELECT vec_id FROM core)
+            GROUP BY s.src
+        )
+        SELECT e.vec_id,
+               CASE WHEN comp.node IS NOT NULL THEN 'core'
+                    WHEN b.vec_id IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role,
+               COALESCE(comp.cluster_id, b.cluster_id) AS cluster_id
+        FROM embeddings e
+        LEFT JOIN comp ON comp.node = e.vec_id
+        LEFT JOIN border b ON b.vec_id = e.vec_id
+        ORDER BY e.vec_id
+    """
+
+
+@register(
+    "dbscan_embedding_clusters",
+    oracle=_dbscan_oracle(),
+    survey_ref="LLM ops: density-based clustering (DBSCAN) over the "
+    "blocked embedding similarity graph — core/border/noise roles and "
+    "density clusters (the semantic-outlier and topic-island detector a "
+    "curation pipeline runs after dedup)",
+    description=f"DBSCAN with eps = cosine >= {DBSCAN_EPS}, minPts = "
+    f"{DBSCAN_MINPTS}, over the IVF-blocked pair graph (the declared "
+    "approximation: eps-neighbors in other k-means cells are unseen — "
+    "the standard distributed-DBSCAN partitioning trade, mirrored "
+    "bit-for-bit by the oracle).  Degrees from one grouped count; cores "
+    "by threshold; clusters = connected components over CORE-CORE edges "
+    "(min-label propagation, the dedup_cc_clusters machinery); border "
+    "points attach to their minimum core-neighbor cluster (deterministic "
+    "where textbook DBSCAN is arrival-order-dependent); everything else "
+    "is noise.  Every stage is an equi-join or grouped agg on the "
+    "(corpus-vanishing) edge list",
+    gated=False,  # r5 rotation candidate (driver window full this round)
+)
+def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach.queries.llm_ops import connected_components
+
+    pairs = _knn_scored_pairs(spark, sf_dir)
+    edges = pairs.where(F.col("cosine") >= DBSCAN_EPS).select("a_id", "b_id")
+    sym = edges.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionByName(
+        edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("vec_id")).agg(F.count("*").alias("d"))
+    core = deg.where(F.col("d") >= DBSCAN_MINPTS).select("vec_id")
+    ce = (
+        edges.join(core.withColumnRenamed("vec_id", "a_id"), "a_id", "left_semi")
+        .join(core.withColumnRenamed("vec_id", "b_id"), "b_id", "left_semi")
+        .select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+    )
+    labels = connected_components(ce).select(
+        F.col("node").alias("vec_id"), F.col("label").alias("cluster_id")
+    )
+    # isolated cores (deg >= minPts via border neighbors only) are their
+    # own single-node cluster — same as the oracle's self-seeded reach
+    comp = core.join(labels, "vec_id", "left").select(
+        "vec_id", F.coalesce("cluster_id", "vec_id").alias("cluster_id")
+    )
+    border = (
+        sym.join(core.withColumnRenamed("vec_id", "dst"), "dst", "left_semi")
+        .join(core.withColumnRenamed("vec_id", "src"), "src", "left_anti")
+        .join(comp.withColumnRenamed("vec_id", "dst"), "dst")
+        .groupBy(F.col("src").alias("vec_id"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    e = load(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        e.join(comp.withColumnRenamed("cluster_id", "_core_c"), "vec_id", "left")
+        .join(border.withColumnRenamed("cluster_id", "_border_c"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("_core_c").isNotNull(), F.lit("core"))
+            .when(F.col("_border_c").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("_core_c", "_border_c").alias("cluster_id"),
+        )
+        .orderBy("vec_id")
+    )

@@ -208,3 +208,70 @@ def test_left_join_streamed_emits_null_rows_and_matches_batch(spark):
         r.purchase_ts or pd.Timestamp.min,
     )
     assert sorted(rows, key=key) == sorted(batch.collect(), key=key)
+
+
+def test_knn_graph_rank_contract(spark):
+    rows = QUERIES["knn_graph_ivf"].fn(spark, SF_SMALL).collect()
+    by_vec: dict[int, list] = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, []).append(r)
+    assert by_vec, "empty kNN graph"
+    for vec_rows in by_vec.values():
+        vec_rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in vec_rows] == list(range(1, len(vec_rows) + 1))
+        assert len(vec_rows) <= 4
+        cos = [r.cosine for r in vec_rows]
+        assert cos == sorted(cos, reverse=True)
+        assert all(r.nbr_id != r.vec_id for r in vec_rows)
+
+
+def test_dbscan_roles_satisfy_density_invariants(spark):
+    from sparkroach.queries.llm_ops4 import (
+        DBSCAN_EPS,
+        DBSCAN_MINPTS,
+        _knn_scored_pairs,
+    )
+
+    pairs = _knn_scored_pairs(spark, SF_SMALL).collect()
+    adj: dict[int, set[int]] = {}
+    for p in pairs:
+        if p.cosine >= DBSCAN_EPS:
+            adj.setdefault(p.a_id, set()).add(p.b_id)
+            adj.setdefault(p.b_id, set()).add(p.a_id)
+    rows = QUERIES["dbscan_embedding_clusters"].fn(spark, SF_SMALL).collect()
+    roles = {r.vec_id: r for r in rows}
+    n_roles = {"core": 0, "border": 0, "noise": 0}
+    core_ids = {v for v, r in roles.items() if r.role == "core"}
+    for v, r in roles.items():
+        n_roles[r.role] += 1
+        nbrs = adj.get(v, set())
+        if r.role == "core":
+            assert len(nbrs) >= DBSCAN_MINPTS
+            assert r.cluster_id is not None and r.cluster_id <= v
+        elif r.role == "border":
+            assert len(nbrs) < DBSCAN_MINPTS
+            core_nbrs = nbrs & core_ids
+            assert core_nbrs
+            # attached to the MINIMUM core-neighbor cluster (determinism)
+            assert r.cluster_id == min(
+                roles[c].cluster_id for c in core_nbrs
+            )
+        else:
+            assert not (nbrs & core_ids)
+            assert r.cluster_id is None
+    assert all(n_roles.values()), f"a role is vacuous: {n_roles}"
+    # cluster label of every core = min vec_id reachable through
+    # core-core edges (BFS ground truth)
+    def component_min(start: int) -> int:
+        seen = {start}
+        stack = [start]
+        while stack:
+            v = stack.pop()
+            for n in adj.get(v, set()) & core_ids:
+                if n not in seen:
+                    seen.add(n)
+                    stack.append(n)
+        return min(seen)
+
+    for v in core_ids:
+        assert roles[v].cluster_id == component_min(v)
