@@ -643,3 +643,113 @@ def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature sampling, executed
+# ---------------------------------------------------------------------------
+
+_HEX4 = "0123456789abcdef"
+_DOCH32_SQL = " + ".join(
+    f"(instr('{_HEX4}', substring(m, {k + 1}, 1)) - 1) * {16 ** (7 - k)}"
+    for k in range(8)
+)
+_TWO32 = 4294967296.0  # 2^32 — scaling by a power of two is float-exact
+
+
+@register(
+    "temperature_sample_by_lang",
+    oracle=f"""
+        WITH tok AS (
+            SELECT lang,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY lang
+        ),
+        mn AS (SELECT CAST(MIN(n_tokens) AS BIGINT) AS min_tokens FROM tok),
+        rate AS (
+            SELECT lang, n_tokens,
+                   sqrt(CAST(mn.min_tokens AS DOUBLE))
+                   / sqrt(CAST(n_tokens AS DOUBLE)) AS rate
+            FROM tok CROSS JOIN mn
+        ),
+        hv AS (
+            SELECT lang, len(string_split(text, ' ')) AS toks,
+                   CAST({_DOCH32_SQL} AS BIGINT) AS hv
+            FROM (SELECT lang, text, md5(CAST(doc_id AS VARCHAR)) AS m
+                  FROM documents)
+        ),
+        k AS (
+            SELECT hv.lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN CAST(hv.hv AS DOUBLE)
+                                      < r.rate * {_TWO32}
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(SUM(CASE WHEN CAST(hv.hv AS DOUBLE)
+                                      < r.rate * {_TWO32}
+                                 THEN hv.toks ELSE 0 END) AS BIGINT)
+                       AS kept_tokens
+            FROM hv JOIN rate r USING (lang)
+            GROUP BY hv.lang
+        )
+        SELECT k.lang, k.n_docs, k.n_kept, k.kept_tokens,
+               r.n_tokens, r.rate
+        FROM k JOIN rate r USING (lang)
+        ORDER BY lang
+    """,
+    survey_ref="LLM data management: temperature sampling EXECUTED — the "
+    "per-document keep/drop decision implementing the w ∝ n^0.5 policy "
+    "temperature_mix_weights computes (policy → sampler, the pair a mix "
+    "pipeline ships together)",
+    description="per-language sqrt-temperature downsampling: acceptance "
+    "rate = sqrt(min_lang_tokens)/sqrt(lang_tokens) (two IEEE-exact "
+    "sqrts + one division — deterministic across engines), a document "
+    "kept iff its 32-bit md5 fraction < rate (the threshold multiply is "
+    "by 2^32, float-exact).  Hash-based selection makes the sample "
+    "REPRODUCIBLE and coordination-free: any executor decides any "
+    "document's fate locally, reruns and backfills select the identical "
+    "subset — the property random() sampling loses.  One grouped pass "
+    "for the rates (broadcast back), one map-side pass to decide — no "
+    "shuffle of the corpus",
+    gated=False,  # r5 rotation candidate (driver window full this round)
+)
+def temperature_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    tok = d.groupBy("lang").agg(F.sum(toks).cast("long").alias("n_tokens"))
+    mn = tok.agg(F.min("n_tokens").cast("long").alias("min_tokens"))
+    rate = (
+        tok.crossJoin(F.broadcast(mn))
+        .select(
+            "lang",
+            "n_tokens",
+            (
+                F.sqrt(F.col("min_tokens").cast("double"))
+                / F.sqrt(F.col("n_tokens").cast("double"))
+            ).alias("rate"),
+        )
+    )
+    hv = d.select(
+        "lang",
+        toks.alias("toks"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    kept = F.col("hv").cast("double") < F.col("rate") * _TWO32
+    k = (
+        hv.join(F.broadcast(rate), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.col("toks")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+    return (
+        k.join(F.broadcast(rate), "lang")
+        .select("lang", "n_docs", "n_kept", "kept_tokens", "n_tokens", "rate")
+        .orderBy("lang")
+    )

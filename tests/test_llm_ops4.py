@@ -275,3 +275,25 @@ def test_dbscan_roles_satisfy_density_invariants(spark):
 
     for v in core_ids:
         assert roles[v].cluster_id == component_min(v)
+
+
+def test_temperature_sampler_downsamples_big_langs_reproducibly(spark):
+    rows = {
+        r.lang: r
+        for r in QUERIES["temperature_sample_by_lang"].fn(spark, SF_SMALL).collect()
+    }
+    smallest = min(rows.values(), key=lambda r: r.n_tokens)
+    biggest = max(rows.values(), key=lambda r: r.n_tokens)
+    assert smallest.rate == 1.0  # the smallest lang is never downsampled
+    assert biggest.rate < 1.0
+    assert biggest.n_kept < biggest.n_docs  # downsampling actually bites
+    for r in rows.values():
+        assert 0 < r.n_kept <= r.n_docs
+    # hash selection ⇒ bit-identical on rerun (reproducible sample)
+    again = {
+        r.lang: r
+        for r in QUERIES["temperature_sample_by_lang"].fn(spark, SF_SMALL).collect()
+    }
+    assert {k: v.asDict() for k, v in rows.items()} == {
+        k: v.asDict() for k, v in again.items()
+    }

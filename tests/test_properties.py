@@ -128,3 +128,50 @@ def test_next_token_decodes_to_reference_semantics(round_, intra, root_intra, as
     base = intra if root_intra is None else root_intra
     expect = base + (encoding.count_inner_txns(tj) if asc else 0)
     assert encoding.decode_txn_next_token(tok) == (round_, expect)
+
+
+# ---------------------------------------------------------------------------
+# late-r4 numeric equivalences (pure logic, no Spark)
+# ---------------------------------------------------------------------------
+
+
+@given(st.integers(1, 10**12), st.integers(0, 10**12))
+def test_hist_rank_cross_multiplication_equivalence(n, cum):
+    """hist_quantile_sketch states cum >= ceil(q·n) two ways: the oracle
+    uses integer division ((n+1)//2, (9n+9)//10), the Spark side uses
+    cross-multiplication (2·cum >= n, 10·cum >= 9n).  They must agree on
+    every integer input — this is the identity the hash match rests on."""
+    assert (cum >= (n + 1) // 2) == (2 * cum >= n)
+    assert (cum >= (9 * n + 9) // 10) == (10 * cum >= 9 * n)
+
+
+@given(st.integers(3, 400), st.integers(1, 32))
+def test_overcap_star_chain_pairs_are_linear_and_connected(n, k):
+    """Reference implementation of the over-cap branch of
+    capped_band_pairs / _capped_cand_sql for ONE bucket of n ranked
+    members: K-star (rep rank i pairs with every later rank) plus the
+    adjacent-rank chain, DISTINCT.  Pins the two claims SCALE.md makes:
+    the pair count is linear in n (≤ (K+1)·n), and the pair graph
+    connects the whole bucket (rank-1 alone reaches everyone through
+    star-or-chain)."""
+    pairs = set()
+    for i in range(1, min(k, n - 1) + 1):  # K-star (1-based ranks)
+        for j in range(i + 1, n + 1):
+            pairs.add((i, j))
+    for i in range(1, n):  # adjacent-rank chain
+        pairs.add((i, i + 1))
+    assert len(pairs) <= (k + 1) * n  # linear envelope
+    if n > 2 * k + 2:  # genuinely sub-quadratic once n outgrows the star
+        assert len(pairs) < n * (n - 1) // 2
+    # connectivity: union-find over the emitted pairs
+    parent = list(range(n + 1))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(1, n + 1)}) == 1
