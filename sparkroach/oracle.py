@@ -41,8 +41,12 @@ def _normalize(value):
         if math.isnan(value):
             return "NaN"
         return value
-    if hasattr(value, "isoformat"):  # datetime/date
+    import datetime
+
+    if isinstance(value, datetime.datetime):
         return value.isoformat(sep=" ")
+    if isinstance(value, datetime.date):  # plain date: no sep kwarg
+        return value.isoformat()
     if isinstance(value, (bytes, bytearray)):
         return bytes(value).hex()
     if isinstance(value, list):
