@@ -287,6 +287,7 @@ SESSIONS_ORACLE = """
     oracle=SESSIONS_ORACLE,
     survey_ref="§2C streaming state (sessionization — applyInPandasWithState analog, batch twin)",
     description="gap-based sessionization via lag window — batch twin of stateful streaming",
+    gated=False,  # rotated out r4: driver-recorded green in r1-r3, oracle unchanged
 )
 def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # microsecond-exact gap detection (matches the oracle's epoch_us)

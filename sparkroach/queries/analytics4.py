@@ -51,6 +51,7 @@ from sparkroach.tables import load
     "table shuffles once per fact-fact join; all four dimension joins "
     "broadcast, and the nation-pair disjunction prunes both dim sides "
     "before the join",
+    gated=False,  # rotated out r4: driver-recorded green in r1-r3, oracle unchanged
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Join order at scale: lineitem (date-pruned scan) ⋈ orders is the one
@@ -120,6 +121,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="promo revenue share for one month: date-pruned lineitem "
     "scan, part broadcast, both the conditional and total sum computed in "
     "the same partial-agg pass — no second scan for the denominator",
+    gated=False,  # rotated out r4: driver-recorded green in r1-r3, oracle unchanged
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").where(
@@ -169,6 +171,7 @@ _Q16_SIZES = (1, 9, 17, 25, 33, 41, 49)
     "broadcast onto lineitem, bad suppliers removed by a broadcast "
     "anti-join, count-distinct expands to Spark's two-phase partial "
     "distinct (skew-safe for low-cardinality groups)",
+    gated=False,  # rotated out r4: driver-recorded green in r1-r3, oracle unchanged
 )
 def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Anti-join side (suppliers with negative balance) is tiny → broadcast
@@ -213,6 +216,7 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cross-side OR into per-table residuals (part scan keeps only the "
     "three brands, lineitem only the quantity hull) before the broadcast "
     "join evaluates the full disjunction",
+    gated=False,  # rotated out r4: driver-recorded green in r1-r3, oracle unchanged
 )
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(

@@ -181,6 +181,7 @@ ROLL_P = (1 << 31) - 1
     f"folded as acc·{ROLL_B}+h mod {ROLL_P} — one aggregate() fold per doc, "
     "map-side only, no shuffle; catches byte-identical sequences where the "
     "sorted-token fingerprint collides reordered docs",
+    gated=False,  # rotated out r4: driver-recorded green in r1-r3, oracle unchanged
 )
 def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -1058,6 +1059,7 @@ def token_count_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     "length budgeting query (context-window fit, padding waste). Exact "
     "percentile here (per-group sort); at 100 TB swap to approx_percentile "
     "— same plan shape, bounded-memory sketch",
+    gated=False,  # rotated out r4: driver-recorded green in r1-r3, oracle unchanged
 )
 def token_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -1169,6 +1171,7 @@ _STOPWORDS = sorted({w for _, w in _LEXICON})
     "+ the standard keep/drop gate (ratio ≥ 2%, sane token count). The "
     "lexicon is a literal array in the row expression — no join, no "
     "shuffle, pure map-side scan at any scale",
+    gated=False,  # rotated out r4: driver-recorded green in r1-r3, oracle unchanged
 )
 def text_stopword_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -1287,6 +1290,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "precomputed `label` partition) before scoring — the equi-join on "
     "cluster id replaces the cross join; at scale the corpus is "
     "partitioned by cluster so the probe is a partition-pruned scan",
+    gated=False,  # rotated out r4: driver-recorded green in r1-r3, oracle unchanged
 )
 def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
@@ -1417,6 +1421,7 @@ def _ivf_kmeans_oracle(select: str = "topk") -> str:
     "reassign, then probe only the query's cluster for top-k. At 100 TB "
     "assignment is one broadcast-join pass per Lloyd iteration and the "
     "final table is cluster-partitioned so probes are partition-pruned",
+    gated=False,  # rotated out r4: driver-recorded green in r1-r3, oracle unchanged
 )
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_kmeans_parts(spark, sf_dir)[1]
@@ -1552,6 +1557,7 @@ def _hyperplane_oracle() -> str:
     "16 dot products against literal planes, sign bits packed into a "
     "bucket id. Map-side only; at scale the corpus is stored bucketed so "
     "probes touch one bucket per plane-table",
+    gated=False,  # rotated out r4: driver-recorded green in r1-r3, oracle unchanged
 )
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
@@ -1741,6 +1747,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mapInPandas feature-extraction stage, roll up per kind. The decode "
     "step is a deterministic stub (no codec libs here); schema, Arrow "
     "batching and partitioning are the real 100 TB plumbing",
+    gated=False,  # rotated out r4: driver-recorded green in r1-r3, oracle unchanged
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkroach.functions import multimodal as mm
@@ -1859,6 +1866,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="LLM ops: embedding-column vector stats",
     description="per-cluster vector census: L2 norms computed JVM-side via "
     "aggregate(transform(...)), decimal-summed for order-insensitivity",
+    gated=False,  # rotated out r4: driver-recorded green in r1-r3, oracle unchanged
 )
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")

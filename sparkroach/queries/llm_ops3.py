@@ -696,7 +696,6 @@ def _pagerank_oracle() -> str:
     "reproducible under partial aggregation.  At 100 TB the edge list is "
     "partitioned by src and the rank table broadcast-or-co-partitioned; "
     "iteration count is fixed (power iteration, no convergence test)",
-    gated=False,
 )
 def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")

@@ -113,7 +113,6 @@ def _semdedup_oracle() -> str:
     "per-cluster membership stays bounded; candidate generation is one "
     "equi-join on the cluster id and the cap guard makes a degenerate "
     "cluster linear, not quadratic",
-    gated=False,  # r5 rotation candidate (driver window full this round)
 )
 def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a2, _ = _ivf_kmeans_parts(spark, sf_dir)
@@ -273,7 +272,6 @@ def _triangle_oracle() -> str:
     "edge list; the orientation bounds wedge fan-out by the max "
     "HIGH-degree of a node's lower-id neighbors, the standard skew guard "
     "for distributed triangle counting",
-    gated=False,  # r5 rotation candidate (driver window full this round)
 )
 def triangle_count_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -469,7 +467,6 @@ def _knn_pairs_sql(eps: float | None = None) -> str:
     "candidate) have no rows by declared semantics.  At 100 TB the pair "
     "generation is the capped equi-join and the rank is per-vector — "
     "nothing global, nothing quadratic",
-    gated=False,  # r5 rotation candidate (driver window full this round)
 )
 def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _knn_scored_pairs(spark, sf_dir)
@@ -595,7 +592,6 @@ def _dbscan_oracle() -> str:
     "where textbook DBSCAN is arrival-order-dependent); everything else "
     "is noise.  Every stage is an equi-join or grouped agg on the "
     "(corpus-vanishing) edge list",
-    gated=False,  # r5 rotation candidate (driver window full this round)
 )
 def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkroach.queries.llm_ops import connected_components

@@ -176,7 +176,6 @@ HLL_GLOBAL_ORACLE = f"""
     "engines; exact distinct count reported alongside as the accuracy "
     "statement.  Raw estimator (no linear-counting correction — ln() is "
     "libm; empty_buckets is emitted so a consumer can apply it)",
-    gated=False,
 )
 def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -334,7 +333,6 @@ def _cms_bucket_col(j: int):
     "test-pinned.  The counter table is D·W rows regardless of corpus "
     "size and broadcasts back for the estimate join; the exact counts "
     "computed alongside ARE the accuracy statement",
-    gated=False,
 )
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -462,7 +460,6 @@ def _bloom_pos_sql(src: str) -> str:
     "integers.  The fixed m demonstrates saturation honestly: at larger "
     "SF the fill fraction rises and fp_rate with it — sizing m to n is "
     "the documented deployment knob",
-    gated=False,
 )
 def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -609,7 +606,6 @@ def _hist_quantile_sql(src_expr: str, label: str) -> str:
     "computed per-partition and combined without re-touching data; a "
     "test pins merged == direct.  Answer error is bounded by the bin "
     "width by construction",
-    gated=False,  # r5 rotation candidate (driver window full this round)
 )
 def hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -506,7 +506,6 @@ JOIN_WINDOW_HOURS = 2
     "and its purchase arrives after: the emitted pair proves join state "
     "recovery, not recomputation.  Sink must equal the batch interval "
     "join bit-for-bit",
-    gated=False,  # r5 rotation candidate (driver window full this round)
 )
 def events_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive a real stream-stream inner interval join end-to-end.
@@ -670,7 +669,6 @@ def events_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "signup's window (emission happens in the batch AFTER the advance), "
     "a restart sits mid-stream inside the widest matched pair, and the "
     "sink must equal the batch LEFT JOIN bit-for-bit",
-    gated=False,  # r5 rotation candidate (driver window full this round)
 )
 def events_left_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive a real stream-stream left-outer interval join end-to-end.
@@ -847,7 +845,6 @@ def events_left_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "between the two deliveries — the redelivered rows can only be "
     "suppressed by dedup state recovered from the checkpoint.  Sink "
     "must equal the original events exactly",
-    gated=False,  # r5 rotation candidate (driver window full this round)
 )
 def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive built-in streaming dedup end-to-end under redelivery.
@@ -955,7 +952,6 @@ def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "at all — the algebra does what events_dedup_streamed needs a state "
     "store for.  Final compaction reads only the tiny partial log.  "
     "Sink must equal hll_distinct_sketch's oracle bit-for-bit",
-    gated=False,  # r5 rotation candidate (driver window full this round)
 )
 def hll_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintain a HyperLogLog over an event stream, exactly as a 100 TB
