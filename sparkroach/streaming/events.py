@@ -933,6 +933,121 @@ def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+REDELIVERY_JITTER_S = 30
+
+
+@register(
+    "events_dedup_jitter_streamed",
+    oracle="""
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM events
+        ORDER BY event_id
+    """,
+    survey_ref="§2C streaming — dropDuplicatesWithinWatermark through the "
+    "real writeStream path: redelivery with DRIFTED event timestamps "
+    "(the case plain dropDuplicates cannot collapse, because the drifted "
+    "ts makes the redelivered row a different key)",
+    description="every event is delivered twice, and the second delivery "
+    f"carries ts shifted by +{REDELIVERY_JITTER_S}s — the re-stamped "
+    "redelivery real brokers produce on producer retry.  "
+    "dropDuplicatesWithinWatermark(event_id) keeps the FIRST arrival and "
+    "suppresses any same-key row whose event time lands within the "
+    "watermark delay of it, so the jittered replays collapse; with the "
+    "event-time column excluded from the keys, plain dropDuplicates "
+    "would emit all of them (or never evict state).  A query restart "
+    "sits between the deliveries, so suppression proves the "
+    "within-watermark state store was recovered from the checkpoint.  "
+    "Sink must equal the ORIGINAL feed exactly — first-arrival "
+    "timestamps, one row per event",
+    gated=False,  # r5 rotation candidate (driver window frozen this round)
+)
+def events_dedup_jitter_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive dropDuplicatesWithinWatermark end-to-end under re-stamped
+    redelivery with a mid-run restart.
+
+    State note: within-watermark dedup state for a key is evicted once
+    the watermark passes (first-seen event time + delay); the delay here
+    spans the whole feed's time range plus the jitter, so no state is
+    evicted before the replay arrives — suppression is guaranteed by
+    construction and the output equals the first delivery bit-for-bit.
+    """
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.unix_micros(F.min("ts")).alias("lo"),
+        F.unix_micros(F.max("ts")).alias("hi"),
+    ).collect()[0]
+    # delay > feed span + jitter ⇒ no state evicted mid-run
+    delay_s = (b.hi - b.lo) // 1_000_000 + REDELIVERY_JITTER_S + 3600
+
+    root = tempfile.mkdtemp(prefix="sparkroach_dedup_jitter_")
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    sink = os.path.join(root, "sink")
+    ck = os.path.join(root, "ck")
+    base = time.time() - 3600
+    cols = [f.name for f in EVENT_SCHEMA.fields]
+
+    def stage(name: str, df: DataFrame, mtime: float) -> None:
+        tmp = os.path.join(root, "stage_" + name)
+        df.select(*cols).coalesce(1).write.format("parquet").save(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dest = os.path.join(feed, name + ".parquet")
+        os.rename(os.path.join(tmp, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        deduped = stream.withWatermark(
+            "ts", f"{delay_s} seconds"
+        ).dropDuplicatesWithinWatermark(["event_id"])
+        q = (
+            deduped.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()  # guard: never leak a running query into the session
+
+    jittered = ev.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.unix_micros("ts") + REDELIVERY_JITTER_S * 1_000_000
+        ),
+    )
+    try:
+        stage("b0", ev, base)  # first delivery: original timestamps
+        run_once()  # within-watermark state now holds every event_id
+        stage("b1", jittered, base + 10)  # REDELIVERY, ts drifted +30s
+        run_once()  # RESTART on the same checkpoint: the drifted rows
+        # can only be suppressed by state recovered from the checkpoint
+        out = spark.read.parquet(sink).orderBy("event_id")
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        if prev_parts is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 @register(
     "hll_streaming_merge",
     # oracle shared verbatim with the batch sketch: the streamed,

@@ -221,3 +221,39 @@ def test_stream_stream_join_restart_cut_straddles_a_pair(spark):
         <= r.purchase_ts.timestamp() * 1_000_000
     ]
     assert straddling, "no emitted pair spans the restart cut"
+
+
+def test_dedup_jitter_collapses_what_plain_dedup_cannot(spark):
+    """The jittered redelivery's whole point: with the event-time column
+    in the keys (the plain dropDuplicates contract that lets state
+    evict), the drifted replay is a DIFFERENT key and survives; the
+    within-watermark operator collapses it.  Pin both halves."""
+    from pyspark.sql import functions as F
+
+    from sparkroach.queries import QUERIES
+    from sparkroach.streaming.events import REDELIVERY_JITTER_S
+    from sparkroach.tables import load
+    from tests.conftest import SF_SMALL
+
+    ev = load(spark, SF_SMALL, "events")
+    n = ev.count()
+    # the within-watermark gate keeps exactly the first delivery
+    out = QUERIES["events_dedup_jitter_streamed"].fn(spark, SF_SMALL)
+    rows = out.collect()
+    assert len(rows) == n
+    originals = {
+        (r["event_id"], r["ts"]) for r in ev.select("event_id", "ts").collect()
+    }
+    assert {(r["event_id"], r["ts"]) for r in rows} == originals
+    # and the jittered copy really is a distinct (event_id, ts) key —
+    # i.e. plain key-based dedup would have emitted 2n rows
+    jit = {
+        (r["event_id"], r["ts"])
+        for r in ev.select(
+            "event_id",
+            F.timestamp_micros(
+                F.unix_micros("ts") + REDELIVERY_JITTER_S * 1_000_000
+            ).alias("ts"),
+        ).collect()
+    }
+    assert not (jit & originals)
