@@ -407,6 +407,60 @@ def _pq_code_expr(m: int) -> str:
     return f"array_min(array({structs})).k"
 
 
+# -- Spark-side higher-order-function forms ---------------------------------
+# The fully-unrolled expressions above produce ~2×1024 squared-diff terms,
+# which blows whole-stage codegen past janino's method limits: Spark logs
+# "ERROR CodeGenerator: Failed to compile" and silently falls back to
+# interpreted evaluation.  The DuckDB oracle keeps the unrolled SQL (no
+# codegen there), while the Spark side evaluates the SAME arithmetic with
+# transform/aggregate loops over the codebook embedded as ONE constant-
+# folded nested-array literal.  IEEE equivalence with the unrolled form:
+# the aggregate fold is (((0.0 + t1) + t2) + …) and 0.0 + t1 == t1 exactly
+# for the non-negative squared terms, so the summation order — and hence
+# every bit of the result — is unchanged.
+
+_PQ_CB_LIT = "array(" + ", ".join(
+    "array(" + ", ".join(
+        "array(" + ", ".join(repr(c) for c in _PQ_CB[m][k]) + ")"
+        for k in range(_PQ_K)
+    ) + ")"
+    for m in range(_PQ_M)
+) + ")"
+
+
+def _pq_sqdist_hof(vec: str, m_var: str, k_var: str) -> str:
+    """||vec_sub − centroid[m][k]||² as an aggregate() fold (j ascending,
+    left-assoc — the unrolled form's order)."""
+    el = f"CAST(element_at({vec}, {m_var} * {_PQ_DSUB} + j) AS DOUBLE)"
+    c = (
+        f"element_at(element_at(element_at({_PQ_CB_LIT}, {m_var} + 1), "
+        f"{k_var} + 1), j)"
+    )
+    return (
+        f"aggregate(sequence(1, {_PQ_DSUB}), CAST(0.0 AS DOUBLE), "
+        f"(acc, j) -> acc + (({el}) - ({c})) * (({el}) - ({c})))"
+    )
+
+
+def _pq_codes_hof_expr(vec: str = "embedding") -> str:
+    """codes[m] = argmin_k dist(vec_sub_m, centroid[m][k]) — same
+    struct-min tie rule as _pq_code_expr, loop-compiled."""
+    return (
+        f"transform(sequence(0, {_PQ_M - 1}), m -> "
+        f"array_min(transform(sequence(0, {_PQ_K - 1}), k -> "
+        f"named_struct('d', {_pq_sqdist_hof(vec, 'm', 'k')}, 'k', k))).k)"
+    )
+
+
+def _pq_lut_hof_expr(vec: str = "qe") -> str:
+    """lut[m][k] = ||vec_sub_m − centroid[m][k]||², loop-compiled."""
+    return (
+        f"transform(sequence(0, {_PQ_M - 1}), m -> "
+        f"transform(sequence(0, {_PQ_K - 1}), k -> "
+        f"{_pq_sqdist_hof(vec, 'm', 'k')}))"
+    )
+
+
 def _pq_lut_expr(spark_side: bool, vec: str = "qe") -> str:
     """The query-side ADC lookup table as a nested array literal-expression:
     lut[m][k] = ||q_sub − centroid[m][k]||²."""
@@ -493,14 +547,15 @@ def _pq_oracle() -> str:
 )
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    codes_expr = (
-        "array(" + ", ".join(_pq_code_expr(m) for m in range(_PQ_M)) + ")"
+    # loop-compiled (HOF) forms: identical arithmetic to the oracle's
+    # unrolled SQL, but codegen-friendly (see the comment block above)
+    codes = e.select(
+        "vec_id", F.expr(_pq_codes_hof_expr("embedding")).alias("codes")
     )
-    codes = e.select("vec_id", F.expr(codes_expr).alias("codes"))
     q = e.where(F.col("vec_id") < _PQ_N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("qe"),
-    ).select("q_id", F.expr(_pq_lut_expr(True)).alias("lut"))
+    ).select("q_id", F.expr(_pq_lut_hof_expr("qe")).alias("lut"))
     score = F.expr(
         " + ".join(
             f"element_at(element_at(lut, {m + 1}), element_at(codes, {m + 1}) + 1)"
