@@ -226,3 +226,52 @@ def test_unpivot_keeps_zero_rows_and_stays_expand_shaped(spark):
     plan = _plan(spark, "events_value_unpivot")
     assert "Expand" in plan
     assert "CartesianProduct" not in plan
+
+
+# Queries whose fn materializes its result before returning (streaming
+# gates, scratch-dir round-trips, multi-consumed graph stages): the
+# returned plan is a scan of the materialized output, so there is nothing
+# to audit — their internal plans are pinned by their dedicated tests.
+_MATERIALIZED = {
+    "bucketed_orders_join", "dedup_cc_clusters", "dedup_streaming_kept",
+    "documents_format_roundtrip", "documents_orc_roundtrip",
+    "events_dedup_jitter_streamed", "events_dedup_streamed",
+    "events_join_streamed", "events_left_join_streamed",
+    "events_partitioned_read", "events_rollup_streamed",
+    "events_sessions_streamed", "hll_streaming_merge", "knn_graph_ivf",
+}
+
+# Queries where BroadcastNestedLoopJoin is the CORRECT plan: every one is
+# a crossJoin against a one-row aggregate (global scalar: totals, bounds,
+# thresholds) or a broadcast query/probe set bounded by a constant — the
+# shapes the r3 verdict audited as safe.  A BNLJ anywhere else is a bug.
+_SCALAR_BNLJ_OK = {
+    "ann_cosine_topk", "ann_int8_quantized", "ann_ivf_kmeans",
+    "ann_ivf_multiprobe", "ann_pq_adc", "ann_recall_report",
+    "chain_end_to_end", "domain_mix_weights", "events_funnel_conversion",
+    "events_gap_fill", "hist_quantile_sketch", "hll_distinct_sketch",
+    "kmv_type_jaccard", "pagerank_dup_graph", "q11_important_stock",
+    "q22_global_sales_opportunity", "suppkey_skew_report",
+    "temperature_mix_weights", "temperature_sample_by_lang",
+    "term_cooccurrence_lift", "tfidf_top_terms",
+}
+
+
+def test_every_registered_query_plan_is_scale_safe(spark):
+    """Universal plan audit: NO CartesianProduct anywhere in the registry,
+    and BroadcastNestedLoopJoin only in the documented scalar-join
+    whitelist.  New queries are audited automatically the moment they
+    register — a quadratic join can't slip in unlisted."""
+    audited = 0
+    for name, q in sorted(QUERIES.items()):
+        if name in _MATERIALIZED:
+            continue
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        if name not in _SCALAR_BNLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name}: unlisted BroadcastNestedLoopJoin — either fix the "
+                "join or document it in _SCALAR_BNLJ_OK with its scalar side"
+            )
+        audited += 1
+    assert audited >= 100  # the registry keeps growing; never silently shrink
