@@ -1361,8 +1361,14 @@ def _ivf_kmeans_oracle(select: str = "topk") -> str:
         ),
         a1 AS (SELECT vec_id, c_id AS cluster FROM assign1 WHERE rn = 1),
         dims AS (
+            -- REAL→DOUBLE→DECIMAL: DuckDB's direct REAL→DECIMAL cast
+            -- scales in float32 precision (diverges from the 8th digit);
+            -- widening first matches Spark's cast exactly (the ~1e-9
+            -- per-element gap was previously absorbed by the cosine
+            -- ROUND(…, 6) — correct by luck, not by construction)
             SELECT a1.cluster, t.i,
-                   CAST(SUM(CAST(e.embedding[t.i + 1] AS DECIMAL(18,9)))
+                   CAST(SUM(CAST(CAST(e.embedding[t.i + 1] AS DOUBLE)
+                                 AS DECIMAL(18,9)))
                         AS DOUBLE) / COUNT(*) AS v
             FROM a1 JOIN embeddings e ON e.vec_id = a1.vec_id
             CROSS JOIN range(0, {EMB_DIMS}) t(i)
@@ -2062,8 +2068,10 @@ def _ivf_multiprobe_oracle(n_probes: int = N_PROBES, select: str = "topk") -> st
     )
     return f"""
         WITH cent_dims AS (
+            -- REAL→DOUBLE→DECIMAL (see the ivf-kmeans oracle note)
             SELECT label, t.i,
-                   CAST(SUM(CAST(embedding[t.i + 1] AS DECIMAL(18,9)))
+                   CAST(SUM(CAST(CAST(embedding[t.i + 1] AS DOUBLE)
+                                 AS DECIMAL(18,9)))
                         AS DOUBLE) / COUNT(*) AS v
             FROM embeddings CROSS JOIN range(0, {EMB_DIMS}) t(i)
             GROUP BY label, t.i

@@ -1,0 +1,419 @@
+"""LLM-pipeline operators, round-4 continuation (wave 5): provenance-
+aware dedup reporting, embedding drift monitoring, the dataset-card
+summary, and LSH tuning diagnostics.
+
+- ``cross_source_dup_matrix`` — verified near-dup pairs grouped by the
+  (source, source) pair: the provenance view of duplication.  Real
+  pipelines treat WITHIN-source dups (mirrors, reposts) differently from
+  CROSS-source dups (scrape overlap, benchmark leakage); this is the
+  matrix that decides which.
+- ``label_centroid_drift`` — per-label mean embedding on two corpus
+  halves and the squared-L2 distance between them: the drift monitor
+  run between ingest generations (a shifted centroid = the upstream
+  distribution moved).  Sums are DECIMAL-exact; the cross-dimension fold
+  runs in index order on both engines.
+- ``dataset_card_stats`` — the per-source dataset card: documents,
+  tokens, languages, near-dup exposure, mean length — the one-screen
+  composition summary published next to a training corpus.
+- ``lsh_band_selectivity`` — per-band bucket statistics (buckets, max
+  bucket, singletons, Σ C(n,2) pair contribution): the diagnostic that
+  tunes band/row counts BEFORE running the pair join (a band whose
+  biggest bucket explodes pairs is the one to re-parameterize).
+
+All gated=False on registration: this round's 50 driver slots are frozen
+on the third rotation wave; r5 rotation candidates, swept by the local
+oracle gate at sf0.001/0.01/0.1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkroach.queries.llm_ops import (
+    _JACC_SQL,
+    _JACCARD_TAU,
+    _lsh_candidates_cte,
+    _verified_pairs,
+    _with_shingles,
+    lsh_bands,
+)
+from sparkroach.queries.registry import register
+from sparkroach.tables import load
+
+# ---------------------------------------------------------------------------
+# cross_source_dup_matrix
+# ---------------------------------------------------------------------------
+
+
+def _dup_matrix_oracle() -> str:
+    lsh = _lsh_candidates_cte().strip()
+    assert lsh.startswith("WITH ")
+    return f"""
+        WITH {lsh[len("WITH "):]},
+        verified AS (
+            SELECT c.doc_a, c.doc_b
+            FROM cand c
+            JOIN shing sa ON sa.doc_id = c.doc_a
+            JOIN shing sb ON sb.doc_id = c.doc_b
+            WHERE {_JACC_SQL} >= {_JACCARD_TAU}
+        ),
+        srcpairs AS (
+            SELECT LEAST(da.source, db.source) AS source_a,
+                   GREATEST(da.source, db.source) AS source_b,
+                   (da.source = db.source) AS within
+            FROM verified v
+            JOIN documents da ON da.doc_id = v.doc_a
+            JOIN documents db ON db.doc_id = v.doc_b
+        )
+        SELECT source_a, source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN within THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_within
+        FROM srcpairs
+        GROUP BY source_a, source_b
+        ORDER BY source_a, source_b
+    """
+
+
+@register(
+    "cross_source_dup_matrix",
+    oracle=_dup_matrix_oracle(),
+    survey_ref="LLM ops: provenance-aware dedup — the verified near-dup "
+    "pair count per (source, source) pair; within-source vs cross-source "
+    "duplication drive different keep/drop policies",
+    description="joins the shared capped-LSH verified pairs to the "
+    "documents table twice (doc_id equi-joins — the cluster table is "
+    "tiny next to the corpus, so both joins broadcast the pair side at "
+    "scale) and normalizes each pair's sources with LEAST/GREATEST so "
+    "the matrix is triangular.  Cross-source mass signals scrape overlap "
+    "or benchmark leakage; within-source mass signals mirrors — the "
+    "split real pipelines act on differently",
+    gated=False,  # r5 rotation candidate (driver window frozen this round)
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = (
+        _verified_pairs(d)
+        .where(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_a", "doc_b")
+    )
+    src = d.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            (F.col("sa") == F.col("sb")).alias("within"),
+        )
+    )
+    return (
+        labeled.groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("within"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_within"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# label_centroid_drift
+# ---------------------------------------------------------------------------
+
+
+TOP_DRIFT_DIMS = 8
+
+
+@register(
+    "label_centroid_drift",
+    oracle="""
+        WITH ex AS (
+            -- parallel unnest zips the value list with its index list
+            -- (this DuckDB has no WITH ORDINALITY)
+            SELECT label, vec_id % 2 AS half,
+                   unnest(range(1, len(embedding) + 1)) AS i,
+                   unnest(embedding) AS x
+            FROM embeddings
+        ),
+        sums AS (
+            -- micro-unit quantization: FLOOR(x·1e6) of the double value.
+            -- floor is TIE-FREE (unlike round-to-decimal, whose half-way
+            -- cases resolve differently between Spark's shortest-repr
+            -- BigDecimal rounding and DuckDB's exact-binary rounding —
+            -- both a REAL→DECIMAL cast and a drift_sq design died of
+            -- that at sf0.1), so the integer sums are bit-identical.
+            SELECT label, half, i,
+                   SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0)
+                            AS BIGINT)) AS s,
+                   COUNT(*) AS n
+            FROM ex GROUP BY label, half, i
+        ),
+        dims AS (
+            -- mean drift per dim in micro-units: exact-integer operands,
+            -- two IEEE divisions and one subtraction — deterministic
+            SELECT a.label, a.i,
+                   CAST(a.s AS DOUBLE) / a.n
+                       - CAST(b.s AS DOUBLE) / b.n AS d,
+                   a.n AS n_even, b.n AS n_odd
+            FROM sums a JOIN sums b
+              ON a.label = b.label AND a.i = b.i
+             AND a.half = 0 AND b.half = 1
+        ),
+        ranked_dims AS (
+            SELECT label, i, d, d * d AS d_sq, n_even, n_odd,
+                   row_number() OVER (
+                       PARTITION BY label ORDER BY d * d DESC, i
+                   ) AS drift_rank
+            FROM dims
+        )
+        SELECT label, CAST(i AS INT) AS dim,
+               d AS drift, d_sq AS drift_sq,
+               CAST(n_even AS BIGINT) AS n_even,
+               CAST(n_odd AS BIGINT) AS n_odd,
+               CAST(drift_rank AS BIGINT) AS drift_rank
+        FROM ranked_dims
+        WHERE drift_rank <= {TOP_DRIFT_DIMS}
+        ORDER BY label, drift_rank
+    """.replace("{TOP_DRIFT_DIMS}", str(TOP_DRIFT_DIMS)),
+    survey_ref="LLM ops: embedding drift monitoring — per-label centroid "
+    "distance between two corpus partitions (ingest generations); the "
+    "check run before mixing a new crawl into the training corpus",
+    description="splits the embedding corpus into even/odd halves (stand-"
+    "ins for 'last generation' and 'this generation'), computes each "
+    "label's per-dimension mean over micro-unit-quantized values "
+    "(floor(x·1e6) — floor is tie-free, so the integer sums are "
+    "bit-identical across engines where round-to-decimal half-way cases "
+    "are not), and reports each label's TOP-8 drifted "
+    "dimensions (ranked by squared difference — every reported number "
+    "is a single IEEE-determined operation on exact operands, so no "
+    "cross-dimension float summation exists to diverge between engines; "
+    "an earlier drift_sq design died exactly that death at a "
+    "round-to-12 boundary at sf0.1).  The per-dimension view is also "
+    "the actionable artifact: it names WHICH dimensions moved.  The "
+    "posexplode→grouped-sum shape is one shuffle by (label, half, dim) "
+    "— fully parallel at any corpus size",
+    gated=False,  # r5 rotation candidate (driver window frozen this round)
+)
+def label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label",
+        F.pmod("vec_id", F.lit(2)).alias("half"),
+        F.posexplode("embedding").alias("i", "x"),
+    )
+    # micro-unit quantization via floor — tie-free, so the integer sums
+    # are bit-identical across engines (see the oracle's comment)
+    sums = ex.groupBy("label", "half", "i").agg(
+        F.sum(
+            F.floor(F.col("x").cast("double") * 1000000.0).cast("long")
+        ).alias("s"),
+        F.count("*").alias("n"),
+    )
+    a = sums.where(F.col("half") == 0).alias("a")
+    b = sums.where(F.col("half") == 1).alias("b")
+    dims = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.i") == F.col("b.i"))
+    ).select(
+        F.col("a.label").alias("label"),
+        F.col("a.i").alias("i"),
+        (
+            F.col("a.s").cast("double") / F.col("a.n")
+            - F.col("b.s").cast("double") / F.col("b.n")
+        ).alias("d"),
+        F.col("a.n").alias("n_even"),
+        F.col("b.n").alias("n_odd"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        (F.col("d") * F.col("d")).desc(), F.col("i")
+    )
+    return (
+        dims.withColumn("drift_rank", F.row_number().over(w))
+        .where(F.col("drift_rank") <= TOP_DRIFT_DIMS)
+        .select(
+            "label",
+            # DuckDB's index list is 1-based; posexplode is 0-based
+            (F.col("i") + 1).cast("int").alias("dim"),
+            F.col("d").alias("drift"),
+            (F.col("d") * F.col("d")).alias("drift_sq"),
+            F.col("n_even").cast("long").alias("n_even"),
+            F.col("n_odd").cast("long").alias("n_odd"),
+            F.col("drift_rank").cast("long").alias("drift_rank"),
+        )
+        .orderBy("label", "drift_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dataset_card_stats
+# ---------------------------------------------------------------------------
+
+
+def _card_oracle() -> str:
+    lsh = _lsh_candidates_cte().strip()
+    assert lsh.startswith("WITH ")
+    return f"""
+        WITH {lsh[len("WITH "):]},
+        verified AS (
+            SELECT c.doc_a, c.doc_b
+            FROM cand c
+            JOIN shing sa ON sa.doc_id = c.doc_a
+            JOIN shing sb ON sb.doc_id = c.doc_b
+            WHERE {_JACC_SQL} >= {_JACCARD_TAU}
+        ),
+        dup_docs AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_a AS doc_id FROM verified
+                UNION ALL SELECT doc_b FROM verified
+            )
+        ),
+        per_doc AS (
+            SELECT d.source, d.doc_id, d.n_chars, d.lang,
+                   len(string_split(d.text, ' ')) AS n_tokens,
+                   (dd.doc_id IS NOT NULL) AS is_dup
+            FROM documents d LEFT JOIN dup_docs dd ON dd.doc_id = d.doc_id
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+        FROM per_doc
+        GROUP BY source
+        ORDER BY source
+    """
+
+
+@register(
+    "dataset_card_stats",
+    oracle=_card_oracle(),
+    survey_ref="LLM ops: dataset card — the per-source composition "
+    "summary (documents, tokens, languages, near-dup exposure, mean "
+    "length) published alongside a training corpus",
+    description="one row per source: exact document/token/language "
+    "counts, how many documents appear in at least one verified "
+    "near-dup pair (the shared capped-LSH pipeline's output, exploded "
+    "to a distinct doc set and LEFT-joined back — the dup set is tiny, "
+    "so it broadcasts), and mean length as one division of exact "
+    "integers.  This is the artifact the mix-weight operators "
+    "(domain_mix_weights, temperature_mix_weights) consume — the "
+    "card IS the corpus's interface at 100 TB",
+    gated=False,  # r5 rotation candidate (driver window frozen this round)
+)
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = (
+        _verified_pairs(d)
+        .where(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_a", "doc_b")
+    )
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    per_doc = d.join(F.broadcast(dup_docs), "doc_id", "left").select(
+        "source",
+        "n_chars",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias(
+                "mean_chars"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lsh_band_selectivity
+# ---------------------------------------------------------------------------
+
+
+def _band_selectivity_oracle() -> str:
+    # reuse the signature/band CTEs, then per-band bucket statistics
+    lsh = _lsh_candidates_cte().strip()
+    # keep everything up to (and incl.) the bands CTE; drop the cand tail
+    head = lsh[: lsh.index(",\n        bn")]
+    return f"""
+        {head}
+        , buckets AS (
+            SELECT band_idx, band_val, COUNT(*) AS n
+            FROM bands GROUP BY band_idx, band_val
+        )
+        SELECT band_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(MAX(n) AS BIGINT) AS max_bucket,
+               CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_singletons,
+               CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS pair_contribution
+        FROM buckets
+        GROUP BY band_idx
+        ORDER BY band_idx
+    """
+
+
+@register(
+    "lsh_band_selectivity",
+    oracle=_band_selectivity_oracle(),
+    survey_ref="LLM ops: LSH tuning diagnostic — per-band bucket "
+    "statistics (bucket count, max bucket, singletons, Σ C(n,2) pair "
+    "contribution) computed BEFORE the pair join",
+    description="groups the shared minhash band table by (band, bucket) "
+    "and reports, per band: how many buckets, the largest, how many are "
+    "singletons (contribute nothing), and the uncapped all-pairs count "
+    "the band WOULD contribute (Σ n·(n−1)/2 — exact integers).  This is "
+    "the skew report of the dedup plane (suppkey_skew_report's sibling): "
+    "at 100 TB you run it first, and a band whose pair_contribution "
+    "explodes is the signal to add rows-per-band or rely on the bucket "
+    "cap.  Two grouped aggregations over the band table; the corpus is "
+    "touched once by the signature stage",
+    gated=False,  # r5 rotation candidate (driver window frozen this round)
+)
+def lsh_band_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bands = lsh_bands(_with_shingles(d))
+    buckets = bands.groupBy("band_idx", "band_val").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        buckets.groupBy("band_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.max("n").cast("long").alias("max_bucket"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_singletons"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2)
+            .cast("long")
+            .alias("pair_contribution"),
+        )
+        .orderBy("band_idx")
+    )
