@@ -1,0 +1,112 @@
+"""Analytics breadth, round-4 continuation (wave 7): the salted JOIN —
+the join-side half of the skew playbook (the aggregation-side half is
+``events_salted_type_counts``; the diagnostic that decides to salt is
+``suppkey_skew_report``).
+
+``salted_hot_key_join`` manufactures a genuinely hot join key (10% of
+the fact rows collapse onto key 0), then executes the join with the
+explicit salting recipe: the fact side gets a random-but-deterministic
+salt in [0, S), the dimension side is REPLICATED S times (one copy per
+salt value), and the join runs on (key, salt) — so the hot key's rows
+spread across S reducers instead of one straggler task.  The result is
+hash-matched against the plain unsalted join, proving the rewrite is
+semantics-preserving — which is the whole point: salting is a physical
+rewrite, never a semantic one.
+
+(AQE's skew-join splitting does this adaptively for sort-merge joins;
+the explicit recipe is what you reach for when the skew is in an
+aggregation upstream, the join is broadcast-ineligible, or the engine's
+skew threshold misses — SCALE.md carries the decision table.)
+
+gated=False on registration: r5 rotation candidate, swept by the local
+oracle gate at sf0.001/0.01/0.1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkroach.queries.registry import register
+from sparkroach.tables import load
+
+N_SALTS = 8
+
+
+@register(
+    "salted_hot_key_join",
+    oracle="""
+        WITH f AS (
+            SELECT CASE WHEN user_id % 10 = 0 THEN 0 ELSE user_id END
+                       AS join_key,
+                   value
+            FROM events
+        ),
+        d AS (
+            SELECT DISTINCT CASE WHEN user_id % 10 = 0 THEN 0
+                                 ELSE user_id END AS join_key,
+                   CASE WHEN user_id % 10 = 0 THEN 'hot' ELSE 'normal' END
+                       AS key_class
+            FROM events
+        )
+        SELECT d.key_class,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT f.join_key) AS BIGINT) AS n_keys,
+               CAST(SUM(CAST(f.value AS DECIMAL(28,10))) AS DOUBLE)
+                   AS total_value
+        FROM f JOIN d ON d.join_key = f.join_key
+        GROUP BY d.key_class
+        ORDER BY d.key_class
+    """,
+    survey_ref="scale playbook: SALTED JOIN — the join-side skew recipe "
+    "(fact side salted, dimension side replicated per salt, join on "
+    "(key, salt)); result hash-matched against the plain join, proving "
+    "the rewrite is semantics-preserving",
+    description=f"a hot key is manufactured (10% of fact rows collapse "
+    "onto key 0), the fact side gets salt = pmod(event_id, "
+    f"{N_SALTS}), the dimension side is exploded {N_SALTS}× (one copy "
+    "per salt value — dimension replication is the price, which is why "
+    "salting suits small-dim/hot-fact joins), and the equi-join runs on "
+    "(join_key, salt): the hot key's rows land on "
+    f"{N_SALTS} reducers instead of one straggler.  The oracle computes "
+    "the UNSALTED join — identical totals prove no row was lost, "
+    "duplicated, or misrouted by the rewrite.  At 100 TB this exact "
+    "shape (with the salt count sized from suppkey_skew_report's "
+    "max/mean ratio) is the fallback when AQE skew-split cannot apply",
+    gated=False,  # r5 rotation candidate (driver window frozen this round)
+)
+def salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    key = F.when(F.pmod("user_id", F.lit(10)) == 0, F.lit(0)).otherwise(
+        F.col("user_id")
+    )
+    fact = ev.select(
+        key.alias("join_key"),
+        "value",
+        F.pmod("event_id", F.lit(N_SALTS)).alias("salt"),
+    )
+    dim = (
+        ev.select(
+            key.alias("join_key"),
+            F.when(F.pmod("user_id", F.lit(10)) == 0, "hot")
+            .otherwise("normal")
+            .alias("key_class"),
+        )
+        .distinct()
+        # replicate: one dimension copy per salt value
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1)))
+        )
+    )
+    joined = fact.join(dim, ["join_key", "salt"])
+    return (
+        joined.groupBy("key_class")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("join_key").cast("long").alias("n_keys"),
+            F.sum(F.col("value").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("key_class")
+    )
