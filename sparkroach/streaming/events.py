@@ -1182,3 +1182,176 @@ def _bind_hll_streaming_oracle() -> None:
 
 
 _bind_hll_streaming_oracle()
+
+
+@register(
+    "events_rollup_update_streamed",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour_bucket,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                   AS total_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+        ORDER BY hour_bucket, event_type
+    """,
+    survey_ref="§2C streaming — UPDATE output mode through the real "
+    "writeStream path (foreachBatch last-write-wins store): completes "
+    "the output-mode matrix (append = events_rollup_streamed, "
+    "update = here, complete subsumed by update's final state)",
+    description="the same hourly rollup as events_rollup_streamed, but "
+    "in UPDATE mode: every micro-batch emits the windows it changed "
+    "with their CUMULATIVE aggregate values, and a foreachBatch sink "
+    "appends them to an epoch-stamped log compacted by last-epoch-wins "
+    "per (window, type) at read time — the keyed-MERGE pattern every "
+    "streaming warehouse sink implements.  Unlike append mode, update "
+    "emits windows that are still open, so the final state equals the "
+    "FULL batch aggregate (no watermark finalization gap).  The feed "
+    "is delivered in two time-ordered halves with a query RESTART "
+    "between them: the cut-straddling hour's final row is correct only "
+    "if the agg state recovered from the checkpoint (its second "
+    "emission must include the first half's rows).  Log appends under "
+    "replay are absorbed by last-epoch-wins, mirroring the HLL log's "
+    "merge-idempotence story",
+    gated=False,  # r5 rotation candidate (driver window frozen this round)
+)
+def events_rollup_update_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive UPDATE-mode windowed aggregation end-to-end with a mid-run
+    restart and a last-write-wins keyed store."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.unix_micros(F.min("ts")).alias("lo"),
+        F.unix_micros(F.max("ts")).alias("hi"),
+    ).collect()[0]
+    # data-adaptive cut: a blind midpoint can miss every (hour, type)
+    # aggregation group at small SFs (~1 event/hour/type), leaving no
+    # group with rows in BOTH halves — and then the restart recovers
+    # nothing and the gate's recovery claim is vacuous.  Instead: find
+    # the busiest (hour, type) GROUP (the aggregation's own grain) and
+    # cut at its second-earliest distinct event time, so that group
+    # provably has rows strictly before AND at/after the cut.
+    busiest = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("h"),
+            F.col("event_type").alias("et"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("h"), F.col("et"))
+        .limit(1)
+    )
+    in_grp = ev.join(
+        F.broadcast(busiest),
+        (F.date_trunc("hour", ev["ts"]) == F.col("h"))
+        & (ev["event_type"] == F.col("et")),
+    ).select(F.unix_micros("ts").alias("t_us"))
+    t1 = in_grp.agg(F.min("t_us").alias("m")).collect()[0].m
+    cut = (
+        in_grp.where(F.col("t_us") > t1)
+        .agg(F.min("t_us").alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert cut is not None, "busiest group has a single distinct event time"
+    # delay > feed span ⇒ no window state evicted mid-run: every window
+    # keeps accepting updates, so the final state is the full aggregate
+    delay_s = (b.hi - b.lo) // 1_000_000 + 3600
+
+    root = tempfile.mkdtemp(prefix="sparkroach_update_stream_")
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    store = os.path.join(root, "rollup_log")
+    ck = os.path.join(root, "ck")
+    base = time.time() - 3600
+    cols = [f.name for f in EVENT_SCHEMA.fields]
+
+    def stage(name: str, df: DataFrame, mtime: float) -> None:
+        tmp = os.path.join(root, "stage_" + name)
+        df.select(*cols).coalesce(1).write.format("parquet").save(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dest = os.path.join(feed, name + ".parquet")
+        os.rename(os.path.join(tmp, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        agg = (
+            stream.withWatermark("ts", f"{delay_s} seconds")
+            .groupBy(
+                F.window("ts", "1 hour").alias("w"),
+                F.col("event_type"),
+            )
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(F.col("value").cast("decimal(28,10)")).alias("tv"),
+            )
+            .select(
+                F.col("w.start").alias("hour_bucket"),
+                "event_type",
+                "n",
+                "tv",
+            )
+        )
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            # epoch-stamped append; compaction is last-epoch-wins per key
+            batch_df.withColumn("epoch", F.lit(epoch_id)).coalesce(
+                1
+            ).write.mode("append").parquet(store)
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()  # guard: never leak a running query into the session
+
+    try:
+        t_us = F.unix_micros("ts")
+        stage("b0", ev.where(t_us < F.lit(cut)), base)
+        run_once()  # open windows' partials are in the log + state store
+        stage("b1", ev.where(t_us >= F.lit(cut)), base + 10)
+        run_once()  # RESTART: the straddling hour's second emission is
+        # cumulative only if the agg state recovered from the checkpoint
+        from pyspark.sql import Window as W
+
+        log = spark.read.parquet(store)
+        lw = W.partitionBy("hour_bucket", "event_type").orderBy(
+            F.col("epoch").desc()
+        )
+        out = (
+            log.withColumn("rn", F.row_number().over(lw))
+            .where(F.col("rn") == 1)
+            .select(
+                "hour_bucket",
+                "event_type",
+                "n",
+                F.col("tv").cast("double").alias("total_value"),
+            )
+            .orderBy("hour_bucket", "event_type")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        if prev_parts is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

@@ -257,3 +257,68 @@ def test_dedup_jitter_collapses_what_plain_dedup_cannot(spark):
         ).collect()
     }
     assert not (jit & originals)
+
+
+def test_update_mode_straddling_hour_is_nonvacuous(spark):
+    """The update-mode gate's recovery claim rests on at least one
+    (hour, type) group receiving rows in BOTH delivery halves — its
+    final cumulative row then requires state recovered across the
+    restart.  Verify such a group exists and its final count equals the
+    full batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from sparkroach.queries import QUERIES
+    from sparkroach.tables import load
+    from tests.conftest import SF_SMALL
+
+    ev = load(spark, SF_SMALL, "events")
+    # the gate's data-adaptive cut: second-earliest distinct event time
+    # of the busiest (hour, type) group
+    busiest = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("h"),
+            F.col("event_type").alias("et"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("h"), F.col("et"))
+        .limit(1)
+    )
+    in_grp = ev.join(
+        F.broadcast(busiest),
+        (F.date_trunc("hour", ev["ts"]) == F.col("h"))
+        & (ev["event_type"] == F.col("et")),
+    ).select(F.unix_micros("ts").alias("t_us"))
+    t1 = in_grp.agg(F.min("t_us").alias("m")).collect()[0].m
+    cut = (
+        in_grp.where(F.col("t_us") > t1)
+        .agg(F.min("t_us").alias("m"))
+        .collect()[0]
+        .m
+    )
+    halves = (
+        ev.select(
+            F.date_trunc("hour", "ts").alias("hour_bucket"),
+            "event_type",
+            (F.unix_micros("ts") < F.lit(cut)).alias("first_half"),
+        )
+        .groupBy("hour_bucket", "event_type")
+        .agg(F.countDistinct("first_half").alias("sides"))
+    )
+    straddling = halves.where(F.col("sides") == 2).count()
+    assert straddling > 0, "no (hour, type) group spans the restart cut"
+
+    out = {
+        (r["hour_bucket"], r["event_type"]): r["n"]
+        for r in QUERIES["events_rollup_update_streamed"].fn(
+            spark, SF_SMALL
+        ).collect()
+    }
+    batch = {
+        (r["hour_bucket"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_bucket"), "event_type"
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    }
+    assert out == batch
