@@ -2218,6 +2218,7 @@ def _recall_report_oracle() -> str:
     truth_sql = _Q["ann_cosine_topk"].oracle
     sq_sql = _Q["ann_int8_quantized"].oracle
     pq_sql = _Q["ann_pq_adc"].oracle
+    ivfpq_sql = _Q["ann_ivfpq_adc"].oracle
     label_sql = _Q["ann_ivf_label"].oracle
     km_sql = _Q["ann_ivf_kmeans"].oracle
     km_assign_sql = _ivf_kmeans_oracle(select="assign")
@@ -2292,6 +2293,7 @@ def _recall_report_oracle() -> str:
         mp2p AS (SELECT q_id, label FROM ({mp2_probes_sql}) t),
         sq AS (SELECT q_id, c_id FROM ({sq_sql}) t),
         pq AS (SELECT q_id, c_id FROM ({pq_sql}) t),
+        ivfpq AS (SELECT q_id, c_id FROM ({ivfpq_sql}) t),
         cost_full AS (
             -- quantized methods scan the (compressed) full corpus: the
             -- candidate count is N-1, the win is bytes-per-candidate
@@ -2306,6 +2308,7 @@ def _recall_report_oracle() -> str:
         {hits_cte("mp2", "mp2")},
         {hits_cte("sq", "sq")},
         {hits_cte("pq", "pq")},
+        {hits_cte("ivfpq", "ivfpq")},
         {mp_cost_cte("mp1", "mp1p")},
         {mp_cost_cte("mp2", "mp2p")}
         {method_row("ivf_kmeans", 1, "hits_km", "cost_km")}
@@ -2314,6 +2317,7 @@ def _recall_report_oracle() -> str:
         UNION ALL {method_row("ivf_multiprobe", 2, "hits_mp2", "cost_mp2")}
         UNION ALL {method_row("int8_sq", 1, "hits_sq", "cost_full")}
         UNION ALL {method_row("pq_adc", 1, "hits_pq", "cost_full")}
+        UNION ALL {method_row("ivfpq_adc", 1, "hits_ivfpq", "cost_km")}
         ORDER BY method, n_probes, q_id
     """
 
@@ -2407,7 +2411,11 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # quantized methods (int8 SQ, PQ-ADC) scan the full compressed corpus:
     # candidates = N - 1 per query; the win is bytes-per-candidate
-    from sparkroach.queries.llm_ops2 import ann_int8_quantized, ann_pq_adc
+    from sparkroach.queries.llm_ops2 import (
+        ann_int8_quantized,
+        ann_ivfpq_adc,
+        ann_pq_adc,
+    )
 
     n_corpus = e.count()
     cost_full = qlab.select(
@@ -2423,5 +2431,10 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             report_row("int8_sq", 1, ann_int8_quantized(spark, sf_dir), cost_full)
         )
         .unionByName(report_row("pq_adc", 1, ann_pq_adc(spark, sf_dir), cost_full))
+        .unionByName(
+            # IVF-PQ scans the same cluster-pruned candidate set as
+            # ivf_kmeans (shared assignment chain) at PQ-code cost
+            report_row("ivfpq_adc", 1, ann_ivfpq_adc(spark, sf_dir), cost_km)
+        )
         .orderBy("method", "n_probes", "q_id")
     )

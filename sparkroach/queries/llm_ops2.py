@@ -683,3 +683,120 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = synthesize_gradient_media(docs)
     return resize_features(media, factor=2).orderBy("media_id")
+
+
+def _ivfpq_oracle() -> str:
+    """IVF-PQ: the k-means IVF assignment (nested as one CTE — the
+    identical training chain ann_ivf_kmeans gates) restricts each query
+    to its own cluster's members, and PQ-ADC lookup tables score ONLY
+    those members."""
+    from sparkroach.queries.llm_ops import _ivf_kmeans_oracle
+
+    dist_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, {k} AS k, "
+        f"{_pq_dist_terms('embedding', m, k, False)} AS d FROM embeddings"
+        for m in range(_PQ_M)
+        for k in range(_PQ_K)
+    )
+    lut = _pq_lut_expr(False, vec="embedding")
+    score = (
+        "("
+        + " + ".join(
+            f"lut[{m + 1}][codes[{m + 1}] + 1]" for m in range(_PQ_M)
+        )
+        + ")"
+    )
+    return f"""
+        WITH assign AS ({_ivf_kmeans_oracle("assign")}),
+        dists AS ({dist_rows}),
+        coded AS (
+            SELECT vec_id, m, k AS code FROM (
+                SELECT vec_id, m, k,
+                       row_number() OVER (PARTITION BY vec_id, m
+                                          ORDER BY d, k) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ),
+        codes AS (
+            SELECT vec_id, list(code ORDER BY m) AS codes
+            FROM coded GROUP BY vec_id
+        ),
+        q AS (
+            SELECT e.vec_id AS q_id, {lut} AS lut, a.cluster
+            FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+            WHERE e.vec_id < {_PQ_N_QUERIES}
+        ),
+        scored AS (
+            SELECT q.q_id, m.vec_id AS c_id, ROUND({score}, 6) AS adc_dist
+            FROM q
+            JOIN assign m ON m.cluster = q.cluster AND m.vec_id <> q.q_id
+            JOIN codes c ON c.vec_id = m.vec_id
+        )
+        SELECT q_id, c_id, adc_dist, rank FROM (
+            SELECT q_id, c_id, adc_dist,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY adc_dist, c_id) AS rank
+            FROM scored
+        ) WHERE rank <= {_PQ_TOP_K}
+        ORDER BY q_id, rank
+    """
+
+
+@register(
+    "ann_ivfpq_adc",
+    oracle=_ivfpq_oracle(),
+    survey_ref="LLM ops: ANN — IVF-PQ (Jégou et al. 2011, the composed "
+    "billion-scale index: IVF cluster pruning bounds WHICH vectors are "
+    "scored, PQ-ADC lookup tables bound the COST of scoring each one)",
+    description="the composition the FAISS IVFPQ index implements: the "
+    "trained k-means IVF assignment (identical chain to ann_ivf_kmeans, "
+    "so the cluster routing is already gate-proven) restricts each "
+    "query's candidates to its own cluster, and the PQ-ADC lookup table "
+    f"({_PQ_M}×{_PQ_K} cells, {_PQ_M}-byte codes — 32× compression) "
+    "scores only those candidates with table lookups.  At 100 TB this "
+    "is THE memory/recall/cost operating point: the corpus lives as "
+    "codes partitioned by cluster, a query touches one partition and "
+    "never the float vectors.  Loop-compiled HOF expressions keep "
+    "whole-stage codegen alive (see the PQ note above); scores are "
+    "bit-identical to the unrolled DuckDB oracle before the final "
+    "ROUND",
+    gated=False,  # r5 rotation candidate (driver window frozen this round)
+)
+def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach.queries.llm_ops import _ivf_kmeans_parts
+
+    e = load(spark, sf_dir, "embeddings")
+    assign, _ = _ivf_kmeans_parts(spark, sf_dir)
+    codes = e.select(
+        "vec_id", F.expr(_pq_codes_hof_expr("embedding")).alias("codes")
+    )
+    q = (
+        e.where(F.col("vec_id") < _PQ_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.expr(_pq_lut_hof_expr("embedding")).alias("lut"),
+        )
+        .join(
+            assign.select(F.col("vec_id").alias("q_id"), "cluster"), "q_id"
+        )
+    )
+    members = assign.select(F.col("vec_id").alias("c_id"), "cluster")
+    cand = (
+        F.broadcast(q)
+        .join(members, "cluster")
+        .where(F.col("c_id") != F.col("q_id"))
+        .join(codes.select(F.col("vec_id").alias("c_id"), "codes"), "c_id")
+    )
+    score = F.expr(
+        " + ".join(
+            f"element_at(element_at(lut, {m + 1}), element_at(codes, {m + 1}) + 1)"
+            for m in range(_PQ_M)
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("c_id"))
+    return (
+        cand.select("q_id", "c_id", F.round(score, 6).alias("adc_dist"))
+        .select("q_id", "c_id", "adc_dist", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= _PQ_TOP_K)
+        .orderBy("q_id", "rank")
+    )
