@@ -417,3 +417,251 @@ def lsh_band_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# dup_span_coverage — Lee et al. duplicated-span coverage per document
+# ---------------------------------------------------------------------------
+
+SPAN_WORDS = 16
+
+
+@register(
+    "dup_span_coverage",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        -- LATERAL range() rejects column parameters in this DuckDB;
+        -- list comprehensions over range() accept them, so windows are
+        -- built as (i, hash) structs and unnested
+        win0 AS (
+            SELECT doc_id,
+                   unnest([{{'i': i,
+                            'ph': md5(array_to_string(
+                                      ws[i+1:i+{SPAN_WORDS}], ' '))}}
+                           for i in range(0, greatest(len(ws)
+                                                      - {SPAN_WORDS - 1}, 0))])
+                       AS s
+            FROM w
+        ),
+        win AS (SELECT doc_id, s.i AS i, s.ph AS ph FROM win0),
+        hd AS (
+            SELECT ph FROM win GROUP BY ph
+            HAVING COUNT(DISTINCT doc_id) > 1
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, wd FROM (
+                SELECT win.doc_id,
+                       unnest([win.i + j
+                               for j in range(0, {SPAN_WORDS})]) AS wd
+                FROM win JOIN hd ON hd.ph = win.ph
+            )
+        ),
+        cov_n AS (
+            SELECT doc_id, COUNT(*) AS n_covered FROM covered GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               CAST(len(w.ws) AS BIGINT) AS n_words,
+               CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered_words,
+               CAST(COALESCE(c.n_covered, 0) AS DOUBLE) / len(w.ws)
+                   AS covered_fraction
+        FROM w LEFT JOIN cov_n c ON c.doc_id = w.doc_id
+        ORDER BY w.doc_id
+    """,
+    survey_ref="LLM ops: duplicated-span coverage (Lee et al. 2022, "
+    "'Deduplicating Training Data Makes Language Models Better') — the "
+    "fraction of each document covered by word spans that also occur in "
+    "another document; the REMOVAL metric suffix-array substring dedup "
+    "acts on",
+    description=f"every {SPAN_WORDS}-word window is hashed (the "
+    "passage_dedup_exact stage); windows whose hash occurs in more than "
+    "one document mark all their word positions covered, and the "
+    "distinct covered positions per doc over its word count is the "
+    "span-coverage fraction — docs near 1.0 are TEMPLATED (near-whole "
+    "duplication), docs with a small positive fraction carry a shared "
+    "boilerplate span, the signal for span-level (not doc-level) "
+    "removal.  The window table is corpus×~words rows but every stage "
+    "is a grouped agg or equi-join; the position-explode is bounded by "
+    f"{SPAN_WORDS}× the dup windows only, never the corpus",
+    gated=False,  # r5 rotation candidate (driver window frozen this round)
+)
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("ws"))
+    idx = F.when(
+        F.size("ws") >= SPAN_WORDS,
+        F.sequence(F.lit(0), F.size("ws") - SPAN_WORDS),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+    win = (
+        w.select("doc_id", "ws", F.explode(idx).alias("i"))
+        .select(
+            "doc_id",
+            "i",
+            F.expr(
+                f"md5(array_join(slice(ws, i + 1, {SPAN_WORDS}), ' '))"
+            ).alias("ph"),
+        )
+        # consumed by the dup-hash agg AND the cover join (see
+        # passage_dedup_exact for the measured cost of recomputing)
+        .localCheckpoint(eager=True)
+    )
+    hd = (
+        win.groupBy("ph")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("ph")
+    )
+    covered = (
+        win.join(hd, "ph")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + SPAN_WORDS - 1)
+            ).alias("wd"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_covered"))
+    )
+    return (
+        w.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_words"),
+            F.coalesce("n_covered", F.lit(0))
+            .cast("long")
+            .alias("n_covered_words"),
+            (
+                F.coalesce("n_covered", F.lit(0)).cast("double")
+                / F.size("ws")
+            ).alias("covered_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# clean_corpus_report — the dedup DECISIONS, executed
+# ---------------------------------------------------------------------------
+
+
+def _clean_corpus_oracle() -> str:
+    from sparkroach.queries.analytics11 import _keep_best_oracle
+
+    keep = _keep_best_oracle().strip()
+    assert keep.startswith("WITH RECURSIVE ")
+    # reuse the keep-best CTE chain up to `best`, then derive drops
+    head = keep[: keep.index("SELECT cluster_id, doc_id AS keep_doc_id")]
+    return f"""
+        {head.rstrip()},
+        near_drops AS (
+            SELECT doc_id FROM best WHERE rn > 1
+        ),
+        exact_drops AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       row_number() OVER (
+                           PARTITION BY md5(text) ORDER BY doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn > 1
+        ),
+        drops AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_id FROM near_drops
+                UNION ALL SELECT doc_id FROM exact_drops
+            )
+        ),
+        per_doc AS (
+            SELECT d.source, d.doc_id,
+                   len(string_split(d.text, ' ')) AS n_tokens,
+                   (dr.doc_id IS NOT NULL) AS dropped
+            FROM documents d LEFT JOIN drops dr ON dr.doc_id = d.doc_id
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS docs_before,
+               CAST(SUM(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT)
+                   AS docs_after,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+               CAST(SUM(CASE WHEN dropped THEN 0 ELSE n_tokens END)
+                    AS BIGINT) AS tokens_after
+        FROM per_doc
+        GROUP BY source
+        ORDER BY source
+    """
+
+
+@register(
+    "clean_corpus_report",
+    oracle=_clean_corpus_oracle(),
+    survey_ref="LLM ops: the dedup ENDPOINT — keep/drop decisions from "
+    "the exact and near-dup pipelines actually applied, reported as the "
+    "per-source before/after corpus (the artifact every dedup run "
+    "publishes)",
+    description="drops = exact duplicates (same md5(text), min doc_id "
+    "survives) ∪ near-dup cluster members that lost the keep-best "
+    "policy (max n_chars, doc_id tiebreak — dedup_keep_best's rule); "
+    "the report is per-source documents and tokens before/after the "
+    "drop set is applied.  This is the operator that turns the pairwise "
+    "similarity machinery into a DELIVERABLE corpus; at 100 TB the drop "
+    "set is orders of magnitude smaller than the corpus and broadcasts "
+    "into one anti-join-shaped pass",
+    gated=False,  # r5 rotation candidate (driver window frozen this round)
+)
+def clean_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach.queries.llm_ops import (
+        _JACCARD_TAU,
+        _verified_pairs,
+        connected_components,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    edges = (
+        _verified_pairs(d)
+        .where(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    kb = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    near_drops = (
+        comp.join(d.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", F.row_number().over(kb))
+        .where(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    ex = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact_drops = (
+        d.select("doc_id", "text")
+        .withColumn("rn", F.row_number().over(ex))
+        .where(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    drops = (
+        near_drops.unionByName(exact_drops)
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    per_doc = d.join(F.broadcast(drops), "doc_id", "left").select(
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.coalesce("dropped", F.lit(False)).alias("dropped"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("docs_before"),
+            F.sum(F.when(F.col("dropped"), 0).otherwise(1))
+            .cast("long")
+            .alias("docs_after"),
+            F.sum("n_tokens").cast("long").alias("tokens_before"),
+            F.sum(F.when(F.col("dropped"), 0).otherwise(F.col("n_tokens")))
+            .cast("long")
+            .alias("tokens_after"),
+        )
+        .orderBy("source")
+    )

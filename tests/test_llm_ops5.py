@@ -13,6 +13,7 @@ from sparkroach.queries.llm_ops5 import (
     TOP_DRIFT_DIMS,
     cross_source_dup_matrix,
     dataset_card_stats,
+    dup_span_coverage,
     label_centroid_drift,
     lsh_band_selectivity,
 )
@@ -115,3 +116,50 @@ def test_band_selectivity_matches_bucket_census(spark):
         assert r["pair_contribution"] == sum(
             n * (n - 1) // 2 for n in buckets.values()
         )
+
+
+def test_span_coverage_bounds_and_nonvacuity(spark):
+    rows = dup_span_coverage(spark, SF_SMALL).collect()
+    assert len(rows) == 500
+    covered = [r for r in rows if r["n_covered_words"] > 0]
+    uncovered = [r for r in rows if r["n_covered_words"] == 0]
+    assert covered, "no doc has any duplicated span — metric vacuous"
+    assert uncovered, "every doc fully covered — fixture degenerate"
+    for r in rows:
+        assert 0 <= r["n_covered_words"] <= r["n_words"]
+        assert r["covered_fraction"] == r["n_covered_words"] / r["n_words"]
+
+
+def test_clean_corpus_drops_are_consistent(spark):
+    from pyspark.sql import functions as F
+
+    from sparkroach.queries.llm_ops5 import clean_corpus_report
+
+    rows = clean_corpus_report(spark, SF_SMALL).collect()
+    d = load(spark, SF_SMALL, "documents")
+    assert sum(r["docs_before"] for r in rows) == d.count()
+    dropped = sum(r["docs_before"] - r["docs_after"] for r in rows)
+    assert dropped > 0, "no doc dropped — dedup vacuous on fixture"
+    for r in rows:
+        assert 0 <= r["docs_after"] <= r["docs_before"]
+        assert 0 <= r["tokens_after"] <= r["tokens_before"]
+    # near-dup drops: every cluster loses exactly size-1 members to
+    # keep-best, plus exact dups; cross-check the total against the
+    # independent pipelines
+    from sparkroach.queries.llm_ops import dedup_cc_clusters
+
+    cc = dedup_cc_clusters(spark, SF_SMALL).collect()
+    near = sum(1 for r in cc if not r["is_canonical"])
+    exact = (
+        d.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.sum(F.col("n") - 1))
+        .collect()[0][0]
+        or 0
+    )
+    # the union can overlap (a doc can be both an exact dup and a
+    # near-dup loser) and keep-best may drop the min-id canonical, so
+    # only bounds are exact: at least max(parts), at most the sum
+    assert max(near, exact) <= dropped <= near + exact
