@@ -238,7 +238,8 @@ _MATERIALIZED = {
     "events_dedup_jitter_streamed", "events_dedup_streamed",
     "events_join_streamed", "events_left_join_streamed",
     "events_partitioned_read", "events_rollup_streamed",
-    "events_sessions_streamed", "hll_streaming_merge", "knn_graph_ivf",
+    "events_rollup_update_streamed", "events_sessions_streamed",
+    "hll_streaming_merge", "knn_graph_ivf",
 }
 
 # Queries where BroadcastNestedLoopJoin is the CORRECT plan: every one is
@@ -247,7 +248,7 @@ _MATERIALIZED = {
 # shapes the r3 verdict audited as safe.  A BNLJ anywhere else is a bug.
 _SCALAR_BNLJ_OK = {
     "ann_cosine_topk", "ann_int8_quantized", "ann_ivf_kmeans",
-    "ann_ivf_multiprobe", "ann_pq_adc", "ann_recall_report",
+    "ann_ivf_multiprobe", "ann_ivfpq_adc", "ann_pq_adc", "ann_recall_report",
     "chain_end_to_end", "domain_mix_weights", "events_funnel_conversion",
     "events_gap_fill", "hist_quantile_sketch", "hll_distinct_sketch",
     "kmv_type_jaccard", "pagerank_dup_graph", "q11_important_stock",
