@@ -110,3 +110,46 @@ def salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_class")
     )
+
+
+@register(
+    "sql_front_door_pricing",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))
+                        * (1 - CAST(l_discount AS DECIMAL(28,4))))
+                    AS DOUBLE) AS disc_revenue
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    survey_ref="API surface: the SQL FRONT DOOR — the identical query "
+    "text executed via spark.sql() over registered temp views (every "
+    "other gate drives the DataFrame API; a reference user migrating "
+    "SQL workloads needs the textual dialect to agree too)",
+    description="a Q1-shaped pricing summary whose Spark side is ONE "
+    "literal SQL string run through spark.sql() against a temp view — "
+    "the exact text the DuckDB oracle runs, modulo nothing: the SQL "
+    "dialect subset used by this engine's gates (ANSI aggregates, "
+    "DECIMAL casts, timestamp literals, GROUP BY/ORDER BY) parses and "
+    "evaluates identically in both engines.  Catalyst treats the parsed "
+    "text exactly like the DataFrame plans (same optimizer, same "
+    "pushdown), which this gate makes checkable rather than assumed",
+    gated=False,  # r5 rotation candidate (driver window frozen this round)
+)
+def sql_front_door_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach.queries.registry import QUERIES
+
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "sr_lineitem_view"
+    )
+    # run the ORACLE text itself, retargeted at the temp view — one
+    # source of truth, zero drift between the two engines' query text
+    sql = QUERIES["sql_front_door_pricing"].oracle.replace(
+        "FROM lineitem", "FROM sr_lineitem_view"
+    )
+    return spark.sql(sql)
