@@ -114,14 +114,19 @@ def salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sql_front_door_pricing",
+    # integer-cents hot path (the q1 idiom): the decimal-typed form hit
+    # Spark's decimal-precision-overflow scale reduction at sf0.01 —
+    # (28,4)×(29,4) exceeds precision 38 and Spark silently rounds the
+    # per-row product where DuckDB keeps it exact.  Long-cents math has
+    # no such type-system divergence, and the text is dialect-shared.
     oracle="""
         SELECT l_returnflag, l_linestatus,
                CAST(COUNT(*) AS BIGINT) AS n_items,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
                    AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))
-                        * (1 - CAST(l_discount AS DECIMAL(28,4))))
-                    AS DOUBLE) AS disc_revenue
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 10000.0 AS disc_revenue
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
