@@ -1,7 +1,9 @@
 """Analytics breadth, round-4 continuation (wave 7): the salted JOIN —
 the join-side half of the skew playbook (the aggregation-side half is
 ``events_salted_type_counts``; the diagnostic that decides to salt is
-``suppkey_skew_report``).
+``suppkey_skew_report``) — and the SQL front door
+(``sql_front_door_pricing``: the oracle text itself through
+spark.sql(), pinning textual-dialect parity).
 
 ``salted_hot_key_join`` manufactures a genuinely hot join key (10% of
 the fact rows collapse onto key 0), then executes the join with the
