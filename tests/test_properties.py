@@ -175,3 +175,24 @@ def test_overcap_star_chain_pairs_are_linear_and_connected(n, k):
     for a, b in pairs:
         parent[find(a)] = find(b)
     assert len({find(i) for i in range(1, n + 1)}) == 1
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 2**32 - 1), max_size=40),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(1, 16),
+)
+def test_kmv_sketch_merges_by_sort_and_truncate(partitions, k):
+    """The KMV mergeability claim (kmv_type_jaccard's 100 TB story):
+    per-partition k-smallest-distinct lists combine by sort-and-truncate
+    into exactly the global sketch — for ANY partitioning of the
+    elements and any k."""
+    def sketch(values):
+        return sorted(set(values))[:k]
+
+    global_sketch = sketch([v for p in partitions for v in p])
+    merged = sketch([h for p in partitions for h in sketch(p)])
+    assert merged == global_sketch
