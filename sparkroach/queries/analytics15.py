@@ -26,7 +26,7 @@ oracle gate at sf0.001/0.01/0.1.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparkroach.queries.registry import register
@@ -160,3 +160,107 @@ def sql_front_door_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM lineitem", "FROM sr_lineitem_view"
     )
     return spark.sql(sql)
+
+
+@register(
+    "orders_priority_rollup",
+    oracle="""
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               CAST(GROUPING(o_orderpriority) * 2
+                    + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        ORDER BY gid, priority, status
+    """,
+    survey_ref="analytics breadth: ROLLUP grouping sets — the "
+    "hierarchical prefix-aggregation complement of docs_grouping_sets' "
+    "CUBE (subtotals per priority, grand total; never the cross "
+    "combinations CUBE adds)",
+    description="ROLLUP(priority, status): detail rows, per-priority "
+    "subtotals, and the grand total in ONE Expand + one hash aggregate "
+    "over one scan (plan-shared with the CUBE gate), with grouping_id "
+    "disambiguating genuine NULL groups from subtotal rows — both "
+    "engines agree on the grouping bitmask.  Money sums in integer "
+    "cents (the q1 idiom) with one final division.  At 100 TB, ROLLUP's "
+    "expansion factor is levels+1 (3 here) vs CUBE's 2^levels — the "
+    "reason hierarchical reports prefer it",
+    gated=False,  # r6 rotation candidate (r5 window is fully committed)
+)
+def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").cast("long").alias("n_orders"),
+            (F.sum(cents).cast("double") / 100.0).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("gid", "priority", "status")
+    )
+
+
+@register(
+    "events_interarrival_stats",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS gap_us
+            FROM events
+        )
+        SELECT user_id,
+               CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+               CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+               CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+               CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) AS mean_gap_us
+        FROM gaps
+        WHERE gap_us IS NOT NULL
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    survey_ref="analytics breadth: inter-arrival statistics — per-user "
+    "event-gap distribution from a lag window (the activity-cadence "
+    "profile sessionization thresholds are tuned from)",
+    description="per user: gaps between consecutive events (lag over "
+    "(ts, event_id) order, microsecond-exact integers), aggregated to "
+    "count/min/max and a mean that is ONE division of exact integers.  "
+    "This is the empirical distribution the sessionizer's 1800 s gap "
+    "threshold comes from — run it BEFORE choosing the threshold, not "
+    "after.  One shuffle by user; the lag frame never crosses "
+    "partitions",
+    gated=False,  # r6 rotation candidate (r5 window is fully committed)
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_us").cast("long").alias("n_gaps"),
+            F.min("gap_us").cast("long").alias("min_gap_us"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+            (F.sum("gap_us").cast("double") / F.count("gap_us")).alias(
+                "mean_gap_us"
+            ),
+        )
+        .orderBy("user_id")
+    )
