@@ -665,3 +665,81 @@ def clean_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# lang_id_confusion — classifier evaluation: predicted × true language
+# ---------------------------------------------------------------------------
+
+
+def _lang_confusion_oracle() -> str:
+    from sparkroach.queries.llm_ops import _lang_id_oracle
+
+    return f"""
+        WITH preds AS ({_lang_id_oracle().strip()}),
+        joined AS (
+            SELECT d.lang AS true_lang,
+                   COALESCE(p.pred_lang, 'unknown') AS pred_lang
+            FROM documents d LEFT JOIN preds p ON p.doc_id = d.doc_id
+        ),
+        cm AS (
+            SELECT true_lang, pred_lang, COUNT(*) AS n
+            FROM joined GROUP BY true_lang, pred_lang
+        ),
+        tot AS (
+            SELECT true_lang, SUM(n) AS n_true FROM cm GROUP BY true_lang
+        )
+        SELECT cm.true_lang, cm.pred_lang,
+               CAST(cm.n AS BIGINT) AS n_docs,
+               CAST(tot.n_true AS BIGINT) AS n_true,
+               CAST(cm.n AS DOUBLE) / tot.n_true AS row_frac
+        FROM cm JOIN tot ON tot.true_lang = cm.true_lang
+        ORDER BY cm.true_lang, cm.pred_lang
+    """
+
+
+@register(
+    "lang_id_confusion",
+    oracle=_lang_confusion_oracle(),
+    survey_ref="LLM ops: classifier evaluation — the confusion matrix of "
+    "the stopword language-ID predictor against the corpus's true lang "
+    "labels (the eval artifact every heuristic filter ships with)",
+    description="lang_id_stopwords' per-doc argmax prediction LEFT-joined "
+    "to the truth column (docs with zero lexicon hits classify as "
+    "'unknown' — the null path is part of the contract), grouped into "
+    "the (true, predicted) matrix with per-true-language row fractions "
+    "(recall sits on the diagonal; one exact-integer division per "
+    "cell).  On THIS testdata the matrix honestly reports that the "
+    "heuristic cannot discriminate: the generator's lang labels are "
+    "independent of the (English-ish word-salad) text, so ~all rows "
+    "predict 'en' — which is exactly the failure this dashboard exists "
+    "to catch before a filter ships.  Output bounded by languages², "
+    "independent of corpus size",
+    gated=False,  # r6 rotation candidate (r5 window is fully committed)
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach.queries.llm_ops import lang_id_stopwords
+
+    d = load(spark, sf_dir, "documents")
+    preds = lang_id_stopwords(spark, sf_dir).select("doc_id", "pred_lang")
+    joined = d.select("doc_id", F.col("lang").alias("true_lang")).join(
+        preds, "doc_id", "left"
+    ).select(
+        "true_lang",
+        F.coalesce("pred_lang", F.lit("unknown")).alias("pred_lang"),
+    )
+    cm = joined.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").alias("n")
+    )
+    tot = cm.groupBy("true_lang").agg(F.sum("n").alias("n_true"))
+    return (
+        cm.join(F.broadcast(tot), "true_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("n_true").cast("long").alias("n_true"),
+            (F.col("n").cast("double") / F.col("n_true")).alias("row_frac"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
