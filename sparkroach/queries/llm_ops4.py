@@ -749,3 +749,129 @@ def temperature_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "n_docs", "n_kept", "kept_tokens", "n_tokens", "rate")
         .orderBy("lang")
     )
+
+
+@register(
+    "bpe_second_merge",
+    oracle=f"""
+        WITH w AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        wf AS (
+            SELECT w, COUNT(*) AS f FROM w WHERE length(w) >= 2 GROUP BY w
+        ),
+        p1 AS (
+            SELECT unnest([substring(w, i, 2) for i in range(1, length(w))])
+                       AS pair, f
+            FROM wf
+        ),
+        pc1 AS (SELECT pair, SUM(f) AS n FROM p1 GROUP BY pair),
+        top1 AS (
+            SELECT pair FROM (
+                SELECT pair, row_number() OVER (ORDER BY n DESC, pair) AS rn
+                FROM pc1
+            ) WHERE rn = 1
+        ),
+        spaced AS (
+            SELECT array_to_string([substring(w, i, 1)
+                                    for i in range(1, length(w) + 1)], ' ')
+                       AS s, f
+            FROM wf
+        ),
+        merged AS (
+            -- apply the learned merge: replace() is left-to-right
+            -- non-overlapping in BOTH engines, the greedy BPE rule
+            SELECT replace(s, substring(t.pair, 1, 1) || ' '
+                              || substring(t.pair, 2, 1),
+                           t.pair) AS s,
+                   f
+            FROM spaced CROSS JOIN top1 t
+        ),
+        syms AS (SELECT string_split(s, ' ') AS sy, f FROM merged),
+        p2 AS (
+            SELECT unnest([sy[i] || '+' || sy[i+1]
+                           for i in range(1, len(sy))]) AS pair, f
+            FROM syms WHERE len(sy) >= 2
+        ),
+        pc2 AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS n FROM p2 GROUP BY pair)
+        SELECT (SELECT pair FROM top1) AS applied_merge, pair, n, rank
+        FROM (
+            SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rank
+            FROM pc2
+        )
+        WHERE rank <= {BPE_TOP}
+        ORDER BY rank
+    """,
+    survey_ref="LLM ops: BPE tokenizer training, SECOND merge iteration — "
+    "the rank-1 pair from iteration 1 is APPLIED to the symbol sequences "
+    "(greedy left-to-right, the BPE rule) and pair statistics are "
+    "recounted over the merged symbols, proving the training loop "
+    "iterates distributedly rather than stopping at one census",
+    description="words become char-spaced symbol strings; the learned "
+    "merge rewrites them with ONE string replace (left-to-right "
+    "non-overlapping in both engines — the greedy rule, no UDF); "
+    "iteration-2 pairs are adjacent SYMBOLS (variable length now, so "
+    "the pair key carries a '+' separator), counted weighted by word "
+    "frequency over the distinct-word table.  Each BPE iteration at "
+    "100 TB is exactly this shape: two grouped aggs over the vocabulary "
+    "(never the corpus — word frequencies collapse it once), a "
+    "broadcast of the single learned merge, and a bounded rank window",
+    gated=False,  # r6 rotation candidate (r5 window is fully committed)
+)
+def bpe_second_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = d.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.length("w") >= 2
+    )
+    wf = w.groupBy("w").agg(F.count("*").alias("f"))
+    pairs1 = F.expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+    )
+    pc1 = (
+        wf.select(F.explode(pairs1).alias("pair"), "f")
+        .groupBy("pair")
+        .agg(F.sum("f").alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    top1 = (
+        pc1.select("pair", F.row_number().over(wr).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select(F.col("pair").alias("m"))
+    )
+    spaced = wf.select(
+        F.expr(
+            "array_join(transform(sequence(1, length(w)), "
+            "i -> substring(w, i, 1)), ' ')"
+        ).alias("s"),
+        "f",
+    )
+    merged = spaced.crossJoin(F.broadcast(top1)).select(
+        F.expr(
+            "replace(s, substring(m, 1, 1) || ' ' || substring(m, 2, 1), m)"
+        ).alias("s"),
+        "f",
+        "m",
+    )
+    syms = merged.select(F.split("s", " ").alias("sy"), "f", "m").where(
+        F.size("sy") >= 2
+    )
+    pairs2 = F.expr(
+        "transform(sequence(1, size(sy) - 1), "
+        "i -> element_at(sy, i) || '+' || element_at(sy, i + 1))"
+    )
+    pc2 = (
+        syms.select(F.explode(pairs2).alias("pair"), "f", "m")
+        .groupBy("pair")
+        .agg(F.sum("f").alias("n"), F.max("m").alias("applied_merge"))
+    )
+    wr2 = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return (
+        pc2.select(
+            "applied_merge",
+            "pair",
+            F.col("n").cast("long").alias("n"),
+            F.row_number().over(wr2).alias("rank"),
+        )
+        .where(F.col("rank") <= BPE_TOP)
+        .orderBy("rank")
+    )
