@@ -98,8 +98,79 @@ class ChainStore:
     def _manifest_path(self, table: str) -> str:
         return os.path.join(self.base_dir, table, "manifest.json")
 
-    def _manifest(self, table: str) -> Manifest:
-        return Manifest.load(self._manifest_path(table))
+
+    def _snapshot_path(self, table: str, version: int) -> str:
+        return os.path.join(
+            self.base_dir, table, f"manifest.v{version:06d}.json"
+        )
+
+    def _commit(self, table: str, m: Manifest) -> None:
+        """Atomically publish the new manifest AND retain it as an
+        immutable snapshot — the data files are already copy-on-write,
+        so retained snapshots make every committed version readable
+        (time travel) until :meth:`vacuum` reclaims it."""
+        m.save(self._manifest_path(table))
+        m.save(self._snapshot_path(table, m.version))
+
+    def _manifest(self, table: str, version: int | None = None) -> Manifest:
+        if version is None:
+            return Manifest.load(self._manifest_path(table))
+        snap = self._snapshot_path(table, version)
+        if not os.path.exists(snap):
+            raise ValueError(
+                f"{table}: snapshot v{version} is not retained "
+                f"(never committed, or reclaimed by vacuum); available: "
+                f"{self.snapshot_versions(table)}"
+            )
+        return Manifest.load(snap)
+
+    def snapshot_versions(self, table: str) -> list[int]:
+        """Committed versions currently readable via time travel."""
+        import glob as _glob
+
+        out = []
+        for p in _glob.glob(
+            os.path.join(self.base_dir, table, "manifest.v*.json")
+        ):
+            name = os.path.basename(p)
+            out.append(int(name[len("manifest.v"):-len(".json")]))
+        return sorted(out)
+
+    def vacuum(self, table: str, keep_snapshots: int = 2) -> tuple[int, int]:
+        """Reclaim copy-on-write storage: retain the newest
+        ``keep_snapshots`` snapshot manifests (the live manifest is
+        always among them — it IS the newest snapshot) and delete every
+        version directory no retained manifest references, plus the
+        expired snapshot files.  The Delta-VACUUM analog for this store;
+        time travel then reaches exactly the retained versions.
+
+        Returns (version_dirs_deleted, snapshots_expired)."""
+        import glob as _glob
+        import shutil as _shutil
+
+        assert keep_snapshots >= 1
+        tdir = os.path.join(self.base_dir, table)
+        versions = self.snapshot_versions(table)
+        retained = set(versions[-keep_snapshots:])
+        manifests = [self._manifest(table)] + [
+            self._manifest(table, v) for v in retained
+        ]
+        referenced: set[str] = set()
+        for m in manifests:
+            for rel in list(m.buckets.values()) + [e["path"] for e in m.files]:
+                # dir-granular GC: the version dir is the reclaim unit
+                referenced.add(rel.split("/")[0])
+        dirs_deleted = 0
+        for d in _glob.glob(os.path.join(tdir, "v*")):
+            if os.path.isdir(d) and os.path.basename(d) not in referenced:
+                _shutil.rmtree(d)
+                dirs_deleted += 1
+        snaps_deleted = 0
+        for v in versions:
+            if v not in retained:
+                os.remove(self._snapshot_path(table, v))
+                snaps_deleted += 1
+        return dirs_deleted, snaps_deleted
 
     def _new_version_dir(self, table: str, version: int) -> str:
         d = os.path.join(self.base_dir, table, f"v{version:06d}")
@@ -150,15 +221,19 @@ class ChainStore:
         min_round: int | None = None,
         max_round: int | None = None,
         key: tuple | None = None,
+        version: int | None = None,
     ) -> DataFrame:
-        """Current snapshot.  For fact tables a round range prunes files
-        before Spark ever lists them (manifest min/max stats).  For state
-        tables a full PK ``key`` prunes to the ONE bucket that can hold it
-        (portable-hash bucketing) — a point read touches 1/n_buckets of
-        the table, like the reference's B-tree PK lookup.  The key
-        predicate itself is still applied by the caller; this only narrows
-        the file listing."""
-        m = self._manifest(table)
+        """Current snapshot — or, with ``version``, TIME TRAVEL to any
+        retained committed version (the data files are copy-on-write and
+        every commit retains its manifest until vacuum, so an old version
+        is just an old file listing).  For fact tables a round range
+        prunes files before Spark ever lists them (manifest min/max
+        stats).  For state tables a full PK ``key`` prunes to the ONE
+        bucket that can hold it (portable-hash bucketing) — a point read
+        touches 1/n_buckets of the table, like the reference's B-tree PK
+        lookup.  The key predicate itself is still applied by the caller;
+        this only narrows the file listing."""
+        m = self._manifest(table, version)
         schema = TABLE_SCHEMAS[table]
         if table in STATE_TABLES:
             if key is not None:
@@ -237,7 +312,7 @@ class ChainStore:
             }
         )
         m.version = version
-        m.save(self._manifest_path(table))
+        self._commit(table, m)
         return stats["n"]
 
     def compact_facts(
@@ -298,7 +373,7 @@ class ChainStore:
             )
         m.files = new_files
         m.version = version
-        m.save(self._manifest_path(table))
+        self._commit(table, m)
         return before, len(new_files)
 
     def delete_facts_below(self, table: str, keep_round: int) -> int:
@@ -346,7 +421,7 @@ class ChainStore:
                 )
         m.files = kept
         m.version = version
-        m.save(self._manifest_path(table))
+        self._commit(table, m)
         return int(dropped_rows)
 
     # -- state MERGE ----------------------------------------------------------
@@ -457,7 +532,7 @@ class ChainStore:
                 # all rows in this bucket were deleted
                 m.buckets.pop(str(b), None)
         m.version = version
-        m.save(self._manifest_path(table))
+        self._commit(table, m)
         if cached:
             folded.unpersist()
 

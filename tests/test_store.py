@@ -206,3 +206,78 @@ def test_compact_facts_merges_small_files(store, spark):
     # appends continue seamlessly after compaction
     store.append_facts("txn", _txn_rows(spark, [10]))
     assert store.read("txn").count() == 11
+
+
+def test_time_travel_reads_the_old_state(store, spark):
+    """Every commit retains its manifest snapshot; read(version=) sees
+    the table exactly as of that commit even after later merges rewrite
+    the buckets (copy-on-write keeps the old files)."""
+    from pyspark.sql import functions as F
+
+    from sparkroach.chain.schemas import TABLE_SCHEMAS
+
+    def box_rows(pairs):
+        return spark.createDataFrame(
+            [(app, name, val) for app, name, val in pairs],
+            TABLE_SCHEMAS["app_box"],
+        )
+
+    cols = {
+        "app": F.col("u.app"),
+        "name": F.col("u.name"),
+        "value": F.col("u.value"),
+    }
+    store.merge_state("app_box", box_rows([(1, b"k", b"v1")]), cols,
+                      touch_all=True)
+    v1 = store._manifest("app_box").version
+    store.merge_state("app_box", box_rows([(1, b"k", b"v2")]), cols,
+                      touch_all=True)
+    v2 = store._manifest("app_box").version
+    assert v2 > v1
+
+    now = store.read("app_box").collect()
+    then = store.read("app_box", version=v1).collect()
+    assert [bytes(r["value"]) for r in now] == [b"v2"]
+    assert [bytes(r["value"]) for r in then] == [b"v1"]
+    assert store.snapshot_versions("app_box") == [v1, v2]
+
+
+def test_vacuum_reclaims_and_bounds_time_travel(store, spark):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkroach.chain.schemas import TABLE_SCHEMAS
+
+    cols = {
+        "app": F.col("u.app"),
+        "name": F.col("u.name"),
+        "value": F.col("u.value"),
+    }
+    for i in range(4):
+        rows = spark.createDataFrame(
+            [(1, b"k", f"v{i}".encode())], TABLE_SCHEMAS["app_box"]
+        )
+        store.merge_state("app_box", rows, cols, touch_all=True)
+    versions = store.snapshot_versions("app_box")
+    assert len(versions) == 4
+    tdir = os.path.join(store.base_dir, "app_box")
+    n_dirs_before = len([d for d in os.listdir(tdir) if d.startswith("v")])
+
+    dirs_deleted, snaps_deleted = store.vacuum("app_box", keep_snapshots=2)
+    assert snaps_deleted == 2 and dirs_deleted >= 1
+    assert store.snapshot_versions("app_box") == versions[-2:]
+    n_dirs_after = len([d for d in os.listdir(tdir) if d.startswith("v")])
+    assert n_dirs_after < n_dirs_before
+
+    # retained versions still read; reclaimed ones fail loudly
+    kept = store.read("app_box", version=versions[-2]).collect()
+    assert [bytes(r["value"]) for r in kept] == [b"v2"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not retained"):
+        store.read("app_box", version=versions[0])
+    # and the LIVE read is untouched by vacuum
+    assert [bytes(r["value"]) for r in store.read("app_box").collect()] == [
+        b"v3"
+    ]
