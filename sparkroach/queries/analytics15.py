@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sparkroach.queries.analytics11 import _th32_col, _th32_sql
 from sparkroach.queries.registry import register
 from sparkroach.tables import load
 
@@ -264,3 +265,96 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "documents_schema_evolution",
+    oracle=f"""
+        WITH old_gen AS (
+            SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0
+        ),
+        new_gen AS (
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents WHERE doc_id % 2 = 1
+        ),
+        unified AS (
+            SELECT doc_id, lang, NULL AS source, NULL AS n_chars,
+                   {_th32_sql("text")} AS th
+            FROM old_gen
+            UNION ALL
+            SELECT doc_id, lang, source, n_chars, {_th32_sql("text")} AS th
+            FROM new_gen
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_old_generation,
+               CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS n_chars_known,
+               CAST(SUM(th) AS BIGINT) AS text_hash_sum
+        FROM unified
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    survey_ref="source formats / storage: SCHEMA EVOLUTION on the read "
+    "path — an old-generation file set lacking columns later added is "
+    "read together with the new generation under the superset schema, "
+    "missing columns surfacing as NULLs (the additive-evolution "
+    "contract every long-lived corpus relies on)",
+    description="half the corpus is written as an OLD-generation "
+    "parquet set (doc_id, text, lang only — as if source/n_chars were "
+    "added later), the other half with the full schema; both are read "
+    "back in ONE spark.read with the explicit superset schema, so the "
+    "old files' missing columns come back as genuine NULLs and the "
+    "per-lang report counts them (n_old_generation) next to "
+    "content checksums proving no row was altered by the widening.  At "
+    "100 TB schema changes are additive-by-append exactly like this — "
+    "rewriting history is the thing this read path exists to avoid",
+    gated=False,  # r6 rotation candidate (r5 window is fully committed)
+)
+def documents_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    d = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="sparkroach_evo_")
+    try:
+        old_path = os.path.join(root, "gen_old")
+        new_path = os.path.join(root, "gen_new")
+        d.where(F.pmod("doc_id", F.lit(2)) == 0).select(
+            "doc_id", "text", "lang"
+        ).write.parquet(old_path)
+        d.where(F.pmod("doc_id", F.lit(2)) == 1).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ).write.parquet(new_path)
+        superset = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("source", T.StringType()),
+                T.StructField("n_chars", T.LongType()),
+            ]
+        )
+        back = spark.read.schema(superset).parquet(old_path, new_path)
+        out = (
+            back.groupBy("lang")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum(F.when(F.col("source").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_old_generation"),
+                F.sum(F.coalesce("n_chars", F.lit(0)))
+                .cast("long")
+                .alias("n_chars_known"),
+                F.sum(_th32_col(F.col("text")))
+                .cast("long")
+                .alias("text_hash_sum"),
+            )
+            .orderBy("lang")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
