@@ -237,6 +237,7 @@ _MATERIALIZED = {
     "documents_format_roundtrip", "documents_orc_roundtrip",
     "events_dedup_jitter_streamed", "events_dedup_streamed",
     "events_join_streamed", "events_left_join_streamed",
+    "documents_schema_evolution",
     "events_partitioned_read", "events_rollup_streamed",
     "events_rollup_update_streamed", "events_sessions_streamed",
     "hll_streaming_merge", "knn_graph_ivf",
