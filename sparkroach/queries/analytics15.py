@@ -358,3 +358,63 @@ def documents_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "events_sliding_window_rollup",
+    oracle="""
+        WITH ex AS (
+            -- each event belongs to exactly TWO 2-hour windows sliding
+            -- by 1 hour: the one starting at its own hour and the one
+            -- starting an hour earlier
+            SELECT event_type,
+                   unnest([date_trunc('hour', ts),
+                           date_trunc('hour', ts) - INTERVAL 1 HOUR])
+                       AS window_start,
+                   value
+            FROM events
+        )
+        SELECT window_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                   AS total_value
+        FROM ex
+        GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
+    """,
+    survey_ref="§2C streaming windowed agg family: SLIDING windows "
+    "(window duration > slide) — the overlapping-window shape the "
+    "tumbling gates (events_minute_rollup, the rollup stream gates) "
+    "never exercised",
+    description="2-hour windows sliding by 1 hour over the event feed: "
+    "Spark's window(ts, '2 hours', '1 hour') assigns each event to "
+    "duration/slide = 2 overlapping windows (an internal explode), and "
+    "the oracle mirrors that assignment explicitly (each event unnests "
+    "into its two window starts).  Counts double relative to the "
+    "tumbling rollup — by design; the overlap is what gives sliding "
+    "dashboards their smoothness, and the 2× state/output cost is the "
+    "scale trade the duration/slide ratio controls.  Same watermark and "
+    "partial-agg behavior as tumbling at 100 TB",
+    gated=False,  # r6 rotation candidate (r5 window is fully committed)
+)
+def events_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
