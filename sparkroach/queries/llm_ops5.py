@@ -743,3 +743,102 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_lang", "pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split — split by near-dup CLUSTER, never by document
+# ---------------------------------------------------------------------------
+
+
+def _leakage_split_oracle() -> str:
+    from sparkroach.queries.analytics11 import _keep_best_oracle
+
+    keep = _keep_best_oracle().strip()
+    assert keep.startswith("WITH RECURSIVE ")
+    head = keep[: keep.index("best AS (")]
+    md5i = (
+        "("
+        + " + ".join(
+            f"(instr('0123456789abcdef', substring("
+            f"md5(CAST(unit AS VARCHAR)), {k + 1}, 1)) - 1) * {16 ** (7 - k)}"
+            for k in range(8)
+        )
+        + ")"
+    )
+    return f"""
+        {head.rstrip()},
+        units AS (
+            SELECT d.doc_id,
+                   COALESCE(comp.cluster_id, d.doc_id) AS unit,
+                   len(string_split(d.text, ' ')) AS n_tokens
+            FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+        ),
+        assigned AS (
+            SELECT doc_id, unit, n_tokens,
+                   CASE WHEN {md5i} % 100 < 80 THEN 'train'
+                        ELSE 'eval' END AS split
+            FROM units
+        )
+        SELECT split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT unit) AS BIGINT) AS n_units,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM assigned
+        GROUP BY split
+        ORDER BY split
+    """
+
+
+@register(
+    "leakage_safe_split",
+    oracle=_leakage_split_oracle(),
+    survey_ref="LLM data management: LEAKAGE-SAFE train/eval split — the "
+    "split unit is the near-dup CLUSTER (singletons split by their own "
+    "id), so no duplicate pair can ever straddle the boundary; the "
+    "doc-level split (train_eval_split) cannot give this guarantee",
+    description="documents LEFT-join the CC cluster table (the shared "
+    "capped-LSH pipeline); the split key is the cluster id where one "
+    "exists, the doc id otherwise, hashed to an 80/20 assignment — so "
+    "every member of a duplicate cluster lands on the SAME side by "
+    "construction (a near-copy of a training doc in the eval set is "
+    "exactly the leakage this prevents; test-pinned over the verified "
+    "pairs).  At 100 TB the cluster table is tiny and broadcasts; the "
+    "assignment is one map-side hash, no shuffle beyond the final "
+    "2-group report",
+    gated=False,  # r6 rotation candidate (r5 window is fully committed)
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach.queries.llm_ops import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    edges = (
+        _verified_pairs(d)
+        .where(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    units = d.join(F.broadcast(comp), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("unit"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    r = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("unit").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(100),
+    )
+    assigned = units.withColumn(
+        "split", F.when(r < 80, "train").otherwise("eval")
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("unit").cast("long").alias("n_units"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )

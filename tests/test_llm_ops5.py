@@ -163,3 +163,36 @@ def test_clean_corpus_drops_are_consistent(spark):
     # near-dup loser) and keep-best may drop the min-id canonical, so
     # only bounds are exact: at least max(parts), at most the sum
     assert max(near, exact) <= dropped <= near + exact
+
+
+def test_leakage_safe_split_never_splits_a_dup_pair(spark):
+    """The guarantee the doc-level split cannot give: every verified
+    near-dup pair lands on the same side of the boundary."""
+    import hashlib
+
+    from sparkroach.queries.llm_ops import connected_components
+    from sparkroach.queries.llm_ops5 import leakage_safe_split
+
+    pairs = _verified(spark)
+    comp = {
+        r["node"]: r["label"]
+        for r in connected_components(
+            load(spark, SF_SMALL, "documents")
+            .sparkSession.createDataFrame(
+                [(p["doc_a"], p["doc_b"]) for p in pairs], "doc_a long, doc_b long"
+            )
+        ).collect()
+    }
+
+    def side(doc):
+        unit = comp.get(doc, doc)
+        h = int(hashlib.md5(str(unit).encode()).hexdigest()[:8], 16)
+        return "train" if h % 100 < 80 else "eval"
+
+    assert pairs
+    for p in pairs:
+        assert side(p["doc_a"]) == side(p["doc_b"])
+    # and both splits are populated (the report is non-vacuous)
+    rows = {r["split"]: r for r in leakage_safe_split(spark, SF_SMALL).collect()}
+    assert set(rows) == {"train", "eval"}
+    assert rows["train"]["n_docs"] > rows["eval"]["n_docs"] > 0
