@@ -418,3 +418,120 @@ def events_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# lineitem_zorder_read — Z-ordered layout: multi-dimensional file pruning
+# ---------------------------------------------------------------------------
+
+Z_DATE_BITS = 8  # 16-day buckets over the TPC-H date range (< 256)
+Z_SUPP_BITS = 4  # supplier bucket (pmod 16 — suppliers are FEW at low SF)
+
+
+def _z_value_expr(date_col: str, supp_col: str) -> str:
+    """Bit-interleave the two bucket ids into a Z-value, weaving the
+    supplier's bits among the HIGH date bits (MSB-down:
+    d7 s3 d6 s2 d5 s1 d4 s0 d3 d2 d1 d0).  A naive low-bit interleave
+    degenerates to a plain date sort when the supplier dimension has few
+    distinct values (at sf0.001 there are 10 suppliers — their high bits
+    are always zero), which silently destroys exactly the 2-dim locality
+    the curve exists for; weaving into the high bits keeps both
+    dimensions influential at every fill level.  Pure integer bit ops —
+    used only for the physical sort order, so cross-engine exactness is
+    not even required (content is what the gate hashes)."""
+    lo = Z_DATE_BITS - Z_SUPP_BITS  # low date bits kept contiguous
+    terms = [f"((({date_col} >> {i}) & 1) << {i})" for i in range(lo)]
+    for i in range(Z_SUPP_BITS):
+        terms.append(f"((({supp_col} >> {i}) & 1) << {lo + 2 * i})")
+        terms.append(f"((({date_col} >> {lo + i}) & 1) << {lo + 2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "lineitem_zorder_read",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS total_price
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1995-04-01'
+          AND l_suppkey % 16 < 4
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    survey_ref="physical layout: Z-ORDER clustering — bit-interleaved "
+    "sort over (ship-date bucket, supplier bucket) so file-level min/max "
+    "stats prune on BOTH dimensions (a single-key sort prunes only its "
+    "own dimension; the multi-dim pruning factor is test-pinned against "
+    "the linear layout)",
+    description="lineitem is rewritten sorted by the Z-value of "
+    "(date bucket, suppkey bucket) — bit-interleaving keeps rows close "
+    "in BOTH dimensions inside each file, so a two-dimensional "
+    "predicate admits only the files whose min/max rectangles intersect "
+    "it.  The gate re-reads the Z-ordered copy under a date-range + "
+    "supplier-bucket predicate and hash-matches the aggregate against "
+    "the raw table, proving the rewrite is content-preserving; the "
+    "pruning advantage itself (files admissible under Z-order vs under "
+    "a date-only sort, from real parquet footer stats) is pinned in "
+    "tests.  At 100 TB Z-ordering is THE answer when two access "
+    "patterns share one table and neither can own the sort key",
+    gated=False,  # r6 rotation candidate (r5 window is fully committed)
+)
+def lineitem_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    li = load(spark, sf_dir, "lineitem")
+    root = tempfile.mkdtemp(prefix="sparkroach_zorder_")
+    try:
+        path = os.path.join(root, "lineitem_z")
+        write_zordered_lineitem(li, path)
+        back = spark.read.parquet(path)
+        out = (
+            back.where(
+                (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
+                & (F.pmod("l_suppkey", F.lit(16)) < 4)
+            )
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").cast("long").alias("n_items"),
+                (
+                    F.sum(
+                        F.round(F.col("l_extendedprice") * 100).cast("long")
+                    ).cast("double")
+                    / 100.0
+                ).alias("total_price"),
+            )
+            .orderBy("l_returnflag")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def write_zordered_lineitem(li: DataFrame, path: str, max_rows: int = 4000) -> None:
+    """Write lineitem Z-ordered by (date bucket, supplier bucket) into
+    bounded files — shared by the gate and the pruning test."""
+    zb = (
+        # date bucket must be MONOTONE (16-day buckets, ~160 < 2^8 over
+        # the TPC-H date range) — a modulo bucket would wrap and destroy
+        # exactly the locality Z-ordering exists to preserve
+        li.withColumn(
+            "z_date",
+            F.floor(
+                F.datediff("l_shipdate", F.lit("1992-01-01")) / 16
+            ).cast("int"),
+        )
+        .withColumn("z_supp", F.pmod("l_suppkey", F.lit(16)).cast("int"))
+        .withColumn("z", F.expr(_z_value_expr("z_date", "z_supp")))
+    )
+    (
+        zb.repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .write.option("maxRecordsPerFile", max_rows)
+        .parquet(path)
+    )
