@@ -240,7 +240,7 @@ _MATERIALIZED = {
     "documents_schema_evolution",
     "events_partitioned_read", "events_rollup_streamed",
     "events_rollup_update_streamed", "events_sessions_streamed",
-    "hll_streaming_merge", "knn_graph_ivf",
+    "hll_streaming_merge", "knn_graph_ivf", "lineitem_zorder_read",
 }
 
 # Queries where BroadcastNestedLoopJoin is the CORRECT plan: every one is
