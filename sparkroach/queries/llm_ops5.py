@@ -842,3 +842,147 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# lsh_recall_report — dedup-plane recall vs brute-force ground truth
+# ---------------------------------------------------------------------------
+
+RECALL_SAMPLE = 64  # probe docs (md5-smallest doc_ids — deterministic)
+
+
+def _lsh_recall_oracle() -> str:
+    from sparkroach.queries.llm_ops import (
+        _JACC_SQL,
+        _JACCARD_TAU,
+        _lsh_candidates_cte,
+        _SHINGLES_SQL,
+    )
+
+    lsh = _lsh_candidates_cte().strip()
+    assert lsh.startswith("WITH ")
+    md5i = (
+        "("
+        + " + ".join(
+            f"(instr('0123456789abcdef', substring("
+            f"md5(CAST(doc_id AS VARCHAR)), {k + 1}, 1)) - 1) * {16 ** (7 - k)}"
+            for k in range(8)
+        )
+        + ")"
+    )
+    return f"""
+        WITH {lsh[len("WITH "):]},
+        probes AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY {md5i}, doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= {RECALL_SAMPLE}
+        ),
+        truth AS (
+            SELECT p.doc_id AS probe, d.doc_id AS other
+            FROM probes p
+            JOIN shing sa ON sa.doc_id = p.doc_id
+            JOIN documents d ON d.doc_id <> p.doc_id
+            JOIN shing sb ON sb.doc_id = d.doc_id
+            WHERE {_JACC_SQL} >= {_JACCARD_TAU}
+        ),
+        found AS (
+            SELECT c.doc_a, c.doc_b
+            FROM cand c
+            JOIN shing sa ON sa.doc_id = c.doc_a
+            JOIN shing sb ON sb.doc_id = c.doc_b
+            WHERE {_JACC_SQL} >= {_JACCARD_TAU}
+        ),
+        hits AS (
+            SELECT t.probe, t.other
+            FROM truth t
+            JOIN found f
+              ON (f.doc_a = t.probe AND f.doc_b = t.other)
+              OR (f.doc_a = t.other AND f.doc_b = t.probe)
+        )
+        SELECT CAST({RECALL_SAMPLE} AS BIGINT) AS n_probes,
+               CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
+               CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_found,
+               CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 1.0
+                    ELSE CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+                         / (SELECT COUNT(*) FROM truth) END AS recall
+    """
+
+
+@register(
+    "lsh_recall_report",
+    oracle=_lsh_recall_oracle(),
+    survey_ref="LLM ops: dedup-plane recall evaluation — the capped-LSH "
+    "verified pairs measured against BRUTE-FORCE near-dup ground truth "
+    "over a deterministic probe sample (the ann_recall_report of the "
+    "text-dedup side; quantifies what the band geometry + bucket cap "
+    "actually trade away)",
+    description=f"the {RECALL_SAMPLE} md5-smallest documents are probes; "
+    "ground truth = EVERY corpus doc whose exact shingle Jaccard with a "
+    "probe clears the dedup threshold (probe×corpus brute force — "
+    "bounded by the sample, never all-pairs), and recall counts how "
+    "many of those true pairs the production capped-LSH pipeline also "
+    "found.  Exact integers plus one final division.  At 100 TB this "
+    "report runs on every band-geometry change — the empirical recall "
+    "number that justifies (or vetoes) the cap and band parameters",
+    gated=False,  # r6 rotation candidate (r5 window is fully committed)
+)
+def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach.queries.llm_ops import _with_shingles
+
+    d = load(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = Window.orderBy(h, F.col("doc_id"))
+    probes = (
+        d.select("doc_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= RECALL_SAMPLE)
+        .select("doc_id")
+    )
+    sh = _with_shingles(d).localCheckpoint(eager=True)
+    pa = probes.join(sh, "doc_id").select(
+        F.col("doc_id").alias("probe"), F.col("shingles").alias("sh_a")
+    )
+    corpus = sh.select(
+        F.col("doc_id").alias("other"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    truth = (
+        F.broadcast(pa)
+        .join(corpus, F.col("probe") != F.col("other"))
+        .where(jac >= _JACCARD_TAU)
+        .select("probe", "other")
+        .localCheckpoint(eager=True)
+    )
+    found = (
+        _verified_pairs(d)
+        .where(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_a", "doc_b")
+    )
+    sym = found.unionByName(
+        found.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    hits = truth.join(
+        sym,
+        (F.col("probe") == F.col("doc_a")) & (F.col("other") == F.col("doc_b")),
+        "left_semi",
+    )
+    n_truth = truth.count()
+    n_hits = hits.count()
+    return d.sparkSession.createDataFrame(
+        [
+            (
+                RECALL_SAMPLE,
+                n_truth,
+                n_hits,
+                1.0 if n_truth == 0 else n_hits / n_truth,
+            )
+        ],
+        "n_probes long, n_true_pairs long, n_found long, recall double",
+    )
