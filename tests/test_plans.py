@@ -241,6 +241,7 @@ _MATERIALIZED = {
     "events_partitioned_read", "events_rollup_streamed",
     "events_rollup_update_streamed", "events_sessions_streamed",
     "hll_streaming_merge", "knn_graph_ivf", "lineitem_zorder_read",
+    "lsh_recall_report",
 }
 
 # Queries where BroadcastNestedLoopJoin is the CORRECT plan: every one is
