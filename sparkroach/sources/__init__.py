@@ -1,0 +1,6 @@
+from sparkroach.sources.block_source import (  # noqa: F401
+    BlockDirDataSource,
+    blocks_from_dir,
+    register_block_source,
+    write_block_file,
+)

@@ -1,0 +1,199 @@
+"""Custom Python data source: the conduit file-importer analog.
+
+The reference pipeline's importer plugin delivers blocks one round at a
+time, in strict round order, blocking until the next round exists
+(conduit.yml:27-68 wires an algod follower importer; the file-importer
+variant reads one ``<round>_block.json`` file per round from a watched
+directory).  Spark's generic file source cannot express that contract:
+it orders micro-batches by file *modification time*, so a block file
+that lands late (rsync, retry, clock skew) is delivered out of round
+order and the reference's ordered-round gate (cockroach.go:189-199
+analog, `ChainDB.add_blocks`) correctly hard-errors.
+
+``conduit_blocks`` is a from-scratch Structured Streaming source (PySpark
+4 Python DataSource API) that restores the importer contract:
+
+- **Round-ordered, gap-aware delivery.**  `latestOffset` only advances
+  through *contiguous* rounds present on disk: if ``block_7.json`` is
+  missing, rounds >= 7 wait — exactly the follower importer blocking on
+  the next round — so a late-arriving middle round can never be skipped
+  or misordered.
+- **Exactly-once.**  Offsets are plain ``{"round": N}`` watermarks
+  checkpointed by the engine; a restarted query resumes from the last
+  committed round and redelivery is a no-op under the round gate.
+- **Executor-side reads.**  The driver only lists filenames (the round
+  number is parsed from the name, no file I/O at planning time); each
+  round's bytes are read inside its own `InputPartition` on an executor.
+
+Rows are the raw envelope ``(round, value)`` — the block JSON line as
+written by the feed — and `blocks_from_dir` parses them to the typed
+block schema with one `from_json`, keeping the Python-side reader a thin
+byte mover while Catalyst does the decode.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Iterator, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+_FILE_RE = re.compile(r"^block_(\d+)\.json$")
+
+ENVELOPE = StructType(
+    [
+        StructField("round", LongType(), nullable=False),
+        StructField("value", StringType(), nullable=False),
+    ]
+)
+
+
+def _round_files(path: str) -> dict[int, str]:
+    """Map round -> absolute file path for every ``block_<N>.json`` present."""
+    out: dict[int, str] = {}
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return out
+    for name in names:
+        m = _FILE_RE.match(name)
+        if m:
+            out[int(m.group(1))] = os.path.join(path, name)
+    return out
+
+
+class _RoundPartition(InputPartition):
+    def __init__(self, rnd: int, file_path: str):
+        self.rnd = rnd
+        self.file_path = file_path
+
+
+def _read_round(part: _RoundPartition) -> Iterator[Tuple[int, str]]:
+    with open(part.file_path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                yield (part.rnd, line)
+
+
+class BlockDirBatchReader(DataSourceReader):
+    """Batch face: every block file present, partitioned per round."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("conduit_blocks requires a path")
+
+    def partitions(self) -> Sequence[InputPartition]:
+        files = _round_files(self.path)
+        return [_RoundPartition(r, files[r]) for r in sorted(files)]
+
+    def read(self, partition: _RoundPartition) -> Iterator[Tuple[int, str]]:
+        return _read_round(partition)
+
+
+class BlockDirStreamReader(DataSourceStreamReader):
+    """Streaming face: contiguous-round offsets, one partition per round."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("conduit_blocks requires a path")
+        self.start_round = int(options.get("start_round", "0"))
+
+    def initialOffset(self) -> dict:
+        files = _round_files(self.path)
+        start = min(files) if files else self.start_round
+        return {"round": min(start, self.start_round) if files else start}
+
+    def latestOffset(self) -> dict:
+        # Advance only through contiguous rounds: a gap means the feed has
+        # not produced that round yet, so later files must wait (the
+        # follower-importer blocking contract).
+        files = _round_files(self.path)
+        nxt = self._committed if self._committed is not None else self.initialOffset()["round"]
+        while nxt in files:
+            nxt += 1
+        return {"round": nxt}
+
+    # engine calls initialOffset() once per query start; track progress via
+    # partitions(start, end) arguments rather than local state so a
+    # restarted reader needs no recovery logic of its own.
+    _committed: int | None = None
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        self._committed = end["round"]
+        files = _round_files(self.path)
+        parts = []
+        for r in range(start["round"], end["round"]):
+            if r in files:  # a vacuumed/pruned round file cannot be re-read
+                parts.append(_RoundPartition(r, files[r]))
+        return parts
+
+    def read(self, partition: _RoundPartition) -> Iterator[Tuple[int, str]]:
+        return _read_round(partition)
+
+    def commit(self, end: dict) -> None:
+        self._committed = end["round"]
+
+
+class BlockDirDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "conduit_blocks"
+
+    def schema(self) -> StructType:
+        return ENVELOPE
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return BlockDirBatchReader(self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return BlockDirStreamReader(self.options)
+
+
+def register_block_source(spark: SparkSession) -> None:
+    spark.dataSource.register(BlockDirDataSource)
+
+
+def write_block_file(spark: SparkSession, path: str, block_df: DataFrame) -> str:
+    """Feed side: write one round's block as ``block_<N>.json`` (one JSON
+    line, Spark-canonical encoding so binary columns round-trip as base64).
+    Single-row driver-side write — this is the *producer* stand-in, not a
+    data-path operator."""
+    os.makedirs(path, exist_ok=True)
+    rows = block_df.toJSON().collect()
+    rnds = [r["round"] for r in block_df.select("round").collect()]
+    assert len(rows) == 1 and len(rnds) == 1, "one block file per round"
+    target = os.path.join(path, f"block_{rnds[0]}.json")
+    tmp = target + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(rows[0] + "\n")
+    os.replace(tmp, target)  # atomic: the source never sees half a file
+    return target
+
+
+def blocks_from_dir(
+    spark: SparkSession, path: str, streaming: bool = True
+) -> DataFrame:
+    """Typed block feed from a ``block_<N>.json`` directory through the
+    custom source: raw envelope rows decoded by one `from_json` to the
+    full nested block schema (JVM-side; the Python reader just moves
+    bytes)."""
+    from sparkroach.chain.schemas import block_schema
+
+    register_block_source(spark)
+    reader = spark.readStream if streaming else spark.read
+    raw = reader.format("conduit_blocks").load(path)
+    return raw.select(
+        F.from_json(F.col("value"), block_schema()).alias("b")
+    ).select("b.*")
