@@ -1355,3 +1355,144 @@ def events_rollup_update_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
             spark.conf.unset("spark.sql.shuffle.partitions")
         else:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+@register(
+    "events_stream_static_join",
+    oracle="""
+        WITH dim AS (
+            SELECT user_id,
+                   COUNT(*) AS n_purchases,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                       AS purchase_cents
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        )
+        SELECT e.user_id,
+               COUNT(*) AS n_events,
+               d.n_purchases,
+               d.purchase_cents
+        FROM events e JOIN dim d ON e.user_id = d.user_id
+        GROUP BY e.user_id, d.n_purchases, d.purchase_cents
+        ORDER BY e.user_id
+    """,
+    survey_ref="§2C streaming — STREAM-STATIC join through the real "
+    "writeStream path: each micro-batch broadcast-joins a stored static "
+    "dimension (the enrichment shape every event pipeline runs; stateless "
+    "on the stream side, so the restart proves the file-source progress "
+    "checkpoint, not an operator state store)",
+    description="a per-user purchase profile (n_purchases, integer-cents "
+    "total) is precomputed and STORED as a static parquet dimension; the "
+    "full event feed then streams through three time-ordered micro-batch "
+    "files and inner-joins the dimension per batch (small static side → "
+    "broadcast hash join inside every micro-batch — no shuffle of the "
+    "stream).  A query restart sits after the first file: because the "
+    "join is stateless, duplicate-free output across the restart is "
+    "evidence the SOURCE checkpoint (processed-files log) recovered — "
+    "one redelivered file would double n_events and break the hash.  "
+    "Gate output re-aggregates the enriched sink per user and must equal "
+    "the batch join+group",
+    gated=False,  # r6 rotation candidate (window frozen this round)
+)
+def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive a real stream-static dimension-enrichment join end-to-end.
+
+    At 100 TB the static side is the broadcast dimension (bounded by the
+    user universe, not the event volume); the stream side never shuffles
+    for the join, so per-batch cost is a map-side hash probe — the same
+    plan Catalyst picks here (the dimension is far under the broadcast
+    threshold, and stream-static broadcast requires no watermark at all).
+    """
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from sparkroach.queries.analytics import cents, dsum
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.unix_micros(F.min("ts")).alias("lo"),
+        F.unix_micros(F.max("ts")).alias("hi"),
+    ).collect()[0]
+    cut1 = b.lo + (b.hi - b.lo) // 3
+    cut2 = b.lo + 2 * (b.hi - b.lo) // 3
+
+    root = tempfile.mkdtemp(prefix="sparkroach_static_join_stream_")
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    dim_path = os.path.join(root, "dim")
+    sink = os.path.join(root, "sink")
+    ck = os.path.join(root, "ck")
+    base = time.time() - 3600
+    cols = [f.name for f in EVENT_SCHEMA.fields]
+
+    # the STORED static dimension: per-user purchase profile
+    (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            dsum(cents("value")).cast("double").alias("purchase_cents"),
+        )
+        .write.parquet(dim_path)
+    )
+    dim = spark.read.parquet(dim_path)
+
+    def stage(name: str, df: DataFrame, mtime: float) -> None:
+        tmp = os.path.join(root, "stage_" + name)
+        df.select(*cols).coalesce(1).write.format("parquet").save(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dest = os.path.join(feed, name + ".parquet")
+        os.rename(os.path.join(tmp, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        enriched = stream.join(F.broadcast(dim), "user_id").select(
+            "event_id", "user_id", "n_purchases", "purchase_cents"
+        )
+        q = (
+            enriched.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()  # guard: never leak a running query into the session
+
+    try:
+        t_us = F.unix_micros("ts")
+        stage("b0", ev.where(t_us < F.lit(cut1)), base)
+        run_once()  # first file processed and committed to the source log
+        stage("b1", ev.where((t_us >= F.lit(cut1)) & (t_us < F.lit(cut2))),
+              base + 10)
+        stage("b2", ev.where(t_us >= F.lit(cut2)), base + 20)
+        run_once()  # RESTART: b0 must NOT be redelivered (source log), and
+        # b1/b2 arrive as separate micro-batches, each probing the dim
+        out = (
+            spark.read.parquet(sink)
+            .groupBy("user_id", "n_purchases", "purchase_cents")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id", "n_events", "n_purchases", "purchase_cents")
+            .orderBy("user_id")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        if prev_parts is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

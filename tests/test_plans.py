@@ -240,6 +240,7 @@ _MATERIALIZED = {
     "documents_schema_evolution",
     "events_partitioned_read", "events_rollup_streamed",
     "events_rollup_update_streamed", "events_sessions_streamed",
+    "events_stream_static_join",
     "hll_streaming_merge", "knn_graph_ivf", "lineitem_zorder_read",
     "lsh_recall_report",
 }
