@@ -337,6 +337,235 @@ def events_sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+def sessionize_event_time(
+    events: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Sessionizer variant closing sessions by EVENT-TIME TIMEOUT.
+
+    Same per-user session semantics as `sessionize`, but a user's open
+    session is closed by the WATERMARK passing (last event + gap) — the
+    state-expiry machinery — rather than by that user's own next event
+    or a per-user sentinel.  This is the production shape: a user who
+    simply goes away still gets their final session emitted, driven by
+    global stream progress, with state removed (bounded state without
+    any cooperation from the key).
+
+    Timeout is set to (last + gap) rounded UP to the next millisecond, so
+    a follow-up event at exactly last + gap (which the batch oracle keeps
+    IN the session, split is strictly `>`) can never race an
+    already-fired timeout; and a group with data in a batch is never
+    reported timed-out, so ordered feeds (per-key nondecreasing event
+    time across micro-batches) make the two close paths agree exactly
+    with the batch semantics.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def _update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import datetime as _dt
+
+        def _emit(start_us: int, end_us: int, n: int) -> dict:
+            return {
+                "user_id": key[0],
+                "session_start": _dt.datetime.utcfromtimestamp(start_us / 1e6),
+                "session_end": _dt.datetime.utcfromtimestamp(end_us / 1e6),
+                "n_events": n,
+            }
+
+        closed: list[dict] = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, last, n = state.get
+                closed.append(_emit(s, last, n))
+                state.remove()
+        else:
+            ts_list: list[int] = []
+            for pdf in pdfs:
+                ts_list.extend(int(t.value // 1000) for t in pdf["ts"])
+            ts_list.sort()
+            if not ts_list:
+                yield pd.DataFrame(
+                    [], columns=[f.name for f in SESSION_OUTPUT.fields]
+                )
+                return
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start, last, n = ts_list[0], ts_list[0], 0
+            for t_us in ts_list:
+                if t_us - last > gap_us:
+                    closed.append(_emit(start, last, n))
+                    start, n = t_us, 0
+                last = t_us if t_us > last else last
+                n += 1
+            state.update((start, last, n))
+            # fire strictly after last + gap (ceil to ms): the watermark
+            # reaching exactly last + gap must NOT close the session
+            state.setTimeoutTimestamp((last + gap_us) // 1000 + 1)
+        yield pd.DataFrame(closed, columns=[f.name for f in SESSION_OUTPUT.fields])
+
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+@register(
+    "events_sessions_timeout_streamed",
+    oracle=SESSIONS_ORACLE,
+    survey_ref="§2C streaming state — EventTimeTimeout expiry path of "
+    "applyInPandasWithState: sessions close because the WATERMARK passes "
+    "last-event + gap, not because the user's own next event (or a "
+    "per-user sentinel) arrives — the state-machine branch "
+    "events_sessions_streamed never takes for real sessions",
+    description="same session semantics and oracle as "
+    "events_sessions_streamed, closed by the opposite mechanism: every "
+    "real session that isn't split by an in-batch gap is emitted from "
+    "hasTimedOut state when the global watermark overtakes it, driven by "
+    "two single-row far-future sentinel batches (advance, then the batch "
+    "whose timeout sweep emits).  A restart sits mid-session, so the "
+    "timeout that later fires is computed from RECOVERED state — lost "
+    "state would lose the pre-restart half of the session.  The emitted "
+    "rows must equal the batch sessionizer's microsecond-exact oracle",
+    gated=False,  # r6 rotation candidate (window frozen this round)
+)
+def events_sessions_timeout_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drive the event-time-timeout sessionizer end-to-end.
+
+    Staging mirrors events_sessions_streamed (time-ordered files, restart
+    cut inside an open session), but the tail sessions close via the
+    watermark: sentinel batch 1 (one row, user −1, hi + 30 d) advances
+    the watermark; sentinel batch 2 (hi + 31 d) is the batch during whose
+    processing every real user's timeout fires.  No per-user sentinels:
+    state expiry does the closing, which is the point.
+    """
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql.window import Window
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.unix_micros(F.min("ts")).alias("lo"),
+        F.unix_micros(F.max("ts")).alias("hi"),
+    ).collect()[0]
+    lo, hi = b.lo, b.hi
+    half = lo + (hi - lo) // 2
+    w = Window.partitionBy("user_id").orderBy("t_us")
+    span = (
+        ev.select("user_id", F.unix_micros("ts").alias("t_us"))
+        .withColumn("pt", F.lag("t_us").over(w))
+        .where(
+            F.col("pt").isNotNull()
+            & (F.col("t_us") - F.col("pt") <= 1_800_000_000)
+            & (F.col("pt") >= F.lit(half))
+        )
+        .agg(F.min(F.struct("pt", "t_us")).alias("g"))
+        .collect()[0][0]
+    )
+    cut2 = (
+        (span.pt + span.t_us) // 2
+        if span is not None
+        else lo + 2 * (hi - lo) // 3
+    )
+    cut1 = lo + (cut2 - lo) // 2
+
+    root = tempfile.mkdtemp(prefix="sparkroach_sess_timeout_stream_")
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    sink = os.path.join(root, "sink")
+    ck = os.path.join(root, "ck")
+    base = time.time() - 3600
+    cols = [f.name for f in EVENT_SCHEMA.fields]
+
+    def stage(name: str, df: DataFrame, mtime: float) -> None:
+        tmp = os.path.join(root, "stage_" + name)
+        df.select(*cols).coalesce(1).write.format("parquet").save(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dest = os.path.join(feed, name + ".parquet")
+        os.rename(os.path.join(tmp, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    def sentinel(n: int, t_us: int) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(-n).cast("long").alias("event_id"),
+            F.timestamp_micros(F.lit(t_us)).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            sessionize_event_time(stream, gap_seconds=1800)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()  # guard: never leak a running query into the session
+
+    try:
+        t_us = F.unix_micros("ts")
+        stage("b0", ev.where(t_us < F.lit(cut1)), base)
+        stage(
+            "b1",
+            ev.where((t_us >= F.lit(cut1)) & (t_us < F.lit(cut2))),
+            base + 10,
+        )
+        run_once()  # micro-batches 0,1 — the query STOPS mid-session
+
+        stage("b2", ev.where(t_us >= F.lit(cut2)), base + 20)
+        stage("b3", sentinel(1, hi + 30 * 24 * 3600 * 1_000_000), base + 30)
+        stage("b4", sentinel(2, hi + 31 * 24 * 3600 * 1_000_000), base + 40)
+        run_once()  # RESTART: recovered state; b3 advances the watermark,
+        # b4's timeout sweep emits every remaining real session
+        out = (
+            spark.read.parquet(sink)
+            .where(F.col("user_id") >= 0)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"))
+            .where(F.col("user_id") < 25)
+            .orderBy("user_id")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        if prev_parts is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 @register(
     "events_rollup_streamed",
     # r4 end-of-round: rotated IN for a first driver recording this round
@@ -812,6 +1041,181 @@ def events_left_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_once()  # RESTART: straddling pair from recovered state; b2
         # advances the watermark past every real signup's window, b3 is
         # the batch whose processing evicts + emits the null-extended rows
+        out = (
+            spark.read.parquet(sink)
+            .where(F.col("user_id") >= 0)
+            .orderBy("user_id", "signup_ts", "purchase_ts")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        if prev_parts is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+@register(
+    "events_full_join_streamed",
+    oracle=f"""
+        SELECT COALESCE(s.user_id, p.user_id) AS user_id,
+               s.ts AS signup_ts, p.ts AS purchase_ts,
+               p.value AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON s.user_id = p.user_id
+         AND p.ts >= s.ts
+         AND p.ts <= s.ts + INTERVAL {JOIN_WINDOW_HOURS} HOUR
+        ORDER BY user_id, signup_ts, purchase_ts
+    """,
+    survey_ref="§2C streaming — stream-stream FULL OUTER interval join "
+    "through the real writeStream path: null-extended rows emit from "
+    "expiring state on BOTH sides, completing the inner/left/full join-"
+    "mode matrix",
+    description="the full-outer complement to events_join_streamed and "
+    "events_left_join_streamed: unmatched signups AND unmatched "
+    "purchases must both surface as null-extended rows, each emitted "
+    "when the watermark proves its window can no longer match — so the "
+    "gate exercises state expiry on the right side, which the left-outer "
+    "gate never touches.  Two-step sentinel advance, restart mid-stream "
+    "inside the widest matched pair, sink must equal the batch FULL "
+    "JOIN bit-for-bit",
+    gated=False,  # r6 rotation candidate (window frozen this round)
+)
+def events_full_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive a real stream-stream full-outer interval join end-to-end.
+
+    Same eviction-timing contract as events_left_join_streamed (emission
+    in the batch after the watermark-advancing one; sentinels carry one
+    row per input so the min-across-inputs watermark advances), but with
+    BOTH sides' unmatched state producing output on expiry.
+    """
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    ev = load(spark, sf_dir, "events")
+    w_us = JOIN_WINDOW_HOURS * 3600 * 1_000_000
+    s_side = ev.where(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("su"), F.unix_micros("ts").alias("s_us")
+    )
+    p_side = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.unix_micros("ts").alias("p_us")
+    )
+    widest = (
+        s_side.join(
+            p_side,
+            (F.col("su") == F.col("pu"))
+            & (F.col("p_us") >= F.col("s_us"))
+            & (F.col("p_us") <= F.col("s_us") + F.lit(w_us)),
+        )
+        .select((F.col("p_us") - F.col("s_us")).alias("gap"), "s_us", "p_us")
+        .orderBy(F.col("gap").desc())
+        .limit(1)
+        .collect()
+    )
+    b = ev.agg(
+        F.unix_micros(F.min("ts")).alias("lo"),
+        F.unix_micros(F.max("ts")).alias("hi"),
+    ).collect()[0]
+    if widest and widest[0].gap >= 2:
+        cut = widest[0].s_us + widest[0].gap // 2
+    else:
+        cut = b.lo + (b.hi - b.lo) // 2
+
+    root = tempfile.mkdtemp(prefix="sparkroach_fjoin_stream_")
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    sink = os.path.join(root, "sink")
+    ck = os.path.join(root, "ck")
+    base = time.time() - 3600
+    cols = [f.name for f in EVENT_SCHEMA.fields]
+
+    def stage(name: str, df: DataFrame, mtime: float) -> None:
+        tmp = os.path.join(root, "stage_" + name)
+        df.select(*cols).coalesce(1).write.format("parquet").save(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dest = os.path.join(feed, name + ".parquet")
+        os.rename(os.path.join(tmp, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    def sentinel(n: int, t_us: int) -> DataFrame:
+        # one row of EACH type so both branches' watermarks advance
+        return spark.createDataFrame(
+            [
+                (-(2 * n), None, -1, "signup", 0.0, "{}"),
+                (-(2 * n + 1), None, -1, "purchase", 0.0, "{}"),
+            ],
+            EVENT_SCHEMA,
+        ).withColumn("ts", F.timestamp_micros(F.lit(t_us)))
+
+    def run_once() -> None:
+        def source() -> DataFrame:
+            return (
+                spark.readStream.schema(EVENT_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(feed)
+            )
+
+        signups = (
+            source()
+            .where(F.col("event_type") == "signup")
+            .select(
+                F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts")
+            )
+            .withWatermark("signup_ts", f"{JOIN_WINDOW_HOURS} hours")
+        )
+        purchases = (
+            source()
+            .where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("value").alias("purchase_value"),
+            )
+            .withWatermark("purchase_ts", f"{JOIN_WINDOW_HOURS} hours")
+        )
+        joined = signups.join(
+            purchases,
+            F.expr(
+                f"""s_user = p_user
+                AND purchase_ts >= signup_ts
+                AND purchase_ts <= signup_ts + INTERVAL {JOIN_WINDOW_HOURS} HOURS"""
+            ),
+            "fullOuter",
+        ).select(
+            F.coalesce(F.col("s_user"), F.col("p_user")).alias("user_id"),
+            "signup_ts",
+            "purchase_ts",
+            "purchase_value",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()  # guard: never leak a running query into the session
+
+    try:
+        t_us = F.unix_micros("ts")
+        stage("b0", ev.where(t_us < F.lit(cut)), base)
+        run_once()  # pre-cut rows buffered on both sides
+        stage("b1", ev.where(t_us >= F.lit(cut)), base + 10)
+        stage("b2", sentinel(1, b.hi + 30 * 24 * 3600 * 1_000_000), base + 20)
+        stage("b3", sentinel(2, b.hi + 31 * 24 * 3600 * 1_000_000), base + 30)
+        run_once()  # RESTART: matched straddler from recovered state, then
+        # expiry emission of unmatched state on BOTH sides
         out = (
             spark.read.parquet(sink)
             .where(F.col("user_id") >= 0)
@@ -1346,6 +1750,153 @@ def events_rollup_update_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
                 "n",
                 F.col("tv").cast("double").alias("total_value"),
             )
+            .orderBy("hour_bucket", "event_type")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        if prev_parts is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+@register(
+    "events_dedup_then_rollup_streamed",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour_bucket,
+               event_type,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+        ORDER BY hour_bucket, event_type
+    """,
+    survey_ref="§2C streaming — CHAINED STATEFUL OPERATORS in one "
+    "streaming query (dropDuplicates state feeding windowed-aggregation "
+    "state, the multi-stateful pipeline Spark supports since 3.5): "
+    "at-least-once redelivery collapses in the FIRST state store so the "
+    "SECOND one aggregates each event exactly once",
+    description="the full feed is delivered twice (producer redelivery) "
+    "with a query restart between the deliveries; one streaming query "
+    "runs dropDuplicates(event_id, ts) THEN the 1-hour tumbling "
+    "decimal-exact rollup, so both state stores must be recovered from "
+    "the checkpoint: lost dedup state would double every count, lost agg "
+    "state would drop the first delivery.  The watermark delay spans the "
+    "feed (dedup state must survive the replay), so window finalization "
+    "is driven by two far-future sentinel batches after the replay "
+    "(advance, then emit-on-next-batch).  Sink must equal the batch "
+    "hourly rollup of the ORIGINAL feed bit-for-bit",
+    gated=False,  # r6 rotation candidate (window frozen this round)
+)
+def events_dedup_then_rollup_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drive two chained state stores in ONE streaming query end-to-end.
+
+    State-size note for 100 TB: the dedup store here is deliberately
+    feed-spanning (the redelivery arrives with identical event times, so
+    eviction before the replay would break suppression); a production
+    pipeline bounds it by the broker's real redelivery horizon — the
+    watermark delay IS that horizon, and the window state downstream
+    stays O(open windows) regardless.
+    """
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.unix_micros(F.min("ts")).alias("lo"),
+        F.unix_micros(F.max("ts")).alias("hi"),
+    ).collect()[0]
+    lo, hi = b.lo, b.hi
+    delay_s = (hi - lo) // 1_000_000 + 3600  # dedup state outlives the replay
+    s1 = hi + (delay_s + 2 * 3600) * 1_000_000  # watermark → past every window
+    s2 = s1 + 24 * 3600 * 1_000_000  # the batch DURING which eviction emits
+
+    root = tempfile.mkdtemp(prefix="sparkroach_chain_state_stream_")
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    sink = os.path.join(root, "sink")
+    ck = os.path.join(root, "ck")
+    base = time.time() - 3600
+    cols = [f.name for f in EVENT_SCHEMA.fields]
+
+    def stage(name: str, df: DataFrame, mtime: float) -> None:
+        tmp = os.path.join(root, "stage_" + name)
+        df.select(*cols).coalesce(1).write.format("parquet").save(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dest = os.path.join(feed, name + ".parquet")
+        os.rename(os.path.join(tmp, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    def sentinel(n: int, t_us: int) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(-n).cast("long").alias("event_id"),
+            F.timestamp_micros(F.lit(t_us)).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        deduped = stream.withWatermark(
+            "ts", f"{delay_s} seconds"
+        ).dropDuplicates(["event_id", "ts"])
+        agg = (
+            deduped.groupBy(
+                F.window("ts", "1 hour").alias("w"), F.col("event_type")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(28,10)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("hour_bucket"),
+                "event_type",
+                "n",
+                "total_value",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()  # guard: never leak a running query into the session
+
+    try:
+        stage("b0", ev, base)  # first delivery: both states populated
+        run_once()
+        stage("b1", ev, base + 10)  # REDELIVERY of the whole feed
+        stage("b2", sentinel(1, s1), base + 20)
+        stage("b3", sentinel(2, s2), base + 30)
+        run_once()  # RESTART: replay suppressed by RECOVERED dedup state,
+        # then the sentinels finalize every real window from RECOVERED
+        # agg state
+        out = (
+            spark.read.parquet(sink)
+            .where(F.unix_micros("hour_bucket") <= F.lit(hi))
             .orderBy("hour_bucket", "event_type")
         )
         return out.localCheckpoint()

@@ -240,7 +240,8 @@ _MATERIALIZED = {
     "documents_schema_evolution",
     "events_partitioned_read", "events_rollup_streamed",
     "events_rollup_update_streamed", "events_sessions_streamed",
-    "events_stream_static_join",
+    "events_stream_static_join", "events_dedup_then_rollup_streamed",
+    "events_full_join_streamed", "events_sessions_timeout_streamed",
     "hll_streaming_merge", "knn_graph_ivf", "lineitem_zorder_read",
     "lsh_recall_report",
 }
