@@ -1,3 +1,8 @@
+from sparkroach.sources.block_sink import (  # noqa: F401
+    BlockFileSinkDataSource,
+    blocks_to_dir,
+    register_block_sink,
+)
 from sparkroach.sources.block_source import (  # noqa: F401
     BlockDirDataSource,
     blocks_from_dir,
