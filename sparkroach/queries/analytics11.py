@@ -51,6 +51,93 @@ def _th32_col(col):
 
 
 # ---------------------------------------------------------------------------
+# events_trailing_hour_peak — bounded RANGE frame over event time
+# ---------------------------------------------------------------------------
+
+TRAIL_US = 3600 * 1_000_000  # trailing hour, inclusive
+
+
+@register(
+    "events_trailing_hour_peak",
+    gated=False,  # r6 rotation candidate (window frozen this round)
+    oracle=f"""
+        WITH m AS (
+            SELECT user_id, event_id,
+                   COUNT(*) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts)
+                       RANGE BETWEEN {TRAIL_US} PRECEDING AND CURRENT ROW
+                   ) AS trail_n,
+                   SUM(CAST(value AS DECIMAL(28,10))) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts)
+                       RANGE BETWEEN {TRAIL_US} PRECEDING AND CURRENT ROW
+                   ) AS trail_v
+            FROM events
+        ),
+        r AS (
+            SELECT user_id, event_id,
+                   CAST(trail_n AS BIGINT) AS trail_n,
+                   CAST(trail_v AS DOUBLE) AS trail_value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY trail_n DESC, event_id
+                   ) AS rn
+            FROM m
+        )
+        SELECT user_id, event_id AS peak_event, trail_n, trail_value
+        FROM r WHERE rn = 1
+        ORDER BY user_id
+    """,
+    survey_ref="analytics breadth: bounded RANGE window frame — a VALUE "
+    "offset over event time (all rows within the trailing hour), the "
+    "frame kind ROWS frames (events_peak_window) and cumulative RANGE "
+    "(events_cumulative_value) cannot express: the frame width varies "
+    "per row with data density, and ts ties are frame PEERS (included "
+    "together) rather than ordered rows",
+    description="per-user busiest trailing hour: for every event, the "
+    "count and decimal-exact value sum of that user's events in "
+    "[ts − 1 h, ts] via RANGE BETWEEN over unix microseconds, then "
+    "argmax per user (row_number tiebroken by event_id).  One row per "
+    "user.  At 100 TB: one shuffle on user_id, the range frame slides "
+    "with two pointers per partition — no per-row rescans — and the "
+    "argmax folds into a second window over the same exchange",
+)
+def events_trailing_hour_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.col("value").cast("decimal(28,10)").alias("dv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-TRAIL_US, 0)
+    )
+    m = ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("trail_n"),
+        F.sum("dv").over(w).alias("trail_v"),
+    )
+    rw = Window.partitionBy("user_id").orderBy(
+        F.col("trail_n").desc(), F.col("event_id")
+    )
+    return (
+        m.withColumn("rn", F.row_number().over(rw))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("peak_event"),
+            F.col("trail_n").cast("long").alias("trail_n"),
+            F.col("trail_v").cast("double").alias("trail_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # events_peak_window — per-user burst detection via ROWS-frame moving sum
 # ---------------------------------------------------------------------------
 

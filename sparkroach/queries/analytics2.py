@@ -94,6 +94,47 @@ def brand_type_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "part_brand_multiset_ops",
+    gated=False,  # r6 rotation candidate (window frozen this round)
+    oracle="""
+        SELECT 'intersect_all' AS op, p_brand FROM (
+            SELECT p_brand FROM part WHERE p_type = 'ECONOMY'
+            INTERSECT ALL
+            SELECT p_brand FROM part WHERE p_type = 'PROMO'
+        )
+        UNION ALL
+        SELECT 'except_all' AS op, p_brand FROM (
+            SELECT p_brand FROM part WHERE p_type = 'ECONOMY'
+            EXCEPT ALL
+            SELECT p_brand FROM part WHERE p_type = 'PROMO'
+        )
+        ORDER BY op, p_brand
+    """,
+    survey_ref="§2C set ops — the ALL variants: BAG semantics with "
+    "duplicate multiplicities (INTERSECT ALL keeps min(m,n) copies, "
+    "EXCEPT ALL keeps m−n), which the DISTINCT set ops gate "
+    "(brand_type_set_ops) cannot distinguish from a dedup",
+    description="multiset intersection/difference of the ECONOMY vs "
+    "PROMO brand bags — implemented with intersectAll/exceptAll, which "
+    "Spark plans as a single hash aggregate counting per-side "
+    "multiplicities plus a generate (no join, no distinct), the "
+    "shuffle-once shape that survives any brand cardinality",
+)
+def part_brand_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    econ = p.where(F.col("p_type") == "ECONOMY").select("p_brand")
+    promo = p.where(F.col("p_type") == "PROMO").select("p_brand")
+    tag = lambda df, op: df.select(  # noqa: E731
+        F.lit(op).alias("op"), "p_brand"
+    )
+    return (
+        tag(econ.intersectAll(promo), "intersect_all")
+        .unionAll(tag(econ.exceptAll(promo), "except_all"))
+        .orderBy("op", "p_brand")
+    )
+
+
+@register(
     "events_rollup_cube",
     gated=False,  # r3: rotated OUT — driver-verified green in r1/r2; local-oracle-swept
     oracle="""

@@ -189,6 +189,48 @@ def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_props_variant_hist",
+    gated=False,  # r6 rotation candidate (window frozen this round)
+    oracle="""
+        WITH k AS (
+            SELECT event_type,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        SELECT event_type,
+               CAST(k // 10 AS BIGINT) AS k_decile,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(k) AS BIGINT) AS k_sum
+        FROM k
+        GROUP BY event_type, k // 10
+        ORDER BY event_type, k_decile
+    """,
+    survey_ref="semi-structured columns — the VARIANT type (Spark 4): "
+    "props ingested ONCE via parse_json into the binary variant encoding, "
+    "then typed field access via variant_get; the open-schema path that "
+    "replaces per-query string re-parsing (get_json_object, "
+    "events_props_stats) when the same JSON column feeds many extractions",
+    description="decile histogram of the props.k field per event type, "
+    "extracted through parse_json → variant_get('$.k', 'long') with "
+    "integer division for the bucket — every aggregate an exact integer. "
+    "At 100 TB VARIANT is the materialize-once answer: the cast to "
+    "variant happens at ingest, downstream queries do typed path reads "
+    "on the binary encoding without re-tokenizing JSON text, and "
+    "shredding can push the hot fields to columnar storage",
+)
+def events_props_variant_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long").alias("k")
+    return (
+        ev.select("event_type", k)
+        .select("event_type", "k", F.expr("k div 10").alias("k_decile"))
+        .groupBy("event_type", "k_decile")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("k_sum"))
+        .orderBy("event_type", "k_decile")
+    )
+
+
 # ---------------------------------------------------------------------------
 # multi-grain aggregation (CUBE / GROUPING SETS) and UNPIVOT
 # ---------------------------------------------------------------------------

@@ -986,3 +986,87 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_probes long, n_true_pairs long, n_found long, recall double",
     )
+
+
+# ---------------------------------------------------------------------------
+# doc_passages_udtf — Python UDTF (Spark 4) through a LATERAL join
+# ---------------------------------------------------------------------------
+
+PASSAGE_W = 32  # tokens per passage window
+PASSAGE_S = 16  # stride between window starts
+
+
+class _PassageWindows:
+    """Arrow-optimized Python UDTF: one input document row → one output
+    row per (stride-aligned) token window, with the window's md5.
+
+    This is the FLEXIBLE path on purpose: the same windows are SQL-
+    expressible (the oracle proves it, and passage_dedup_exact takes the
+    JVM-side route for the hot path), so the gate pins that the UDTF
+    lane — Spark 4's user-defined TABLE function API, the escape hatch
+    for 1→N row logic that genuinely isn't SQL-expressible (parsers,
+    tokenizers with state, decoders) — produces bit-identical results
+    when both lanes can express the op."""
+
+    def eval(self, text: str):
+        import hashlib
+
+        toks = text.split(" ")
+        i = 0
+        while i + PASSAGE_W <= len(toks):
+            window = " ".join(toks[i : i + PASSAGE_W])
+            yield (
+                i // PASSAGE_S,
+                hashlib.md5(window.encode("utf-8")).hexdigest(),
+            )
+            i += PASSAGE_S
+
+
+@register(
+    "doc_passages_udtf",
+    gated=False,  # r6 rotation candidate (window frozen this round)
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        )
+        SELECT doc_id,
+               CAST(gs.i // {PASSAGE_S} AS INTEGER) AS passage_idx,
+               md5(array_to_string(t[gs.i + 1 : gs.i + {PASSAGE_W}], ' '))
+                   AS passage_hash
+        FROM toks,
+             LATERAL (SELECT unnest(range(0, len(t), {PASSAGE_S})) AS i) gs
+        WHERE gs.i + {PASSAGE_W} <= len(t)
+        ORDER BY doc_id, passage_idx
+    """,
+    survey_ref="LLM ops / API surface — Python UDTF (Spark 4) via a "
+    "LATERAL join: the 1→N user-defined table function lane, "
+    "hash-verified against the pure-SQL expression of the same windows",
+    description=f"every document exploded into {PASSAGE_W}-token "
+    f"passages at stride {PASSAGE_S} by an Arrow-batched Python UDTF in "
+    "a lateral join, each passage md5-fingerprinted — the passage "
+    "extraction stage of retrieval chunking and Lee-et-al-style "
+    "substring dedup.  UDTFs are the slow lane (per-row Python): at "
+    "100 TB this exact op should run as the SQL/JVM expression the "
+    "oracle uses (sequence + slice + md5, as passage_dedup_exact does); "
+    "the UDTF lane is for logic that ISN'T SQL-expressible, and this "
+    "gate proves the two lanes agree where they overlap",
+)
+def doc_passages_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    docs = load(spark, sf_dir, "documents")
+    passage_fn = udtf(
+        _PassageWindows,
+        returnType="passage_idx int, passage_hash string",
+        useArrow=True,
+    )
+    spark.udtf.register("sparkroach_passage_windows", passage_fn)
+    return spark.sql(
+        """
+        SELECT d.doc_id, p.passage_idx, p.passage_hash
+        FROM {d} d,
+             LATERAL sparkroach_passage_windows(d.text) p
+        ORDER BY d.doc_id, p.passage_idx
+        """,
+        d=docs,
+    )

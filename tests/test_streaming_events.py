@@ -322,3 +322,98 @@ def test_update_mode_straddling_hour_is_nonvacuous(spark):
         .collect()
     }
     assert out == batch
+
+
+def test_statestore_reader_exposes_open_sessions(spark, tmp_path):
+    """Spark 4's `statestore` batch source reads a streaming checkpoint's
+    state store directly — the ops/debugging face of stateful streaming.
+    After a partial sessionizer run (no close signal), the store must
+    hold EXACTLY the open sessions: one row per user, with
+    (start_us, last_us, n_events) equal to the batch-computed last
+    segment of each user's delivered events."""
+    import os
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from sparkroach.tables import load
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        ev = load(spark, "/root/testdata/sf0.001", "events")
+        feed = str(tmp_path / "feed")
+        os.makedirs(feed)
+        stage = str(tmp_path / "stage")
+        ev.coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(os.path.join(stage, part), os.path.join(feed, "b0.parquet"))
+
+        ck = str(tmp_path / "ck")
+        q = (
+            se.sessionize(
+                spark.readStream.schema(se.EVENT_SCHEMA).parquet(feed),
+                gap_seconds=1800,
+                idle_timeout=False,
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(tmp_path / "sink"))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+        state = (
+            spark.read.format("statestore")
+            .load(ck)
+            .select(
+                F.col("key.user_id").alias("user_id"),
+                F.col("value.groupState.start_us").alias("start_us"),
+                F.col("value.groupState.last_us").alias("last_us"),
+                F.col("value.groupState.n_events").alias("n_events"),
+            )
+        )
+
+        # batch truth: each user's OPEN session = last gap-delimited segment
+        w = W.partitionBy("user_id").orderBy("t_us")
+        seg = (
+            ev.select("user_id", F.unix_micros("ts").alias("t_us"))
+            .withColumn("pt", F.lag("t_us").over(w))
+            .withColumn(
+                "new_seg",
+                (F.col("pt").isNull()
+                 | (F.col("t_us") - F.col("pt") > 1_800_000_000)).cast("int"),
+            )
+            .withColumn(
+                "seg_id",
+                F.sum("new_seg").over(
+                    w.rowsBetween(W.unboundedPreceding, 0)
+                ),
+            )
+        )
+        expected = (
+            seg.groupBy("user_id", "seg_id")
+            .agg(
+                F.min("t_us").alias("start_us"),
+                F.max("t_us").alias("last_us"),
+                F.count("*").alias("n_events"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("user_id").orderBy(F.col("seg_id").desc())
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select("user_id", "start_us", "last_us", "n_events")
+        )
+        got = sorted(map(tuple, state.collect()))
+        want = sorted(map(tuple, expected.collect()))
+        assert got == want and len(got) == ev.select("user_id").distinct().count()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
