@@ -187,6 +187,66 @@ def documents_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@register(
+    "documents_xml_roundtrip",
+    gated=False,  # r6 rotation candidate (window frozen this round)
+    oracle=f"""
+        WITH md AS (SELECT doc_id, n_chars, lang, md5(text) AS m
+                    FROM documents)
+        SELECT 'xml' AS format,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM({_TH32_SQL}) AS BIGINT) AS text_hash_sum
+        FROM md
+    """,
+    survey_ref="source formats — XML (built-in since Spark 4): the corpus "
+    "written and re-read through the StAX XML path with an explicit "
+    "schema + rowTag, content-checksummed against parquet; completes the "
+    "format matrix (parquet/ORC/CSV/JSON/XML)",
+    description="XML round-trip gate: documents → one <doc> element per "
+    "row → spark.read.format('xml') with the explicit schema (never "
+    "inference).  Entity escaping, whitespace handling, or type drift in "
+    "the XML pipeline breaks the md5-prefix checksum the oracle computes "
+    "from parquet.  Same ephemeral-temp-dir pattern as the CSV/JSON gate",
+)
+def documents_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="sparkroach_xml_")
+    try:
+        xml_path = os.path.join(root, "docs_xml")
+        (
+            d.write.format("xml")
+            .option("rootTag", "docs")
+            .option("rowTag", "doc")
+            .save(xml_path)
+        )
+        from_xml = (
+            spark.read.format("xml")
+            .option("rowTag", "doc")
+            .schema(_DOC_SCHEMA)
+            .load(xml_path)
+        )
+        th = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+        out = from_xml.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.sum("n_chars").cast("long").alias("sum_n_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum(th).cast("long").alias("text_hash_sum"),
+        ).select(F.lit("xml").alias("format"), "*")
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 SKEW_TOP = 10
 
 

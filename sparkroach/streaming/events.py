@@ -566,6 +566,236 @@ def events_sessions_timeout_streamed(
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+def sessionize_tws(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Sessionizer on transformWithStateInPandas (Spark 4's arbitrary
+    stateful API, the applyInPandasWithState successor).
+
+    Same session semantics as `sessionize`/`sessionize_event_time`, but
+    built from the new primitives: a typed ValueState for the open
+    session and an EXPLICIT event-time timer per key (registerTimer /
+    handleExpiredTimer) instead of the single implicit GroupState
+    timeout.  Timers accumulate rather than replace, so each
+    handleInputRows deletes the key's previous timer before registering
+    the new (last + gap) one — the discipline the richer API demands.
+    TTL, ListState/MapState, and multiple timers per key are available
+    on the same handle; this operator deliberately uses the smallest
+    subset that reproduces the oracle semantics.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    gap_us = gap_seconds * 1_000_000
+
+    def _row(key: tuple, start_us: int, end_us: int, n: int) -> dict:
+        import datetime as _dt
+
+        return {
+            "user_id": key[0],
+            "session_start": _dt.datetime.utcfromtimestamp(start_us / 1e6),
+            "session_end": _dt.datetime.utcfromtimestamp(end_us / 1e6),
+            "n_events": n,
+        }
+
+    cols = [f.name for f in SESSION_OUTPUT.fields]
+
+    class _SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState(
+                "session", "start_us long, last_us long, n_events long"
+            )
+
+        def handleInputRows(
+            self, key: tuple, rows, timerValues: TimerValues
+        ):
+            ts_list: list[int] = []
+            for pdf in rows:
+                ts_list.extend(int(t.value // 1000) for t in pdf["ts"])
+            ts_list.sort()
+            if not ts_list:
+                yield pd.DataFrame([], columns=cols)
+                return
+            if self._state.exists():
+                start, last, n = self._state.get()
+            else:
+                start, last, n = ts_list[0], ts_list[0], 0
+            closed: list[dict] = []
+            for t_us in ts_list:
+                if t_us - last > gap_us:
+                    closed.append(_row(key, start, last, n))
+                    start, n = t_us, 0
+                last = t_us if t_us > last else last
+                n += 1
+            self._state.update((start, last, n))
+            # timers ACCUMULATE in this API: drop the stale one first
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer((last + gap_us) // 1000 + 1)
+            yield pd.DataFrame(closed, columns=cols)
+
+        def handleExpiredTimer(
+            self,
+            key: tuple,
+            timerValues: TimerValues,
+            expiredTimerInfo: ExpiredTimerInfo,
+        ):
+            if self._state.exists():
+                start, last, n = self._state.get()
+                self._state.clear()
+                yield pd.DataFrame([_row(key, start, last, n)], columns=cols)
+            else:
+                yield pd.DataFrame([], columns=cols)
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_SessionProcessor(),
+            outputStructType=SESSION_OUTPUT,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
+def events_sessions_tws_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drive the transformWithStateInPandas sessionizer end-to-end.
+
+    NOT registered as a gate: transformWithStateInPandas needs the
+    `google.protobuf` Python package for its state-server protocol
+    (pyspark/sql/streaming/proto/StateMessage_pb2), which this
+    environment does not provide and cannot install.  The operator and
+    this driver are complete and oracle-equivalent by construction
+    (same staging and SESSIONS_ORACLE semantics as
+    events_sessions_timeout_streamed); the guarded test
+    (tests/test_streaming_events.py::test_sessions_tws_streamed) runs
+    them the moment protobuf is importable and is skipped — loudly —
+    until then.
+    """
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql.window import Window
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.unix_micros(F.min("ts")).alias("lo"),
+        F.unix_micros(F.max("ts")).alias("hi"),
+    ).collect()[0]
+    lo, hi = b.lo, b.hi
+    half = lo + (hi - lo) // 2
+    w = Window.partitionBy("user_id").orderBy("t_us")
+    span = (
+        ev.select("user_id", F.unix_micros("ts").alias("t_us"))
+        .withColumn("pt", F.lag("t_us").over(w))
+        .where(
+            F.col("pt").isNotNull()
+            & (F.col("t_us") - F.col("pt") <= 1_800_000_000)
+            & (F.col("pt") >= F.lit(half))
+        )
+        .agg(F.min(F.struct("pt", "t_us")).alias("g"))
+        .collect()[0][0]
+    )
+    cut2 = (
+        (span.pt + span.t_us) // 2
+        if span is not None
+        else lo + 2 * (hi - lo) // 3
+    )
+    cut1 = lo + (cut2 - lo) // 2
+
+    root = tempfile.mkdtemp(prefix="sparkroach_sess_tws_stream_")
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    sink = os.path.join(root, "sink")
+    ck = os.path.join(root, "ck")
+    base = time.time() - 3600
+    cols = [f.name for f in EVENT_SCHEMA.fields]
+
+    def stage(name: str, df: DataFrame, mtime: float) -> None:
+        tmp = os.path.join(root, "stage_" + name)
+        df.select(*cols).coalesce(1).write.format("parquet").save(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dest = os.path.join(feed, name + ".parquet")
+        os.rename(os.path.join(tmp, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    def sentinel(n: int, t_us: int) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(-n).cast("long").alias("event_id"),
+            F.timestamp_micros(F.lit(t_us)).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            sessionize_tws(stream, gap_seconds=1800)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()  # guard: never leak a running query into the session
+
+    try:
+        t_us = F.unix_micros("ts")
+        stage("b0", ev.where(t_us < F.lit(cut1)), base)
+        stage(
+            "b1",
+            ev.where((t_us >= F.lit(cut1)) & (t_us < F.lit(cut2))),
+            base + 10,
+        )
+        run_once()  # micro-batches 0,1 — the query STOPS mid-session
+
+        stage("b2", ev.where(t_us >= F.lit(cut2)), base + 20)
+        stage("b3", sentinel(1, hi + 30 * 24 * 3600 * 1_000_000), base + 30)
+        stage("b4", sentinel(2, hi + 31 * 24 * 3600 * 1_000_000), base + 40)
+        run_once()  # RESTART: recovered ValueState + timers; b3 advances
+        # the watermark, b4's timer sweep emits every remaining session
+        out = (
+            spark.read.parquet(sink)
+            .where(F.col("user_id") >= 0)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"))
+            .where(F.col("user_id") < 25)
+            .orderBy("user_id")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        if prev_parts is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 @register(
     "events_rollup_streamed",
     # r4 end-of-round: rotated IN for a first driver recording this round

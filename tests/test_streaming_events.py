@@ -417,3 +417,20 @@ def test_statestore_reader_exposes_open_sessions(spark, tmp_path):
             spark.conf.unset("spark.sql.shuffle.partitions")
         else:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_sessions_tws_streamed(spark):
+    """transformWithStateInPandas sessionizer vs the batch twin — runs
+    only where pyspark's TWS state-server protocol dependency
+    (google.protobuf) exists; this container does not ship it."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs google.protobuf "
+        "(pyspark StateMessage_pb2); not installed in this environment",
+    )
+    from sparkroach.queries.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = se.events_sessions_tws_streamed(spark, sf).collect()
+    want = QUERIES["events_user_sessions"].fn(spark, sf).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
