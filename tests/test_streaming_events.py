@@ -434,3 +434,33 @@ def test_sessions_tws_streamed(spark):
     got = se.events_sessions_tws_streamed(spark, sf).collect()
     want = QUERIES["events_user_sessions"].fn(spark, sf).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_sessions_streamed_under_rocksdb_state_store(spark):
+    """The sessionizer gate (restart mid-session included) must produce
+    identical results on the RocksDBStateStoreProvider — the state
+    backend that holds at 100 TB, where the default in-memory/HDFS
+    provider's per-executor heap becomes the ceiling.  Checkpoint
+    recovery across the gate's restart exercises RocksDB snapshot
+    restore, not just puts/gets."""
+    from sparkroach.queries import QUERIES
+    from tests.conftest import SF_SMALL
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        streamed = QUERIES["events_sessions_streamed"].fn(spark, SF_SMALL)
+        batch = QUERIES["events_user_sessions"].fn(spark, SF_SMALL)
+        assert [tuple(r) for r in streamed.collect()] == [
+            tuple(r) for r in batch.collect()
+        ]
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
