@@ -282,3 +282,52 @@ def test_every_registered_query_plan_is_scale_safe(spark):
             )
         audited += 1
     assert audited >= 100  # the registry keeps growing; never silently shrink
+
+
+def test_aqe_promotes_smj_to_broadcast_at_runtime(spark):
+    """SCALE.md's AQE claim, asserted: with STATIC broadcast planning
+    disabled (threshold −1), a join whose build side only turns out to
+    be small at RUNTIME (post-filter) must still end up a
+    BroadcastHashJoin — AQE replans from the finished stage's actual
+    size.  This is the mechanism that saves the 100 TB plan when
+    cardinality estimates are wrong, which at that scale they always
+    eventually are."""
+    from pyspark.sql import functions as F
+
+    from sparkroach.tables import load
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "10485760",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load(spark, SF_SMALL, "lineitem")
+        # tiny at runtime, opaque to static planning (no stats on the
+        # filtered subset)
+        hot = load(spark, SF_SMALL, "orders").where(
+            F.col("o_totalprice") > 400000
+        ).select("o_orderkey", "o_orderdate")
+        joined = li.join(hot, li.l_orderkey == hot.o_orderkey).agg(
+            F.count("*").alias("n")
+        )
+        joined.collect()  # materialize so AQE finalizes the plan
+        printed = joined._jdf.queryExecution().executedPlan().toString()
+        assert "AdaptiveSparkPlan isFinalPlan=true" in printed
+        # the printout carries BOTH plans: the final (replanned) one first,
+        # then the "== Initial Plan ==" section.  The initial plan MUST
+        # show the SortMergeJoin (proving static planning really did pick
+        # SMJ) and the final one must not.
+        final, initial = printed.split("== Initial Plan ==", 1)
+        assert "BroadcastHashJoin" in final
+        assert "SortMergeJoin" not in final
+        assert "SortMergeJoin" in initial
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
