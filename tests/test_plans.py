@@ -331,3 +331,99 @@ def test_aqe_promotes_smj_to_broadcast_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_partition_at_runtime(spark):
+    """The OTHER half of the skew playbook (SCALE.md): salting
+    (salted_hot_key_join) is the manual recipe; AQE's skew-join split is
+    the automatic one.  With split thresholds scaled to the fixture, a
+    join keyed so ~90% of rows share one key must replan to
+    SortMergeJoin(skew=true) with an AQEShuffleRead marked `skewed` —
+    the oversized partition is split into advisory-sized slices joined
+    against a replicated build side, no code change."""
+    from pyspark.sql import functions as F
+
+    from sparkroach.tables import load
+    from tests.conftest import SF_GATE
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4096",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2048",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load(spark, SF_GATE, "lineitem")
+        skewed = li.withColumn(
+            "jk",
+            F.when(F.col("l_orderkey") % 10 != 0, F.lit(1)).otherwise(
+                F.col("l_orderkey")
+            ),
+        )
+        right = li.select(
+            F.col("l_orderkey").alias("jk"), F.col("l_quantity").alias("q2")
+        )
+        j = skewed.join(right, "jk").agg(F.count("*").alias("n"))
+        j.collect()
+        printed = j._jdf.queryExecution().executedPlan().toString()
+        final = printed.split("== Initial Plan ==", 1)[0]
+        assert "SortMergeJoin(skew=true)" in final
+        assert "skewed" in final  # the AQEShuffleRead split marker
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_engine_injects_runtime_bloom_filter(spark):
+    """The engine-side complement of bloom_semijoin_prune (sketches.py):
+    Spark's runtime row-level filter injects a bloom_filter_might_contain
+    probe on the fact side of a selective join, pruning shuffle input
+    before the join — the same construct our from-scratch operator
+    builds, here produced by the optimizer itself once the size
+    thresholds admit the fixture."""
+    from pyspark.sql import functions as F
+
+    from sparkroach.tables import load
+    from tests.conftest import SF_GATE
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "104857600",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load(spark, SF_GATE, "lineitem")
+        hot = load(spark, SF_GATE, "orders").where(
+            F.col("o_totalprice") > 300000
+        ).select("o_orderkey")
+        j = li.join(hot, li.l_orderkey == hot.o_orderkey).agg(
+            F.count("*").alias("n")
+        )
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
