@@ -161,6 +161,68 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     return media.mapInPandas(_extract, FEATURES_SCHEMA)
 
 
+def extract_features_arrow(media: DataFrame) -> DataFrame:
+    """The mapInArrow lane of feature extraction: no pandas objects at
+    all — the binary column's raw Arrow buffers (offsets + data) are
+    viewed as numpy arrays and reduced with `np.diff` / `np.add.reduceat`
+    in one vectorized pass per batch.
+
+    Same features as `extract_features`'s hot subset (n_bytes, byte_sum),
+    skipping the per-row decode dict entirely.  At 100 TB this is the
+    shape for pure byte-level metrics: mapInPandas pays a per-column
+    pandas Series materialization (and per-row Python in the decode
+    loop); operating on the Arrow buffers directly keeps the Python cost
+    at O(columns), not O(rows).
+    """
+
+    def _extract(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        out_schema = pa.schema(
+            [
+                ("media_id", pa.int64()),
+                ("kind", pa.string()),
+                ("n_bytes", pa.int64()),
+                ("byte_sum", pa.int64()),
+            ]
+        )
+        for batch in batches:
+            arr = batch.column(batch.schema.get_field_index("payload"))
+            off_dtype = (
+                np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+            )
+            offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+                arr.offset : arr.offset + len(arr) + 1
+            ].astype(np.int64)
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8).astype(
+                np.int64
+            )
+            lengths = np.diff(offsets)
+            if len(arr) == 0:
+                continue
+            # reduceat quirks: an empty row yields data[offset] instead of
+            # 0, and a trailing empty row's offset == len(data) is out of
+            # range.  A sentinel 0 byte fixes the range (the last real
+            # row's segment absorbs +0); empty rows are masked after.
+            data2 = np.append(data, np.int64(0))
+            sums = np.add.reduceat(data2, offsets[:-1])
+            sums = np.where(lengths > 0, sums, 0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("media_id")),
+                    batch.column(batch.schema.get_field_index("kind")),
+                    pa.array(lengths, type=pa.int64()),
+                    pa.array(sums, type=pa.int64()),
+                ],
+                schema=out_schema,
+            )
+
+    return media.mapInArrow(
+        _extract, "media_id long, kind string, n_bytes long, byte_sum long"
+    )
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize stage: STUB — emits the target dimensions into meta and keeps
     the payload untouched (a real deployment swaps the body for

@@ -1775,6 +1775,65 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_features_arrow",
+    # same oracle as multimodal_features: the two execution lanes
+    # (mapInPandas per-row loop vs mapInArrow raw-buffer reduceat) must
+    # agree bit-for-bit on the shared feature subset
+    oracle="""
+        WITH feat AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   octet_length(encode(text)) AS n_bytes,
+                   list_sum(list_transform(range(1, length(text) + 1),
+                                           i -> unicode(text[i]))) AS byte_sum
+            FROM documents
+        )
+        SELECT kind,
+               CAST(count(*) AS BIGINT) AS n_media,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(SUM(byte_sum) AS DOUBLE) / CAST(SUM(n_bytes) AS BIGINT)
+                   AS byte_mean
+        FROM feat
+        GROUP BY kind
+        ORDER BY kind
+    """,
+    survey_ref="LLM ops: multimodal columns — the mapInArrow lane: the "
+    "binary column's raw Arrow buffers (offsets + data) reduced with "
+    "numpy diff/reduceat, O(columns) Python per batch instead of "
+    "mapInPandas's per-row loop; hash-matched against the same oracle "
+    "as multimodal_features",
+    description="byte-level media features computed without touching "
+    "pandas: vectorized over the Arrow offset/data buffers directly.  "
+    "The empty-row and trailing-offset reduceat traps are handled "
+    "explicitly (clamped indices, masked sums).  At 100 TB this lane "
+    "wins whenever the feature is a pure byte statistic; the decode "
+    "lane (real codecs) stays mapInPandas where per-item parsing is "
+    "unavoidable",
+    gated=False,  # r6 rotation candidate (window frozen this round)
+)
+def multimodal_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach.functions import multimodal as mm
+    from sparkroach.tables import load as _load
+
+    media = mm.synthesize_media(_load(spark, sf_dir, "documents"))
+    feats = mm.extract_features_arrow(media)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            (F.sum("byte_sum").cast("double") / F.sum("n_bytes")).alias(
+                "byte_mean"
+            ),
+        )
+        .orderBy("kind")
+    )
+
+
+@register(
     "multimodal_decode",
     # r4: rotated IN — first driver-gate recording this round.
     # REAL stdlib codec round-trip (VERDICT r3 missing #2): the Spark side

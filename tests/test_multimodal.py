@@ -62,3 +62,41 @@ def test_frame_sampling_explodes_videos(media):
     }
     one = [r for r in got if r.frame_idx == 0][0]
     assert isinstance(bytes(one.frame_payload), bytes)
+
+
+def test_extract_features_arrow_buffer_edges(spark):
+    """The raw-buffer reduceat lane's documented traps, hit directly:
+    an empty payload mid-batch (reduceat would return a neighbor's
+    byte), an empty payload in trailing position (index past the data
+    buffer), and exactness of the int64 widening on 0xff bytes."""
+    from sparkroach.functions import multimodal as mm
+
+    rows = [
+        (1, "image", b"abc"),
+        (2, "audio", b""),  # empty mid-batch
+        (3, "video", b"\x00\xff\xff"),
+        (4, "image", b""),  # empty trailing
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    ).coalesce(1)
+    got = {
+        r.media_id: (r.n_bytes, r.byte_sum)
+        for r in mm.extract_features_arrow(media).collect()
+    }
+    assert got == {1: (3, 97 + 98 + 99), 2: (0, 0), 3: (3, 510), 4: (0, 0)}
+
+    # and the two lanes agree on real synthesized media
+    from sparkroach.tables import load
+    from tests.conftest import SF_SMALL
+
+    m = mm.synthesize_media(load(spark, SF_SMALL, "documents"))
+    a = {
+        r.media_id: (r.n_bytes, r.byte_sum)
+        for r in mm.extract_features_arrow(m).collect()
+    }
+    p = {
+        r.media_id: (r.n_bytes, r.byte_sum)
+        for r in mm.extract_features(m).collect()
+    }
+    assert a == p
