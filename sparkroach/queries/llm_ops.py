@@ -556,7 +556,18 @@ def _verified_pairs(d: DataFrame) -> DataFrame:
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            jac.alias("jaccard"),
+            # exact integer numerator/denominator alongside: threshold
+            # comparisons can then cross-multiply (inter*100 >= t*union)
+            # instead of comparing against a float literal — DuckDB
+            # parses bare decimal literals as DECIMAL, and a
+            # DECIMAL-vs-DOUBLE compare is the cross-engine trap
+            inter.cast("long").alias("inter"),
+            union.cast("long").alias("uni"),
+        )
     )
 
 

@@ -1070,3 +1070,68 @@ def doc_passages_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         d=docs,
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_threshold_sweep — the tuning artifact behind _JACCARD_TAU
+# ---------------------------------------------------------------------------
+
+SWEEP_PCTS = [40, 50, 60, 70, 80, 90]
+
+
+@register(
+    "dedup_threshold_sweep",
+    gated=False,  # r6 rotation candidate (window frozen this round)
+    oracle=f"""
+        {_lsh_candidates_cte()}
+        , pairs AS (
+            SELECT c.doc_a, c.doc_b,
+                   len(list_filter(sa.shingles,
+                                   x -> list_contains(sb.shingles, x)))
+                       AS inter,
+                   len(sa.shingles) + len(sb.shingles)
+                   - len(list_filter(sa.shingles,
+                                     x -> list_contains(sb.shingles, x)))
+                       AS uni
+            FROM cand c
+            JOIN shing sa ON sa.doc_id = c.doc_a
+            JOIN shing sb ON sb.doc_id = c.doc_b
+        )
+        SELECT CAST(t.t AS BIGINT) AS threshold_pct,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT p.doc_b) AS BIGINT) AS n_docs_dropped
+        FROM (VALUES {", ".join(f"({t})" for t in SWEEP_PCTS)}) t(t), pairs p
+        WHERE p.inter * 100 >= t.t * p.uni
+        GROUP BY t.t
+        ORDER BY threshold_pct
+    """,
+    survey_ref="LLM ops / dedup tuning — the threshold sweep behind the "
+    "fixed _JACCARD_TAU: pair count and would-drop document count at "
+    "every candidate threshold from ONE verified-pair pass; thresholds "
+    "compare by integer cross-multiplication (inter·100 ≥ t·union), "
+    "never against a float literal",
+    description="how aggressive is dedup at each Jaccard threshold: the "
+    "LSH-candidate pairs are exactly verified once (the expensive "
+    "stage), then a 6-way threshold explode reuses them — choosing the "
+    "production threshold costs one report, not six dedup runs.  "
+    "n_docs_dropped counts distinct doc_b (the greedy keep-lowest-id "
+    "convention the dedup plane uses throughout).  At 100 TB the sweep "
+    "shares every shuffle with the dedup run itself",
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = _verified_pairs(d).select("doc_a", "doc_b", "inter", "uni")
+    ths = F.explode(
+        F.array(*[F.lit(t).cast("long") for t in SWEEP_PCTS])
+    ).alias("threshold_pct")
+    swept = pairs.select("*", ths).where(
+        F.col("inter") * 100 >= F.col("threshold_pct") * F.col("uni")
+    )
+    return (
+        swept.groupBy("threshold_pct")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("doc_b").alias("n_docs_dropped"),
+        )
+        .orderBy("threshold_pct")
+    )
