@@ -71,6 +71,18 @@ def _round_files(path: str) -> dict[int, str]:
     return out
 
 
+def next_contiguous_round(present: set[int], start: int) -> int:
+    """First round >= start NOT present — the gap-aware offset frontier.
+    Delivery may advance through [start, result) and no further: the
+    result round is the one the feed has not produced yet, and every
+    later file waits behind it (the follower-importer blocking
+    contract)."""
+    nxt = start
+    while nxt in present:
+        nxt += 1
+    return nxt
+
+
 class _RoundPartition(InputPartition):
     def __init__(self, rnd: int, file_path: str):
         self.rnd = rnd
@@ -120,10 +132,12 @@ class BlockDirStreamReader(DataSourceStreamReader):
         # not produced that round yet, so later files must wait (the
         # follower-importer blocking contract).
         files = _round_files(self.path)
-        nxt = self._committed if self._committed is not None else self.initialOffset()["round"]
-        while nxt in files:
-            nxt += 1
-        return {"round": nxt}
+        start = (
+            self._committed
+            if self._committed is not None
+            else self.initialOffset()["round"]
+        )
+        return {"round": next_contiguous_round(set(files), start)}
 
     # engine calls initialOffset() once per query start; track progress via
     # partitions(start, end) arguments rather than local state so a

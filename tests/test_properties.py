@@ -196,3 +196,24 @@ def test_kmv_sketch_merges_by_sort_and_truncate(partitions, k):
     global_sketch = sketch([v for p in partitions for v in p])
     merged = sketch([h for p in partitions for h in sketch(p)])
     assert merged == global_sketch
+
+
+# ---------------------------------------------------------------------------
+# conduit_blocks offset frontier
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=200), max_size=60),
+    st.integers(min_value=0, max_value=50),
+)
+def test_next_contiguous_round_is_the_first_gap(present, start):
+    """The source's offset frontier must be exactly the first round >=
+    start missing from the feed directory: everything before it is
+    deliverable in order, nothing at or after it may be delivered."""
+    from sparkroach.sources.block_source import next_contiguous_round
+
+    nxt = next_contiguous_round(present, start)
+    assert nxt >= start
+    assert nxt not in present
+    assert all(r in present for r in range(start, nxt))
