@@ -185,22 +185,57 @@ def ingest_blocks(spark: SparkSession, n_blocks: int = 32, n_txns: int = 20) -> 
 @register(
     "chain_end_to_end",
     oracle=None,  # full ETL pipeline, not expressible over the oracle views
-    survey_ref="§2A A1-A25 end-to-end: genesis, round-gated ingest (payments, "
-    "inner-txn tree, asset, box, account close), then a read over the "
-    "maintained tables",
-    description="builds a 4-block chain (round 0 header-only per AddBlock0) "
-    "through the real ingest path in a "
-    "temp store, returns per-round txn/participation counts joined with "
-    "the final account states — the whole §2A plane in one call",
+    survey_ref="§2A A1-A25 end-to-end: genesis, then the FULL conduit "
+    "pipeline shape — custom Python DataSource (conduit_blocks, "
+    "round-ordered importer) → writeStream foreachBatch → round-gated "
+    "ingest (payments, inner-txn tree, asset, box, account close) — "
+    "then a read over the maintained tables",
+    description="builds a 4-block chain (round 0 header-only per "
+    "AddBlock0) through the real importer→exporter pipeline: per-round "
+    "block_N.json files consumed by the conduit_blocks streaming source "
+    "(gap-aware ordered offsets, executor-side reads) into "
+    "stream_ingest's foreachBatch MERGE path — so the driver-executed "
+    "gate exercises the Python DataSource API and Structured Streaming, "
+    "not just add_blocks.  Returns per-round txn/participation counts "
+    "joined with the final account states — the whole §2A plane in one "
+    "call",
 )
 def chain_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
     from sparkroach.chain.ingest import ChainDB
     from sparkroach.chain.schemas import block_schema
+    from sparkroach.sources import blocks_from_dir, write_block_file
 
     base = tempfile.mkdtemp(prefix="sparkroach_demo_")
     db = ChainDB(spark, os.path.join(base, "chain"), n_buckets=2)
     db.load_genesis([{"addr": ADDR_A, "microalgos": 10**9}], genesis_hash=GENESIS)
-    db.add_blocks(spark.createDataFrame(_blocks(), block_schema()))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        feed = os.path.join(base, "feed")
+        for b in _blocks():
+            write_block_file(
+                spark, feed, spark.createDataFrame([b], block_schema())
+            )
+        q = db.stream_ingest(
+            blocks_from_dir(spark, feed, streaming=True),
+            os.path.join(base, "ck"),
+            available_now=False,
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline and db.next_round() != 4:
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        assert db.next_round() == 4, "streamed ingest did not reach round 4"
+    finally:
+        if prev_parts is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     txn = db.store.read("txn")
     part = db.store.read("txn_participation")

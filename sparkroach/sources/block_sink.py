@@ -22,81 +22,99 @@ Together with `block_source.py` this closes the importer→exporter loop:
 a block feed can be consumed from files, maintained into tables, and
 re-exported as a round-per-file feed, all through engine-native
 source/sink contracts rather than foreachBatch glue.
+
+Pickling note: built in a factory so cloudpickle ships the classes BY
+VALUE — the write path runs in executor Python workers and the commit
+path in the data source runner, neither of which is guaranteed to have
+the sparkroach package importable (see block_source.py).
 """
 
 from __future__ import annotations
 
-import os
-import uuid
-from typing import Iterator, List, Optional
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import (
-    DataSource,
-    DataSourceStreamWriter,
-    WriterCommitMessage,
-)
-from pyspark.sql.types import Row, StructType
 
 
-class BlockFileCommit(WriterCommitMessage):
-    def __init__(self, entries: list[tuple[int, str]]):
-        self.entries = entries  # (round, temp path)
+def _build_block_sink_class():
+    import os
+    import uuid
+    from typing import Iterator, List, Optional
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+    from pyspark.sql.types import Row, StructType
+
+    class BlockFileCommit(WriterCommitMessage):
+        def __init__(self, entries):
+            self.entries = entries  # (round, temp path)
+
+    class BlockFileStreamWriter(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("conduit_block_files requires a path")
+            os.makedirs(self.path, exist_ok=True)  # driver-side, pre-poll
+
+        def write(self, iterator: Iterator[Row]) -> WriterCommitMessage:
+            tmp_dir = os.path.join(self.path, "_tmp")
+            os.makedirs(tmp_dir, exist_ok=True)
+            entries = []
+            for row in iterator:
+                tmp = os.path.join(
+                    tmp_dir, f"{row['round']}_{uuid.uuid4().hex}.json"
+                )
+                with open(tmp, "w", encoding="utf-8") as f:
+                    f.write(row["value"] + "\n")
+                entries.append((int(row["round"]), tmp))
+            return BlockFileCommit(entries)
+
+        def commit(
+            self,
+            messages: List[Optional[WriterCommitMessage]],
+            batchId: int,
+        ) -> None:
+            for m in messages:
+                if m is None:
+                    continue
+                for rnd, tmp in m.entries:
+                    os.replace(
+                        tmp, os.path.join(self.path, f"block_{rnd}.json")
+                    )
+
+        def abort(
+            self,
+            messages: List[Optional[WriterCommitMessage]],
+            batchId: int,
+        ) -> None:
+            for m in messages:
+                if m is None:
+                    continue
+                for _, tmp in m.entries:
+                    try:
+                        os.remove(tmp)
+                    except FileNotFoundError:
+                        pass
+
+    class BlockFileSinkDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "conduit_block_files"
+
+        def schema(self) -> str:
+            return "round long, value string"
+
+        def streamWriter(
+            self, schema: StructType, overwrite: bool
+        ) -> DataSourceStreamWriter:
+            return BlockFileStreamWriter(self.options)
+
+    return BlockFileSinkDataSource
 
 
-class BlockFileStreamWriter(DataSourceStreamWriter):
-    def __init__(self, options):
-        self.path = options.get("path")
-        if not self.path:
-            raise ValueError("conduit_block_files requires a path")
-        os.makedirs(self.path, exist_ok=True)  # driver-side, before any poll
-
-    def write(self, iterator: Iterator[Row]) -> BlockFileCommit:
-        tmp_dir = os.path.join(self.path, "_tmp")
-        os.makedirs(tmp_dir, exist_ok=True)
-        entries: list[tuple[int, str]] = []
-        for row in iterator:
-            tmp = os.path.join(tmp_dir, f"{row['round']}_{uuid.uuid4().hex}.json")
-            with open(tmp, "w", encoding="utf-8") as f:
-                f.write(row["value"] + "\n")
-            entries.append((int(row["round"]), tmp))
-        return BlockFileCommit(entries)
-
-    def commit(
-        self, messages: List[Optional[WriterCommitMessage]], batchId: int
-    ) -> None:
-        for m in messages:
-            if m is None:
-                continue
-            for rnd, tmp in m.entries:
-                os.replace(tmp, os.path.join(self.path, f"block_{rnd}.json"))
-
-    def abort(
-        self, messages: List[Optional[WriterCommitMessage]], batchId: int
-    ) -> None:
-        for m in messages:
-            if m is None:
-                continue
-            for _, tmp in m.entries:
-                try:
-                    os.remove(tmp)
-                except FileNotFoundError:
-                    pass
-
-
-class BlockFileSinkDataSource(DataSource):
-    @classmethod
-    def name(cls) -> str:
-        return "conduit_block_files"
-
-    def schema(self) -> str:
-        return "round long, value string"
-
-    def streamWriter(
-        self, schema: StructType, overwrite: bool
-    ) -> DataSourceStreamWriter:
-        return BlockFileStreamWriter(self.options)
+BlockFileSinkDataSource = _build_block_sink_class()
 
 
 def register_block_sink(spark: SparkSession) -> None:

@@ -29,46 +29,19 @@ Rows are the raw envelope ``(round, value)`` — the block JSON line as
 written by the feed — and `blocks_from_dir` parses them to the typed
 block schema with one `from_json`, keeping the Python-side reader a thin
 byte mover while Catalyst does the decode.
+
+Pickling note: the DataSource class is built INSIDE a factory function,
+so its qualname is not module-importable and cloudpickle serializes it
+BY VALUE — the streaming data source's Python runner process is spawned
+without the session's pyFiles, so a module-referenced class would die
+with ModuleNotFoundError there (same self-contained-closure discipline
+as functions/multimodal.py, learned the hard way).
 """
 
 from __future__ import annotations
 
-import os
-import re
-from typing import Iterator, Sequence, Tuple
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import (
-    DataSource,
-    DataSourceReader,
-    DataSourceStreamReader,
-    InputPartition,
-)
-from pyspark.sql.types import LongType, StringType, StructField, StructType
-
-_FILE_RE = re.compile(r"^block_(\d+)\.json$")
-
-ENVELOPE = StructType(
-    [
-        StructField("round", LongType(), nullable=False),
-        StructField("value", StringType(), nullable=False),
-    ]
-)
-
-
-def _round_files(path: str) -> dict[int, str]:
-    """Map round -> absolute file path for every ``block_<N>.json`` present."""
-    out: dict[int, str] = {}
-    try:
-        names = os.listdir(path)
-    except FileNotFoundError:
-        return out
-    for name in names:
-        m = _FILE_RE.match(name)
-        if m:
-            out[int(m.group(1))] = os.path.join(path, name)
-    return out
 
 
 def next_contiguous_round(present: set[int], start: int) -> int:
@@ -76,103 +49,142 @@ def next_contiguous_round(present: set[int], start: int) -> int:
     Delivery may advance through [start, result) and no further: the
     result round is the one the feed has not produced yet, and every
     later file waits behind it (the follower-importer blocking
-    contract)."""
+    contract).  (Mirrored inside the by-value class below, which cannot
+    reference module globals; property-tested here.)"""
     nxt = start
     while nxt in present:
         nxt += 1
     return nxt
 
 
-class _RoundPartition(InputPartition):
-    def __init__(self, rnd: int, file_path: str):
-        self.rnd = rnd
-        self.file_path = file_path
+def _build_block_source_class():
+    """Factory: a fully self-contained DataSource class (see module
+    docstring's pickling note)."""
+    import os
+    import re
+    from typing import Iterator, Sequence, Tuple
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    file_re = re.compile(r"^block_(\d+)\.json$")
+
+    def round_files(path: str) -> dict:
+        out = {}
+        try:
+            names = os.listdir(path)
+        except FileNotFoundError:
+            return out
+        for name in names:
+            m = file_re.match(name)
+            if m:
+                out[int(m.group(1))] = os.path.join(path, name)
+        return out
+
+    class RoundPartition(InputPartition):
+        def __init__(self, rnd: int, file_path: str):
+            self.rnd = rnd
+            self.file_path = file_path
+
+    def read_round(part) -> Iterator[Tuple[int, str]]:
+        with open(part.file_path, "r", encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    yield (part.rnd, line)
+
+    class BlockDirBatchReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("conduit_blocks requires a path")
+
+        def partitions(self) -> Sequence[InputPartition]:
+            files = round_files(self.path)
+            return [RoundPartition(r, files[r]) for r in sorted(files)]
+
+        def read(self, partition) -> Iterator[Tuple[int, str]]:
+            return read_round(partition)
+
+    class BlockDirStreamReader(DataSourceStreamReader):
+        _committed = None
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("conduit_blocks requires a path")
+            self.start_round = int(options.get("start_round", "0"))
+
+        def initialOffset(self) -> dict:
+            files = round_files(self.path)
+            start = min(files) if files else self.start_round
+            return {
+                "round": min(start, self.start_round) if files else start
+            }
+
+        def latestOffset(self) -> dict:
+            # advance only through CONTIGUOUS rounds — a gap means the
+            # feed has not produced that round yet, so later files wait
+            # (the follower-importer blocking contract; the pure logic
+            # is next_contiguous_round at module level, property-tested)
+            files = round_files(self.path)
+            nxt = (
+                self._committed
+                if self._committed is not None
+                else self.initialOffset()["round"]
+            )
+            while nxt in files:
+                nxt += 1
+            return {"round": nxt}
+
+        def partitions(self, start: dict, end: dict):
+            self._committed = end["round"]
+            files = round_files(self.path)
+            return [
+                RoundPartition(r, files[r])
+                for r in range(start["round"], end["round"])
+                if r in files  # a pruned round file cannot be re-read
+            ]
+
+        def read(self, partition) -> Iterator[Tuple[int, str]]:
+            return read_round(partition)
+
+        def commit(self, end: dict) -> None:
+            self._committed = end["round"]
+
+    class BlockDirDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "conduit_blocks"
+
+        def schema(self) -> StructType:
+            return StructType(
+                [
+                    StructField("round", LongType(), nullable=False),
+                    StructField("value", StringType(), nullable=False),
+                ]
+            )
+
+        def reader(self, schema) -> DataSourceReader:
+            return BlockDirBatchReader(self.options)
+
+        def streamReader(self, schema) -> DataSourceStreamReader:
+            return BlockDirStreamReader(self.options)
+
+    return BlockDirDataSource
 
 
-def _read_round(part: _RoundPartition) -> Iterator[Tuple[int, str]]:
-    with open(part.file_path, "r", encoding="utf-8") as f:
-        for line in f:
-            line = line.strip()
-            if line:
-                yield (part.rnd, line)
-
-
-class BlockDirBatchReader(DataSourceReader):
-    """Batch face: every block file present, partitioned per round."""
-
-    def __init__(self, options):
-        self.path = options.get("path")
-        if not self.path:
-            raise ValueError("conduit_blocks requires a path")
-
-    def partitions(self) -> Sequence[InputPartition]:
-        files = _round_files(self.path)
-        return [_RoundPartition(r, files[r]) for r in sorted(files)]
-
-    def read(self, partition: _RoundPartition) -> Iterator[Tuple[int, str]]:
-        return _read_round(partition)
-
-
-class BlockDirStreamReader(DataSourceStreamReader):
-    """Streaming face: contiguous-round offsets, one partition per round."""
-
-    def __init__(self, options):
-        self.path = options.get("path")
-        if not self.path:
-            raise ValueError("conduit_blocks requires a path")
-        self.start_round = int(options.get("start_round", "0"))
-
-    def initialOffset(self) -> dict:
-        files = _round_files(self.path)
-        start = min(files) if files else self.start_round
-        return {"round": min(start, self.start_round) if files else start}
-
-    def latestOffset(self) -> dict:
-        # Advance only through contiguous rounds: a gap means the feed has
-        # not produced that round yet, so later files must wait (the
-        # follower-importer blocking contract).
-        files = _round_files(self.path)
-        start = (
-            self._committed
-            if self._committed is not None
-            else self.initialOffset()["round"]
-        )
-        return {"round": next_contiguous_round(set(files), start)}
-
-    # engine calls initialOffset() once per query start; track progress via
-    # partitions(start, end) arguments rather than local state so a
-    # restarted reader needs no recovery logic of its own.
-    _committed: int | None = None
-
-    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        self._committed = end["round"]
-        files = _round_files(self.path)
-        parts = []
-        for r in range(start["round"], end["round"]):
-            if r in files:  # a vacuumed/pruned round file cannot be re-read
-                parts.append(_RoundPartition(r, files[r]))
-        return parts
-
-    def read(self, partition: _RoundPartition) -> Iterator[Tuple[int, str]]:
-        return _read_round(partition)
-
-    def commit(self, end: dict) -> None:
-        self._committed = end["round"]
-
-
-class BlockDirDataSource(DataSource):
-    @classmethod
-    def name(cls) -> str:
-        return "conduit_blocks"
-
-    def schema(self) -> StructType:
-        return ENVELOPE
-
-    def reader(self, schema: StructType) -> DataSourceReader:
-        return BlockDirBatchReader(self.options)
-
-    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
-        return BlockDirStreamReader(self.options)
+BlockDirDataSource = _build_block_source_class()
 
 
 def register_block_source(spark: SparkSession) -> None:
@@ -184,6 +196,8 @@ def write_block_file(spark: SparkSession, path: str, block_df: DataFrame) -> str
     line, Spark-canonical encoding so binary columns round-trip as base64).
     Single-row driver-side write — this is the *producer* stand-in, not a
     data-path operator."""
+    import os
+
     os.makedirs(path, exist_ok=True)
     rows = block_df.toJSON().collect()
     rnds = [r["round"] for r in block_df.select("round").collect()]
