@@ -256,3 +256,100 @@ def events_session_bookends(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# docs_null_safe_join — <=> (null-safe equality) as a JOIN key
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_null_safe_join",
+    gated=False,  # r6 rotation candidate (window frozen this round)
+    oracle="""
+        WITH ev AS (
+            SELECT doc_id, NULLIF(lang, 'de') AS k FROM documents
+            WHERE doc_id % 2 = 0
+        ),
+        od AS (
+            SELECT doc_id, NULLIF(lang, 'de') AS k FROM documents
+            WHERE doc_id % 2 = 1
+        )
+        SELECT COALESCE(ev.k, '<null>') AS join_key,
+               CAST(COUNT(*) AS BIGINT) AS n_nullsafe_pairs,
+               CAST(SUM(CASE WHEN ev.k IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_equals_pairs
+        FROM ev JOIN od ON ev.k IS NOT DISTINCT FROM od.k
+        GROUP BY COALESCE(ev.k, '<null>')
+        ORDER BY join_key
+    """,
+    survey_ref="§2C joins — NULL-SAFE equality (<=> / IS NOT DISTINCT "
+    "FROM) as the join condition: NULL keys MATCH each other, the "
+    "semantic plain = can never produce; the contrast column counts "
+    "what = would have kept",
+    description="documents split into even/odd halves with lang "
+    "nulled for one value (NULLIF), joined on eqNullSafe: the '<null>' "
+    "group's pairs exist ONLY under null-safe semantics "
+    "(n_equals_pairs = 0 there, = n_nullsafe_pairs everywhere else).  "
+    "Spark hash-partitions <=> like any equi-key (NULL hashes as a "
+    "value), so the plan is a standard shuffled hash/SMJ join — no "
+    "nested loop — and the shape survives any corpus size; the "
+    "aggregation collapses the pair blowup immediately",
+)
+def docs_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.nullif("lang", F.lit("de")).alias("k")
+    )
+    ev = d.where(F.col("doc_id") % 2 == 0).select(F.col("k").alias("ek"))
+    od = d.where(F.col("doc_id") % 2 == 1).select(F.col("k").alias("ok"))
+    return (
+        ev.join(od, F.col("ek").eqNullSafe(F.col("ok")))
+        .groupBy(F.coalesce("ek", F.lit("<null>")).alias("join_key"))
+        .agg(
+            F.count("*").alias("n_nullsafe_pairs"),
+            F.sum(F.when(F.col("ek").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_equals_pairs"),
+        )
+        .orderBy("join_key")
+    )
+
+
+@register(
+    "docs_explode_outer_census",
+    gated=False,  # r6 rotation candidate (window frozen this round)
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '),
+                               x -> length(x) >= 6) AS rare
+            FROM documents
+        )
+        SELECT COALESCE(u.tok, '<none>') AS token,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM t LEFT JOIN LATERAL (SELECT unnest(rare) AS tok) u ON true
+        GROUP BY COALESCE(u.tok, '<none>')
+        ORDER BY token
+    """,
+    survey_ref="§2C generators — explode_outer NULL preservation: a "
+    "document whose array is EMPTY must survive the explode as one "
+    "null-extended row (plain explode silently drops it — the row-loss "
+    "bug every per-token pipeline writes at least once)",
+    description="census of long (>= 6-char) tokens via "
+    "explode_outer: the '<none>' row counts documents with no such "
+    "token, a number that exists ONLY under outer semantics.  Plan is "
+    "scan → filter() HOF → Generate(explode_outer) → hash agg — one "
+    "shuffle, and the empty-array rows cost one output row each "
+    "instead of disappearing from downstream coverage accounting",
+)
+def docs_explode_outer_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    rare = F.filter(
+        F.split(F.col("text"), " "), lambda x: F.length(x) >= 6
+    )
+    return (
+        d.select(F.explode_outer(rare).alias("tok"))
+        .groupBy(F.coalesce("tok", F.lit("<none>")).alias("token"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("token")
+    )
