@@ -800,3 +800,124 @@ def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _PQ_TOP_K)
         .orderBy("q_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_ivfpq_rerank — two-stage retrieval: quantized shortlist, exact rerank
+# ---------------------------------------------------------------------------
+
+_RERANK_SHORTLIST = 24  # ADC shortlist size feeding the exact stage
+
+
+def _ivfpq_rerank_oracle() -> str:
+    """Stage 1 is ann_ivfpq_adc's chain verbatim (shortlist cut at
+    _RERANK_SHORTLIST instead of top-k); stage 2 rescanss ONLY the
+    shortlist rows with exact float cosine and re-ranks."""
+    from sparkroach.queries.llm_ops import _DOT_SQL, _NORM_SQL
+
+    base = _ivfpq_oracle()
+    # reuse the full CTE chain up to `scored`, swap the final cut
+    head, _tail = base.split("SELECT q_id, c_id, adc_dist, rank FROM (", 1)
+    return f"""
+        {head}
+        , shortlist AS (
+            SELECT q_id, c_id FROM (
+                SELECT q_id, c_id,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY adc_dist, c_id) AS rn
+                FROM scored
+            ) WHERE rn <= {_RERANK_SHORTLIST}
+        ),
+        rer AS (
+            SELECT s.q_id, s.c_id,
+                   ROUND({_DOT_SQL}
+                         / ({_NORM_SQL.format(col="qe")}
+                            * {_NORM_SQL.format(col="ce")}),
+                         6) AS cosine
+            FROM shortlist s
+            JOIN (SELECT vec_id, embedding AS qe FROM embeddings) eq
+              ON eq.vec_id = s.q_id
+            JOIN (SELECT vec_id, embedding AS ce FROM embeddings) ec
+              ON ec.vec_id = s.c_id
+        )
+        SELECT q_id, c_id, cosine, rank FROM (
+            SELECT q_id, c_id, cosine,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, c_id) AS rank
+            FROM rer
+        ) WHERE rank <= {_PQ_TOP_K}
+        ORDER BY q_id, rank
+    """
+
+
+@register(
+    "ann_ivfpq_rerank",
+    gated=False,  # r6 rotation candidate (window frozen this round)
+    oracle=_ivfpq_rerank_oracle(),
+    survey_ref="LLM ops: ANN — two-stage retrieval (the production "
+    "standard): IVF-PQ ADC shortlists cheap candidates, exact float "
+    "cosine reranks ONLY the shortlist — quantization error affects "
+    "WHICH candidates survive stage 1, never the final ordering",
+    description=f"stage 1 is the gate-proven IVF-PQ chain cut at a "
+    f"{_RERANK_SHORTLIST}-deep shortlist ({_RERANK_SHORTLIST} ADC "
+    "lookups per query × cluster members scanned as codes); stage 2 "
+    "touches the float vectors for shortlist rows only — per query "
+    f"that is {_RERANK_SHORTLIST} exact cosines instead of a corpus "
+    "scan.  At 100 TB the float vectors live in a separate store "
+    "accessed at shortlist rate (the FAISS refine / two-tower serving "
+    "layout); the quantized index alone fits in memory",
+)
+def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach.queries.llm_ops import _DOT, _NORM, _ivf_kmeans_parts
+
+    e = load(spark, sf_dir, "embeddings")
+    assign, _ = _ivf_kmeans_parts(spark, sf_dir)
+    codes = e.select(
+        "vec_id", F.expr(_pq_codes_hof_expr("embedding")).alias("codes")
+    )
+    q = (
+        e.where(F.col("vec_id") < _PQ_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.expr(_pq_lut_hof_expr("embedding")).alias("lut"),
+        )
+        .join(
+            assign.select(F.col("vec_id").alias("q_id"), "cluster"), "q_id"
+        )
+    )
+    members = assign.select(F.col("vec_id").alias("c_id"), "cluster")
+    cand = (
+        F.broadcast(q)
+        .join(members, "cluster")
+        .where(F.col("c_id") != F.col("q_id"))
+        .join(codes.select(F.col("vec_id").alias("c_id"), "codes"), "c_id")
+    )
+    adc = F.expr(
+        " + ".join(
+            f"element_at(element_at(lut, {m + 1}), element_at(codes, {m + 1}) + 1)"
+            for m in range(_PQ_M)
+        )
+    )
+    ws = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id"))
+    shortlist = (
+        cand.select("q_id", "c_id", adc.alias("adc"))
+        .select("q_id", "c_id", F.row_number().over(ws).alias("rn"))
+        .where(F.col("rn") <= _RERANK_SHORTLIST)
+        .select("q_id", "c_id")
+    )
+    qe = e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+    ce = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+    cosine = F.round(
+        F.expr(_DOT)
+        / (F.expr(_NORM.format(col="qe")) * F.expr(_NORM.format(col="ce"))),
+        6,
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        shortlist.join(F.broadcast(qe), "q_id")
+        .join(ce, "c_id")
+        .select("q_id", "c_id", cosine.alias("cosine"))
+        .select("q_id", "c_id", "cosine", F.row_number().over(wr).alias("rank"))
+        .where(F.col("rank") <= _PQ_TOP_K)
+        .orderBy("q_id", "rank")
+    )

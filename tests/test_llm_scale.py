@@ -481,3 +481,34 @@ def test_ann_recall_report_monotonic_in_probes(spark):
         r2 = by[(m, 2, q)]
         assert r2["recall_at_k"] >= r1["recall_at_k"], q
         assert r2["candidates"] >= r1["candidates"], q
+
+
+def test_rerank_recall_dominates_adc_ranking(spark):
+    """Exact rerank over the ADC shortlist can only help: for any true
+    neighbor t kept by ADC's top-k, t is in the shortlist, and if 10
+    shortlist members beat t on exact cosine they would also beat it in
+    the global truth ranking — contradiction with t being a true
+    neighbor.  So per query, truth∩rerank ⊇ truth∩adc (same tie-break
+    ordering on both sides)."""
+    from sparkroach.queries import QUERIES
+    from tests.conftest import SF_SMALL
+
+    truth = (
+        QUERIES["ann_cosine_topk"].fn(spark, SF_SMALL)
+        .select("q_id", "c_id")
+        .collect()
+    )
+    tset = {(r.q_id, r.c_id) for r in truth}
+    adc = QUERIES["ann_ivfpq_adc"].fn(spark, SF_SMALL).collect()
+    rer = QUERIES["ann_ivfpq_rerank"].fn(spark, SF_SMALL).collect()
+    from collections import Counter
+
+    adc_hits = Counter(r.q_id for r in adc if (r.q_id, r.c_id) in tset)
+    rer_hits = Counter(r.q_id for r in rer if (r.q_id, r.c_id) in tset)
+    qids = {r.q_id for r in adc} | {r.q_id for r in rer}
+    assert qids, "no queries scored"
+    for q in qids:
+        assert rer_hits[q] >= adc_hits[q], (q, rer_hits[q], adc_hits[q])
+    # and the rerank ordering is exact-cosine, so its kept set is at
+    # least as good in total
+    assert sum(rer_hits.values()) >= sum(adc_hits.values())
