@@ -753,3 +753,95 @@ def bucketed_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             except Exception:
                 pass
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# events_dynamic_partition_overwrite — correction batches rewrite ONE day
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_dynamic_partition_overwrite",
+    gated=False,  # r6 rotation candidate (window frozen this round)
+    oracle="""
+        WITH d AS (
+            SELECT CAST(ts AS DATE) AS day, event_id FROM events
+        ),
+        busy AS (
+            SELECT day FROM d GROUP BY day
+            ORDER BY COUNT(*) DESC, day LIMIT 1
+        ),
+        final AS (
+            SELECT * FROM d WHERE day <> (SELECT day FROM busy)
+            UNION ALL
+            SELECT * FROM d
+            WHERE day = (SELECT day FROM busy) AND event_id % 2 = 0
+        )
+        SELECT CAST(day AS VARCHAR) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+        FROM final
+        GROUP BY day
+        ORDER BY day
+    """,
+    survey_ref="§2C physical layout — DYNAMIC partition overwrite: a "
+    "correction batch rewrites exactly the partitions it contains and "
+    "no others (partitionOverwriteMode=dynamic); under the default "
+    "STATIC mode the same write would wipe every other day, so the "
+    "per-day checksums pin the semantics, not just the write path",
+    description="events land hive-partitioned by day; the busiest day "
+    "(found from the data) is then corrected — its batch keeps only "
+    "even event_ids — via mode('overwrite') under dynamic partition "
+    "overwrite.  Every other day must survive untouched: the gate "
+    "output is per-day row counts + event_id sums over the final "
+    "table, equal to 'all days except D, plus D filtered' computed "
+    "relationally.  At 100 TB this is the nightly backfill primitive: "
+    "rewrite cost scales with the corrected days, not the table, and "
+    "readers never see a half-written day (per-partition atomic "
+    "directory swap)",
+)
+def events_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    busy = (
+        ev.groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("day"))
+        .limit(1)
+        .collect()[0]
+        .day
+    )
+    root = tempfile.mkdtemp(prefix="sparkroach_dynpart_")
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        path = os.path.join(root, "events_by_day")
+        base = ev.select("day", "event_id")
+        base.write.partitionBy("day").parquet(path)
+
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        correction = base.where(
+            (F.col("day") == F.lit(busy)) & (F.col("event_id") % 2 == 0)
+        )
+        correction.write.mode("overwrite").partitionBy("day").parquet(path)
+
+        out = (
+            spark.read.parquet(path)
+            .groupBy(F.col("day").cast("string").alias("day"))
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                F.sum("event_id").cast("long").alias("sum_event_id"),
+            )
+            .orderBy("day")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )

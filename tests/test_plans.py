@@ -235,7 +235,7 @@ def test_unpivot_keeps_zero_rows_and_stays_expand_shaped(spark):
 _MATERIALIZED = {
     "bucketed_orders_join", "dedup_cc_clusters", "dedup_streaming_kept",
     "documents_format_roundtrip", "documents_orc_roundtrip",
-    "documents_xml_roundtrip",
+    "documents_xml_roundtrip", "events_dynamic_partition_overwrite",
     "events_dedup_jitter_streamed", "events_dedup_streamed",
     "events_join_streamed", "events_left_join_streamed",
     "documents_schema_evolution",
