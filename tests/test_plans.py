@@ -427,3 +427,27 @@ def test_engine_injects_runtime_bloom_filter(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_max_partition_bytes_controls_scan_parallelism(spark):
+    """SCALE.md's sizing claim, asserted: spark.sql.files.maxPartitionBytes
+    is the knob that decides how many tasks a scan fans out to — shrink
+    it and the same file set must split into strictly more input
+    partitions (how we'd right-size partitions to executor memory at a
+    bigger SF)."""
+    from sparkroach.tables import load
+    from tests.conftest import SF_GATE
+
+    key = "spark.sql.files.maxPartitionBytes"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, str(128 * 1024 * 1024))
+        wide = load(spark, SF_GATE, "lineitem").rdd.getNumPartitions()
+        spark.conf.set(key, str(256 * 1024))
+        narrow = load(spark, SF_GATE, "lineitem").rdd.getNumPartitions()
+        assert narrow > wide, (narrow, wide)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
