@@ -254,6 +254,7 @@ _MATERIALIZED = {
 _SCALAR_BNLJ_OK = {
     "ann_cosine_topk", "ann_int8_quantized", "ann_ivf_kmeans",
     "ann_ivf_multiprobe", "ann_ivfpq_adc", "ann_pq_adc", "ann_recall_report",
+    "ann_ivfpq_rerank",  # inherits ivfpq's broadcast-centroid assign stage
     "bpe_second_merge",  # crossJoin against the 1-row learned merge
     "chain_end_to_end", "domain_mix_weights", "events_funnel_conversion",
     "events_gap_fill", "hist_quantile_sketch", "hll_distinct_sketch",
