@@ -2289,6 +2289,7 @@ def _recall_report_oracle() -> str:
     sq_sql = _Q["ann_int8_quantized"].oracle
     pq_sql = _Q["ann_pq_adc"].oracle
     ivfpq_sql = _Q["ann_ivfpq_adc"].oracle
+    rerank_sql = _Q["ann_ivfpq_rerank"].oracle
     label_sql = _Q["ann_ivf_label"].oracle
     km_sql = _Q["ann_ivf_kmeans"].oracle
     km_assign_sql = _ivf_kmeans_oracle(select="assign")
@@ -2364,6 +2365,7 @@ def _recall_report_oracle() -> str:
         sq AS (SELECT q_id, c_id FROM ({sq_sql}) t),
         pq AS (SELECT q_id, c_id FROM ({pq_sql}) t),
         ivfpq AS (SELECT q_id, c_id FROM ({ivfpq_sql}) t),
+        rerank AS (SELECT q_id, c_id FROM ({rerank_sql}) t),
         cost_full AS (
             -- quantized methods scan the (compressed) full corpus: the
             -- candidate count is N-1, the win is bytes-per-candidate
@@ -2379,6 +2381,7 @@ def _recall_report_oracle() -> str:
         {hits_cte("sq", "sq")},
         {hits_cte("pq", "pq")},
         {hits_cte("ivfpq", "ivfpq")},
+        {hits_cte("rerank", "rerank")},
         {mp_cost_cte("mp1", "mp1p")},
         {mp_cost_cte("mp2", "mp2p")}
         {method_row("ivf_kmeans", 1, "hits_km", "cost_km")}
@@ -2388,6 +2391,7 @@ def _recall_report_oracle() -> str:
         UNION ALL {method_row("int8_sq", 1, "hits_sq", "cost_full")}
         UNION ALL {method_row("pq_adc", 1, "hits_pq", "cost_full")}
         UNION ALL {method_row("ivfpq_adc", 1, "hits_ivfpq", "cost_km")}
+        UNION ALL {method_row("ivfpq_rerank", 1, "hits_rerank", "cost_km")}
         ORDER BY method, n_probes, q_id
     """
 
@@ -2484,6 +2488,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkroach.queries.llm_ops2 import (
         ann_int8_quantized,
         ann_ivfpq_adc,
+        ann_ivfpq_rerank,
         ann_pq_adc,
     )
 
@@ -2505,6 +2510,13 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             # IVF-PQ scans the same cluster-pruned candidate set as
             # ivf_kmeans (shared assignment chain) at PQ-code cost
             report_row("ivfpq_adc", 1, ann_ivfpq_adc(spark, sf_dir), cost_km)
+        )
+        .unionByName(
+            # two-stage: same cluster-pruned candidate set (the 24
+            # exact rerank reads are a constant on top, not a scan)
+            report_row(
+                "ivfpq_rerank", 1, ann_ivfpq_rerank(spark, sf_dir), cost_km
+            )
         )
         .orderBy("method", "n_probes", "q_id")
     )
