@@ -28,6 +28,8 @@ from sparkroach.queries import analytics12  # noqa: E402,F401
 from sparkroach.queries import analytics13  # noqa: E402,F401
 from sparkroach.queries import analytics14  # noqa: E402,F401
 from sparkroach.queries import analytics15  # noqa: E402,F401
+from sparkroach.queries import analytics16  # noqa: E402,F401
+from sparkroach.queries import analytics17  # noqa: E402,F401
 from sparkroach.queries import llm_ops  # noqa: E402,F401
 from sparkroach.queries import llm_ops2  # noqa: E402,F401
 from sparkroach.queries import llm_ops3  # noqa: E402,F401

@@ -1,0 +1,254 @@
+"""Analytics breadth, round-4 continuation (wave 8): the grouped-agg
+pandas UDAF lane and a distributed prefix-sum interval sweep.
+
+- ``events_value_median_udaf``: per-type median + MAD (median absolute
+  deviation) through ``pandas_udf`` GROUPED_AGG — the one Python-UDF API
+  lane the repo had not yet exercised (scalar pandas UDFs run in the
+  chain plane, applyInPandas/mapInPandas/mapInArrow/UDTF in streaming +
+  multimodal).  MAD is the robust-statistics complement to
+  ``events_anomaly_zscore``'s mean/stddev — and a genuine UDAF case: no
+  single-pass built-in computes a median of absolute deviations *from
+  the group's own median*.  Float discipline: numpy's even-count median
+  is ``(a+b)/2`` on the two middle elements and DuckDB's interpolated
+  median is the same single IEEE op, so both engines emit bit-identical
+  doubles (verified element-wise before registration; the subtraction
+  inside MAD is likewise one correctly-rounded op per element).
+  At-scale caveat, by design of the lane: GROUPED_AGG materializes one
+  group per Arrow batch, so groups must fit an executor — the
+  corpus-scale exact-quantile path is ``token_quantiles_by_source``'s
+  two-pass shape; THIS op is the API-lane gate.
+
+- ``sessions_concurrency_peak``: peak concurrent user sessions and the
+  first instant it is reached — the classic interval boundary sweep
+  (+1 at session start, −1 at end, running sum over the time-ordered
+  boundary stream).  A running sum over one global order is the
+  textbook "inherently sequential" trap; the Spark side executes it as
+  a DISTRIBUTED PREFIX SUM: range-partition the boundary stream on the
+  sort key, per-partition running sums (window within partition id),
+  then per-partition totals — one tiny row per partition — collected,
+  exclusive-prefix-summed on the driver, and broadcast back as
+  partition offsets.  ``repartitionByRange`` guarantees ascending
+  partition ids hold ascending key ranges, so offset(pid) + local
+  running sum IS the global running sum.  The driver collect is O(shuffle
+  partitions) bookkeeping rows, never data.  Tie rule: starts sort
+  before ends at the same microsecond (delta DESC), so touching
+  sessions count as concurrent; the peak value and its first timestamp
+  are invariant to the remaining intra-tie order (the max prefix lands
+  after all +1s of an instant regardless of their order).
+
+Both gated=False on registration: r5/r6 rotation candidates, swept by
+the local oracle gate at sf0.001/0.01/0.1.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql import types as T
+
+from sparkroach.queries.registry import register
+from sparkroach.tables import load
+
+# ---------------------------------------------------------------------------
+# grouped-agg pandas UDAF: median + MAD per event type
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(T.DoubleType())
+def _median_udaf(v: pd.Series) -> float:  # Series -> scalar = GROUPED_AGG
+    import numpy as np
+
+    return float(np.median(v.to_numpy()))
+
+
+@pandas_udf(T.DoubleType())
+def _mad_udaf(v: pd.Series) -> float:
+    import numpy as np
+
+    a = v.to_numpy()
+    return float(np.median(np.abs(a - np.median(a))))
+
+
+# Spark refuses to mix GROUPED_AGG pandas UDFs with JVM aggregates in one
+# agg() ([INVALID_PANDAS_UDF_PLACEMENT]), so the row count rides the same
+# lane instead of F.count
+@pandas_udf(T.LongType())
+def _count_udaf(v: pd.Series) -> int:
+    return int(len(v))
+
+
+@register(
+    "events_value_median_udaf",
+    gated=False,
+    oracle="""
+        WITH m AS (SELECT event_type, median(value) AS med
+                   FROM events GROUP BY event_type)
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               any_value(m.med) AS med_value,
+               median(abs(e.value - m.med)) AS mad_value
+        FROM events e JOIN m USING (event_type)
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
+    survey_ref="§2C aggregation — user-defined aggregate through the "
+    "pandas_udf GROUPED_AGG lane (Arrow-batched, one group per call); "
+    "robust median/MAD statistics no single-pass built-in expresses",
+    description="per-type median + median-absolute-deviation via pandas "
+    "UDAF; numpy and DuckDB both interpolate even-count medians with one "
+    "(a+b)/2 IEEE op so the doubles hash-match — the GROUPED_AGG API-lane "
+    "gate (scale path for exact quantiles stays the two-pass shape)",
+)
+def events_value_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            _count_udaf("value").alias("n_events"),
+            _median_udaf("value").alias("med_value"),
+            _mad_udaf("value").alias("mad_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed prefix sum: peak concurrent sessions
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 1_800_000_000  # 30 min, same rule as events_user_sessions
+
+_CONCURRENCY_ORACLE = f"""
+    WITH us AS (
+        SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS t_us FROM events
+    ),
+    gaps AS (
+        SELECT user_id, t_us,
+               CASE WHEN t_us - lag(t_us) OVER (
+                            PARTITION BY user_id ORDER BY t_us, event_id)
+                         > {SESSION_GAP_US}
+                    OR lag(t_us) OVER (
+                            PARTITION BY user_id ORDER BY t_us, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM us
+    ),
+    sess AS (
+        SELECT user_id, t_us,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY t_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM gaps
+    ),
+    iv AS (SELECT user_id, sid, MIN(t_us) AS s_us, MAX(t_us) AS e_us
+           FROM sess GROUP BY user_id, sid),
+    b AS (SELECT s_us AS t, 1 AS delta FROM iv
+          UNION ALL SELECT e_us, -1 FROM iv),
+    r AS (SELECT t, SUM(delta) OVER (
+              ORDER BY t, delta DESC ROWS UNBOUNDED PRECEDING) AS c
+          FROM b),
+    mx AS (SELECT MAX(c) AS peak FROM r)
+    SELECT CAST(mx.peak AS BIGINT) AS peak_concurrency,
+           CAST((SELECT MIN(t) FROM r WHERE c = mx.peak) AS BIGINT)
+               AS first_peak_us,
+           CAST((SELECT COUNT(*) FROM iv) AS BIGINT) AS n_sessions
+    FROM mx
+"""
+
+
+def _session_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, s_us, e_us) gap-based session intervals — same
+    microsecond-exact rule as events_user_sessions / SESSIONS_ORACLE."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    gap = F.col("t_us") - F.lag("t_us").over(w)
+    new_session = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    wsum = Window.partitionBy("user_id").orderBy("t_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.select("user_id", "t_us", new_session.alias("ns"))
+        .select("user_id", "t_us", F.sum("ns").over(wsum).alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(F.min("t_us").alias("s_us"), F.max("t_us").alias("e_us"))
+    )
+
+
+def running_global_sum(b: DataFrame, key: str, val: str) -> DataFrame:
+    """Append a globally-ordered running sum of ``val`` in ``key`` order
+    WITHOUT a single-partition window: range-partition on the key,
+    per-partition running sums, then broadcast exclusive-prefix offsets
+    computed from the per-partition totals (one bookkeeping row per
+    partition through the driver).  Relies on repartitionByRange's
+    contract that ascending partition ids hold ascending key ranges."""
+    spark = b.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = (
+        b.repartitionByRange(n_parts, F.col(key))
+        .sortWithinPartitions(key)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin the partitioning for both consumers
+    )
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = {
+        r["_pid"]: r["tot"]
+        for r in part.groupBy("_pid").agg(F.sum(val).alias("tot")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    off = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    return (
+        part.withColumn("_loc", F.sum(val).over(wloc))
+        .join(F.broadcast(off), "_pid")
+        .withColumn("running", (F.col("_off") + F.col("_loc")).cast("long"))
+        .drop("_pid", "_loc", "_off")
+    )
+
+
+@register(
+    "sessions_concurrency_peak",
+    gated=False,
+    oracle=_CONCURRENCY_ORACLE,
+    survey_ref="§2C window/interval analytics — interval boundary sweep "
+    "(peak concurrency) executed as a distributed prefix sum: range "
+    "partition + local running sums + broadcast partition offsets",
+    description="peak concurrent 30-min-gap sessions and the first "
+    "microsecond it is reached: +1/-1 boundary stream, global running "
+    "sum WITHOUT a single-partition window — per-partition sums plus "
+    "collected per-partition totals (O(partitions) driver rows) give "
+    "the exact global prefix sum; starts order before ends on ties",
+)
+def sessions_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = _session_intervals(spark, sf_dir)
+    starts = iv.select(F.col("s_us").alias("t"), F.lit(1).alias("delta"))
+    ends = iv.select(F.col("e_us").alias("t"), F.lit(-1).alias("delta"))
+    # sort key: starts (delta=+1) before ends (delta=-1) at equal t
+    b = starts.unionByName(ends).withColumn(
+        "_k", F.col("t") * 2 + F.when(F.col("delta") == 1, 0).otherwise(1)
+    )
+    r = running_global_sum(b, "_k", "delta")
+    peak = r.agg(F.max("running").alias("peak"))
+    first = (
+        r.join(F.broadcast(peak), r["running"] == peak["peak"])
+        .agg(
+            F.any_value("peak").alias("peak_concurrency"),
+            F.min("t").alias("first_peak_us"),
+        )
+    )
+    n_sess = iv.agg(F.count("*").alias("n_sessions"))
+    return first.crossJoin(n_sess).select(
+        F.col("peak_concurrency").cast("long"),
+        F.col("first_peak_us").cast("long"),
+        F.col("n_sessions").cast("long"),
+    )

@@ -262,6 +262,8 @@ _SCALAR_BNLJ_OK = {
     "q22_global_sales_opportunity", "suppkey_skew_report",
     "temperature_mix_weights", "temperature_sample_by_lang",
     "term_cooccurrence_lift", "tfidf_top_terms",
+    # 1-row peak/count aggregates joined back (scalar build sides)
+    "sessions_concurrency_peak",
 }
 
 
