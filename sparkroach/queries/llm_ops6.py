@@ -68,6 +68,7 @@ from sparkroach.queries.llm_ops import (
     _lsh_candidate_pairs,
     _lsh_candidates_cte,
     _verified_pairs,
+    _with_shingles,
 )
 from sparkroach.queries.registry import register
 from sparkroach.tables import load
@@ -432,4 +433,131 @@ def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("docs_majority_seen"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered EXACT similarity join (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+# Jaccard >= 0.8 in integer arithmetic throughout:
+#   prefix length     p = m - ceil(0.8 m) + 1 = m - (4m+4)//5 + 1
+#   overlap bound     a = ceil((0.8/1.8)(mx+my)) = (4(mx+my)+8)//9
+# No float literal or float multiply touches a filter decision, so both
+# engines prune identically.
+
+
+def _prefix_jaccard_oracle() -> str:
+    from sparkroach.queries.llm_ops import _SHINGLES_SQL
+
+    return f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        shing AS MATERIALIZED (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM w),
+        gg AS (SELECT doc_id, unnest(shingles) AS gram FROM shing),
+        df AS (SELECT gram, COUNT(*) AS c FROM gg GROUP BY gram),
+        ranked AS (SELECT gg.doc_id, gg.gram,
+                          row_number() OVER (PARTITION BY gg.doc_id
+                                             ORDER BY df.c, gg.gram) AS rn,
+                          COUNT(*) OVER (PARTITION BY gg.doc_id) AS m
+                   FROM gg JOIN df USING (gram)),
+        pref AS MATERIALIZED (
+            SELECT doc_id, gram, rn, m FROM ranked
+            WHERE rn <= m - ((4*m + 4) // 5) + 1),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM pref a JOIN pref b ON a.gram = b.gram
+                  AND a.doc_id < b.doc_id
+                  AND b.m * 10 >= 8 * a.m AND a.m * 10 >= 8 * b.m
+                  AND least(a.m - a.rn, b.m - b.rn) + 1
+                      >= (4*(a.m + b.m) + 8) // 9),
+        ver AS (SELECT c.doc_a, c.doc_b,
+                   len(list_filter(sa.shingles,
+                                   x -> list_contains(sb.shingles, x))) AS inter,
+                   len(sa.shingles) + len(sb.shingles)
+                     - len(list_filter(sa.shingles,
+                                       x -> list_contains(sb.shingles, x))) AS uni
+                FROM cand c JOIN shing sa ON sa.doc_id = c.doc_a
+                            JOIN shing sb ON sb.doc_id = c.doc_b)
+        SELECT doc_a, doc_b,
+               CAST(inter AS DOUBLE) / uni AS jaccard
+        FROM ver WHERE inter * 10 >= 8 * uni
+        ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "prefix_jaccard_join_exact",
+    gated=False,
+    oracle=_prefix_jaccard_oracle(),
+    survey_ref="LLM ops: prefix-filtered EXACT similarity join (PPJoin "
+    "family: prefix + length + positional filters, all lossless) — the "
+    "zero-false-negative alternative to MinHash-LSH, and the recall "
+    "certifier for it",
+    description="exact word-bigram Jaccard >= 0.8 join WITHOUT LSH: "
+    "shingles ranked by ascending global document frequency, candidates "
+    "= pairs sharing a prefix token, pruned by the lossless length "
+    "(sizes within 10/8) and positional (remaining-overlap >= "
+    "ceil(4(mx+my)/9)) filters, then exact verify. Provably equal to "
+    "the brute-force O(n^2) join; on this low-vocab corpus the "
+    "positional+length filters carry the pruning (4.4M -> 667k "
+    "candidates at sf0.1) where a Zipfian web corpus would get it from "
+    "rare-token prefixes. Integer-only filter arithmetic so both "
+    "engines prune identically",
+)
+def prefix_jaccard_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    sh = _with_shingles(d).localCheckpoint(eager=True)  # feeds rank + verify
+    gg = sh.select("doc_id", F.explode("shingles").alias("gram"))
+    df_ = gg.groupBy("gram").agg(F.count("*").alias("c"))
+    wdoc = Window.partitionBy("doc_id").orderBy("c", "gram")
+    ranked = (
+        gg.join(df_, "gram")
+        .select(
+            "doc_id",
+            "gram",
+            F.row_number().over(wdoc).alias("rn"),
+            F.count("*").over(Window.partitionBy("doc_id")).alias("m"),
+        )
+    )
+    pref = ranked.where(
+        F.col("rn") <= F.col("m") - F.expr("(4*m + 4) div 5") + 1
+    ).localCheckpoint(eager=True)  # self-joined below
+    a = pref.alias("a")
+    b = pref.alias("b")
+    alpha = F.expr("(4*(a.m + b.m) + 8) div 9")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.m") * 10 >= 8 * F.col("a.m"))
+            & (F.col("a.m") * 10 >= 8 * F.col("b.m"))
+            & (
+                F.least(
+                    F.col("a.m") - F.col("a.rn"), F.col("b.m") - F.col("b.rn")
+                )
+                + 1
+                >= alpha
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    uni = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(inter * 10 >= 8 * uni)
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / uni).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
     )

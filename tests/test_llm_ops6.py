@@ -84,3 +84,22 @@ def test_scrub_fully_denied_doc(spark):
     )
     rows = {(r.tok_before, r.tok_after, r.scrubbed) for r in df.collect()}
     assert rows == {(3, 0, ""), (2, 2, "merge sort")}
+
+
+def test_prefix_exact_join_certifies_lsh_recall(spark):
+    """The prefix-filtered join is EXACT (no false negatives), so the
+    LSH-verified pair set must be a subset of it; on this corpus they are
+    in fact equal, which certifies minhash recall = 100% at sf0.001."""
+    from sparkroach.queries import QUERIES
+    from tests.conftest import SF_SMALL
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["prefix_jaccard_join_exact"].fn(spark, SF_SMALL).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["minhash_jaccard_verified"].fn(spark, SF_SMALL).collect()
+    }
+    assert lsh <= exact
+    assert exact == lsh  # corpus fact: LSH misses nothing at this SF

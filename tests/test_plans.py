@@ -245,6 +245,7 @@ _MATERIALIZED = {
     "events_full_join_streamed", "events_sessions_timeout_streamed",
     "hll_streaming_merge", "knn_graph_ivf", "lineitem_zorder_read",
     "lsh_recall_report",
+    "documents_shard_export",  # self-materializing: writes + reads shards
 }
 
 # Queries where BroadcastNestedLoopJoin is the CORRECT plan: every one is
