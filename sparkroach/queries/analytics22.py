@@ -1,0 +1,235 @@
+"""Round-4 continuation (wave 12): the two remaining built-in source
+lanes — ``binaryFile`` (the real multimodal ingestion pattern) and
+``text`` (the one-record-per-line corpus format) — plus the
+arrow-optimized scalar Python UDF lane.
+
+- ``multimodal_binaryfile_ingest``: media ingestion the way a real
+  multimodal pipeline receives it — as a DIRECTORY OF FILES, not a
+  binary column.  The gate materializes the deterministic WAV/PPM/BMP
+  corpus (functions/media.py, the multimodal_decode bytes) as one file
+  per asset from executor tasks, reads the directory back through
+  Spark's ``binaryFile`` source (``pathGlobFilter`` exercising the
+  option surface), recovers (media_id, container) from the file NAME,
+  and decodes the ``content`` column with the same independent stdlib
+  parsers.  The oracle is multimodal_decode's pure-arithmetic SQL —
+  so a byte lost anywhere in write → file system → binaryFile read →
+  parse changes the hash.  At 100 TB this is the pattern for image /
+  audio shards: driver-side listing, per-file executor reads, decode
+  as map-only mapInPandas.
+
+- ``documents_text_source_roundtrip``: the line-oriented ``text``
+  source — one record per line, the native shape of plain-text
+  training corpora.  Docs are written as ``doc_id<TAB>text`` lines
+  (the corpus is tab- and newline-free, asserted in tests), read back
+  with ``spark.read.text``, split at the FIRST tab, and
+  content-checksummed against the parquet oracle.  Completes the
+  format matrix: parquet / ORC / CSV / JSON / XML / text / binaryFile.
+
+- ``docs_arrow_udf_checksum``: the arrow-optimized scalar Python UDF
+  (``@udf(..., useArrow=True)``, Spark 3.5+'s SQL_ARROW_BATCHED_UDF
+  eval type) — the last Python lane not yet exercised (pandas scalar,
+  GROUPED_AGG, grouped-map, mapInPandas, mapInArrow, UDTF and
+  applyInPandasWithState all are).  The UDF computes md5-prefix
+  checksums of the text AND of its reverse in Python; the oracle
+  computes both with SQL md5/reverse — so the gate proves real bytes
+  flowed through the Arrow-batched Python worker and came back
+  exactly, not just that the lane executes.
+
+All gated=False on registration (window full): r5/r6 rotation
+candidates, swept by the local oracle gate at sf0.001/0.01/0.1.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sparkroach.queries import llm_ops as _llm_ops  # noqa: F401 — registers
+from sparkroach.queries.analytics11 import _th32_sql
+from sparkroach.queries.registry import QUERIES, register
+from sparkroach.tables import load
+
+# ---------------------------------------------------------------------------
+# binaryFile source: media corpus as a directory of files
+# ---------------------------------------------------------------------------
+
+_WRITTEN_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_binaryfile_ingest",
+    gated=False,
+    # identical decoded-feature contract to multimodal_decode — reuse its
+    # pure-arithmetic oracle verbatim so the two lanes can never drift
+    oracle=QUERIES["multimodal_decode"].oracle,
+    survey_ref="§2C sources — binaryFile: whole-file binary ingestion "
+    "(the multimodal shard pattern: driver lists, executors read file "
+    "contents, decode is map-only); pathGlobFilter option exercised",
+    description="the WAV/PPM/BMP corpus written as ONE FILE PER ASSET "
+    "by executor tasks, read back via spark.read.format('binaryFile') "
+    "with pathGlobFilter, (media_id, container) recovered from the "
+    "file name, and the content column decoded by the same stdlib "
+    "parsers as multimodal_decode — whose arithmetic oracle this gate "
+    "reuses verbatim, so a byte lost in write/read/parse breaks the "
+    "hash. Self-materializing (scratch dir), result checkpointed",
+)
+def multimodal_binaryfile_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sparkroach._shiplib import ensure_shipped
+    from sparkroach.functions.media import (
+        decode_real_features,
+        synthesize_real_media,
+    )
+
+    ensure_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    media = synthesize_real_media(docs)
+    root = tempfile.mkdtemp(prefix="sparkroach_binf_")
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, c, payload in zip(
+                pdf["media_id"], pdf["container"], pdf["payload"]
+            ):
+                path = os.path.join(root, f"{c}_{int(mid)}.bin")
+                with open(path, "wb") as fh:
+                    fh.write(bytes(payload))
+                out.append({"media_id": int(mid), "n_bytes": len(payload)})
+            yield pd.DataFrame(out, columns=["media_id", "n_bytes"])
+
+    try:
+        # force the distributed write (local[: shared fs — on a cluster
+        # this dir is object storage / NFS, the standard media-shard drop)
+        media.mapInPandas(_write, _WRITTEN_SCHEMA).count()
+        raw = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin")
+            .load(root)
+        )
+        fname = F.element_at(F.split(F.col("path"), "/"), -1)
+        stem = F.regexp_replace(fname, r"\.bin$", "")
+        back = raw.select(
+            F.split(stem, "_").getItem(1).cast("long").alias("media_id"),
+            F.split(stem, "_").getItem(0).alias("container"),
+            F.col("content").alias("payload"),
+        )
+        return decode_real_features(back).orderBy("media_id").localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# text source round-trip
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "documents_text_source_roundtrip",
+    gated=False,
+    oracle=f"""
+        SELECT 'text' AS format,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+               CAST(SUM({_th32_sql("text")}) AS BIGINT) AS text_hash_sum
+        FROM documents
+    """,
+    survey_ref="§2C sources — text: line-oriented plain-text corpus "
+    "(one record per line), completing the format matrix "
+    "(parquet/ORC/CSV/JSON/XML/text/binaryFile)",
+    description="docs written as doc_id<TAB>text lines through "
+    "df.write.text, read back with spark.read.text, split at the FIRST "
+    "tab (the corpus is tab- and newline-free — test-asserted), and "
+    "content-checksummed (md5-prefix sums) against the parquet oracle: "
+    "any line splitting, encoding, or truncation drift breaks the hash. "
+    "Self-materializing (scratch dir), result checkpointed",
+)
+def documents_text_source_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="sparkroach_text_")
+    try:
+        path = os.path.join(root, "docs_text")
+        d.select(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit("\t"), F.col("text")
+            ).alias("value")
+        ).write.text(path)
+        back = spark.read.text(path).select(
+            F.substring_index("value", "\t", 1).cast("long").alias("doc_id"),
+            F.expr(
+                "substring(value, instr(value, '\t') + 1)"
+            ).alias("text"),
+        )
+        th = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+        out = back.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.sum(F.length("text")).cast("long").alias("sum_len"),
+            F.sum(th).cast("long").alias("text_hash_sum"),
+        ).select(F.lit("text").alias("format"), "*")
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# arrow-optimized scalar Python UDF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_arrow_udf_checksum",
+    gated=False,
+    oracle=f"""
+        SELECT doc_id,
+               CAST({_th32_sql("text")} AS BIGINT) AS th,
+               CAST({_th32_sql("reverse(text)")} AS BIGINT) AS th_rev
+        FROM documents ORDER BY doc_id
+    """,
+    survey_ref="§2C UDF lanes — arrow-optimized scalar Python UDF "
+    "(useArrow=True, SQL_ARROW_BATCHED_UDF): the last Python lane; "
+    "Python-computed md5 of text and reversed text vs SQL md5/reverse",
+    description="per-doc md5-prefix checksums of the text AND its "
+    "reverse, computed INSIDE an arrow-optimized scalar Python UDF "
+    "(hashlib + slice-reverse) and matched against SQL md5/reverse — "
+    "proving the exact bytes crossed the Arrow batch boundary both "
+    "ways, not merely that the lane runs. Map-only at any scale",
+)
+def docs_arrow_udf_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # closures (not module-level functions) so cloudpickle ships them BY
+    # VALUE — no sparkroach import needed in the Python worker (the
+    # multimodal/DataSource self-contained-closure discipline)
+    @F.udf("long", useArrow=True)
+    def md5_prefix(s: str) -> int:
+        import hashlib as _h
+
+        return int(_h.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+    @F.udf("long", useArrow=True)
+    def md5_prefix_reversed(s: str) -> int:
+        import hashlib as _h
+
+        return int(_h.md5(s[::-1].encode("utf-8")).hexdigest()[:8], 16)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        md5_prefix("text").alias("th"),
+        md5_prefix_reversed("text").alias("th_rev"),
+    ).orderBy("doc_id")

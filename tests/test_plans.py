@@ -246,6 +246,8 @@ _MATERIALIZED = {
     "hll_streaming_merge", "knn_graph_ivf", "lineitem_zorder_read",
     "lsh_recall_report",
     "documents_shard_export",  # self-materializing: writes + reads shards
+    # self-materializing scratch-dir round-trips (wave 12)
+    "multimodal_binaryfile_ingest", "documents_text_source_roundtrip",
 }
 
 # Queries where BroadcastNestedLoopJoin is the CORRECT plan: every one is
