@@ -35,6 +35,7 @@ from sparkroach.queries import analytics19  # noqa: E402,F401
 from sparkroach.queries import analytics20  # noqa: E402,F401
 from sparkroach.queries import analytics21  # noqa: E402,F401
 from sparkroach.queries import analytics22  # noqa: E402,F401
+from sparkroach.queries import analytics23  # noqa: E402,F401
 from sparkroach.queries import llm_ops  # noqa: E402,F401
 from sparkroach.queries import llm_ops2  # noqa: E402,F401
 from sparkroach.queries import llm_ops3  # noqa: E402,F401

@@ -248,6 +248,7 @@ _MATERIALIZED = {
     "documents_shard_export",  # self-materializing: writes + reads shards
     # self-materializing scratch-dir round-trips (wave 12)
     "multimodal_binaryfile_ingest", "documents_text_source_roundtrip",
+    "documents_sql_ddl_roundtrip",  # self-materializing: warehouse table
 }
 
 # Queries where BroadcastNestedLoopJoin is the CORRECT plan: every one is
