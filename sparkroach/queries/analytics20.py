@@ -74,6 +74,7 @@ from sparkroach.tables import load
 @register(
     "events_click_purchase_asof",
     gated=False,
+    bench=True,  # flagship wave-10 operator: the scalable merge-asof plan
     oracle="""
         WITH p0 AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS p_us, value,
                            row_number() OVER (PARTITION BY user_id, ts
