@@ -47,4 +47,10 @@ from sparkroach.queries import chain_demo  # noqa: E402,F401
 from sparkroach.streaming import dedup as _streaming_dedup  # noqa: E402,F401
 from sparkroach.streaming import events as _streaming_events  # noqa: E402,F401
 
+# Apply the round's pinned driver-gate window (overrides per-call gated=
+# flags; see sparkroach/queries/rotation.py for the rotation design).
+from sparkroach.queries.rotation import apply_rotation as _apply_rotation  # noqa: E402
+
+_apply_rotation(QUERIES)
+
 __all__ = ["QUERIES", "Query", "register"]
