@@ -1597,6 +1597,84 @@ NEARDUP_TAU = 0.35
 N_EMB_BANDS = 4  # 4 LSH tables × 4 hyperplanes each, from _PLANES
 _PLANES_PER_BAND = len(_PLANES) // N_EMB_BANDS
 
+# --- lossless int8 prefilter for the embedding-dedup candidate stage -------
+#
+# Every capped LSH candidate pair used to get the full float64 cosine (two
+# interpreted higher-order-function passes per pair).  The prefilter instead
+# rejects pairs whose cosine PROVABLY cannot reach NEARDUP_TAU using an exact
+# integer int8 dot product plus a rigorous quantization-error bound, so the
+# expensive exact expression runs only on survivors.  The bound:
+#
+#   x_i = s·q_i + e_i  with q_i = nearest-int(x_i/s), s = max|x|/127, |e_i| <= s/2
+#   dot(a,b) <= s_a·s_b·( Q_ab + L1(q_a)/2 + L1(q_b)/2 + d/4 )
+#
+# (expand the product; |Σ q_a e_b| <= (s_b/2)·L1(q_a) etc.).  Q_ab is an exact
+# integer (numpy int32, order-independent), so the only float error in the
+# bound is a handful of float64 multiplies — swamped by the 1e-6 keep margin
+# that also covers the oracle's ROUND(cosine, 6) >= tau acceptance window.
+# Survivors are scored by the IDENTICAL catalyst expression as before, so the
+# query's results (and driver value-hashes) are bit-for-bit unchanged; the
+# DuckDB oracle needs no mirror because the filter is lossless by construction
+# (pinned by tests/test_llm_ops_int8_prefilter.py, which compares against the
+# unfiltered scorer at multiple SFs and asserts the bound dominates the exact
+# cosine on every candidate pair).
+
+
+def _emb_int8_profile():
+    """Scalar pandas UDF: embedding -> (qb: packed int8 bytes, l1, s).
+
+    Vector-side, runs once per vector (not per pair); s is returned so the
+    pair-side bound uses EXACTLY the scale the quantization used.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: a struct-returning SCALAR pandas UDF (Series ->
+    # DataFrame-of-fields) is expressed via the explicit fallback path
+    def prof(col):
+        qbs, l1s, ss = [], [], []
+        for arr in col:
+            x = np.asarray(arr, dtype=np.float64)
+            m = float(np.max(np.abs(x))) if x.size else 0.0
+            if m == 0.0:
+                q = np.zeros(x.size, dtype=np.int8)
+                s = 0.0
+            else:
+                s = m / 127.0
+                q = np.rint(x / s).astype(np.int8)
+            qbs.append(q.tobytes())
+            l1s.append(int(np.abs(q.astype(np.int32)).sum()))
+            ss.append(s)
+        return pd.DataFrame({"qb": qbs, "l1": l1s, "s": ss})
+
+    return pandas_udf(prof, "struct<qb: binary, l1: int, s: double>")
+
+
+def _emb_int8_qdot():
+    """Scalar pandas UDF: exact integer dot of two packed-int8 vectors.
+
+    Arrow ships 64 bytes per side per pair; one vectorized numpy int32
+    multiply-sum per batch — no per-element interpreted evaluation.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def qdot(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        joined = b"".join(a)
+        if not joined:  # all-empty vectors: dot is 0 by definition
+            return pd.Series(np.zeros(len(a), dtype=np.int64))
+        A = np.frombuffer(joined, dtype=np.int8).reshape(len(a), -1)
+        B = np.frombuffer(b"".join(b), dtype=np.int8).reshape(len(b), -1)
+        return pd.Series(
+            (A.astype(np.int32) * B.astype(np.int32)).sum(axis=1)
+        )
+
+    return pandas_udf(qdot, "int")
+
 
 def _emb_band_bucket_sql(t: int) -> str:
     """DuckDB: the 4-bit sign bucket of band ``t``'s hyperplanes."""
@@ -1695,10 +1773,60 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sqrt(aggregate(...)) expression over the same array — so the oracle's
     # per-pair ROUND(dot/(norm·norm), 6) still matches bit-for-bit, but the
     # pair loop does one array traversal (the dot), not three.
+    prof = _emb_int8_profile()
     en = e.select(
         "vec_id",
         "embedding",
         F.expr(_NORM.format(col="embedding")).alias("nrm"),
+        prof(F.col("embedding")).alias("i8"),
+    )
+    # Prefilter pass carries ONLY the slim int8 profile per side (64 B + 3
+    # scalars), never the float arrays — materializing qe/ce for every one
+    # of the O(n·cap) candidates was the old plan's hidden cost (~1 KB of
+    # UnsafeArrayData copied per pair).  The full embeddings re-join below
+    # touches survivors only.
+    slim_a = en.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("nrm").alias("na"),
+        F.col("i8.qb").alias("qa_b"),
+        F.col("i8.l1").alias("l1a"),
+        F.col("i8.s").alias("sa"),
+    )
+    slim_b = en.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("nrm").alias("nb"),
+        F.col("i8.qb").alias("qb_b"),
+        F.col("i8.l1").alias("l1b"),
+        F.col("i8.s").alias("sb"),
+    )
+    # int8 upper bound on cosine; reject pairs that provably cannot reach
+    # tau (1e-6 margin covers float error in the bound AND the oracle's
+    # ROUND(cosine, 6) acceptance window).  Degenerate scales/norms bypass
+    # the filter so the exact scorer keeps sole authority over edge cases.
+    qdot = _emb_int8_qdot()
+    d4 = F.octet_length("qa_b").cast("double") / F.lit(4.0)
+    ub = (
+        F.col("sa")
+        * F.col("sb")
+        * (
+            F.col("iq").cast("double")
+            + F.col("l1a") / F.lit(2.0)
+            + F.col("l1b") / F.lit(2.0)
+            + d4
+        )
+    ) / (F.col("na") * F.col("nb"))
+    keep = (
+        (F.col("sa") <= 0.0)
+        | (F.col("sb") <= 0.0)
+        | (F.col("na") * F.col("nb") <= 0.0)
+        | (ub >= F.lit(NEARDUP_TAU - 1e-6))
+    )
+    survivors = (
+        cand.join(F.broadcast(slim_a), "a_id")
+        .join(F.broadcast(slim_b), "b_id")
+        .withColumn("iq", qdot(F.col("qa_b"), F.col("qb_b")))
+        .where(keep)
+        .select("a_id", "b_id")
     )
     ea = en.select(
         F.col("vec_id").alias("a_id"),
@@ -1712,7 +1840,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cosine = F.round(F.expr(_DOT) / (F.col("na") * F.col("nb")), 6)
     pairs = (
-        cand.join(F.broadcast(ea), "a_id")
+        survivors.join(F.broadcast(ea), "a_id")
         .join(F.broadcast(eb), "b_id")
         .select("a_id", "b_id", cosine.alias("cosine"))
         .where(F.col("cosine") >= NEARDUP_TAU)
