@@ -231,25 +231,86 @@ def test_unpivot_keeps_zero_rows_and_stays_expand_shaped(spark):
 # Queries whose fn materializes its result before returning (streaming
 # gates, scratch-dir round-trips, multi-consumed graph stages): the
 # returned plan is a scan of the materialized output, so there is nothing
-# to audit — their internal plans are pinned by their dedicated tests.
+# to audit.  Membership REQUIRES a named dedicated test pinning the gate's
+# internals ("file.py::test_fn"); test_materialized_pins_are_live asserts
+# each pointer resolves, so the escape hatch can't widen silently.
 _MATERIALIZED = {
-    "bucketed_orders_join", "dedup_cc_clusters", "dedup_streaming_kept",
-    "documents_format_roundtrip", "documents_orc_roundtrip",
-    "documents_xml_roundtrip", "events_dynamic_partition_overwrite",
-    "events_dedup_jitter_streamed", "events_dedup_streamed",
-    "events_join_streamed", "events_left_join_streamed",
-    "documents_schema_evolution",
-    "events_partitioned_read", "events_rollup_streamed",
-    "events_rollup_update_streamed", "events_sessions_streamed",
-    "events_stream_static_join", "events_dedup_then_rollup_streamed",
-    "events_full_join_streamed", "events_sessions_timeout_streamed",
-    "hll_streaming_merge", "knn_graph_ivf", "lineitem_zorder_read",
-    "lsh_recall_report",
-    "documents_shard_export",  # self-materializing: writes + reads shards
-    # self-materializing scratch-dir round-trips (wave 12)
-    "multimodal_binaryfile_ingest", "documents_text_source_roundtrip",
-    "documents_sql_ddl_roundtrip",  # self-materializing: warehouse table
+    "bucketed_orders_join":
+        "test_analytics11.py::test_bucketed_join_has_no_exchange",
+    "dedup_cc_clusters":
+        "test_llm_scale.py::test_cc_clusters_plan_is_bucketed",
+    "dedup_streaming_kept":
+        "test_streaming_dedup.py::test_stream_matches_batch_twin",
+    "documents_format_roundtrip":
+        "test_analytics10.py::test_format_roundtrip_checksums_agree_across_formats",
+    "documents_orc_roundtrip":
+        "test_materialized_pins.py::test_orc_roundtrip_formats_agree",
+    "documents_xml_roundtrip":
+        "test_materialized_pins.py::test_xml_roundtrip_covers_whole_corpus",
+    "events_dynamic_partition_overwrite":
+        "test_materialized_pins.py::test_dynamic_partition_overwrite_touches_only_target_day",
+    "events_dedup_jitter_streamed":
+        "test_streaming_events.py::test_dedup_jitter_collapses_what_plain_dedup_cannot",
+    "events_dedup_streamed":
+        "test_materialized_pins.py::test_dedup_streamed_collapses_redelivery_exactly",
+    "events_join_streamed":
+        "test_streaming_events.py::test_stream_stream_join_restart_cut_straddles_a_pair",
+    "events_left_join_streamed":
+        "test_llm_ops4.py::test_left_join_streamed_emits_null_rows_and_matches_batch",
+    "documents_schema_evolution":
+        "test_materialized_pins.py::test_schema_evolution_null_fills_old_generation",
+    "events_partitioned_read":
+        "test_analytics11.py::test_partitioned_read_prunes",
+    "events_rollup_streamed":
+        "test_streaming_events.py::test_windowed_rollup_with_watermark",
+    "events_rollup_update_streamed":
+        "test_streaming_events.py::test_update_mode_straddling_hour_is_nonvacuous",
+    "events_sessions_streamed":
+        "test_streaming_events.py::test_sessions_streamed_equals_batch_twin",
+    "events_stream_static_join":
+        "test_materialized_pins.py::test_stream_static_join_equals_batch_enrichment",
+    "events_dedup_then_rollup_streamed":
+        "test_materialized_pins.py::test_dedup_then_rollup_equals_batch_rollup_of_original",
+    "events_full_join_streamed":
+        "test_materialized_pins.py::test_full_join_streamed_null_extends_both_sides",
+    "events_sessions_timeout_streamed":
+        "test_materialized_pins.py::test_sessions_timeout_streamed_matches_batch_twin",
+    "hll_streaming_merge":
+        "test_sketches.py::test_streaming_hll_equals_batch_sketch",
+    "knn_graph_ivf":
+        "test_llm_ops4.py::test_knn_graph_rank_contract",
+    "lineitem_zorder_read":
+        "test_zorder.py::test_zorder_prunes_more_files_than_linear_sort",
+    "lsh_recall_report":
+        "test_materialized_pins.py::test_lsh_recall_report_bounds",
+    "documents_shard_export":
+        "test_materialized_pins.py::test_shard_export_manifest_is_a_partition_of_the_corpus",
+    "multimodal_binaryfile_ingest":
+        "test_analytics22.py::test_binaryfile_ingest_equals_mapinpandas_lane",
+    "documents_text_source_roundtrip":
+        "test_analytics22.py::test_text_roundtrip_preconditions_and_checksums",
+    "documents_sql_ddl_roundtrip":
+        "test_analytics23.py::test_ddl_roundtrip_content_and_rerun_idempotence",
 }
+
+
+def test_materialized_pins_are_live():
+    """Every _MATERIALIZED entry must point at an existing dedicated test
+    function — joining the skip list without one is a test failure."""
+    import os
+    import re
+
+    here = os.path.dirname(__file__)
+    for name, pin in sorted(_MATERIALIZED.items()):
+        fname, _, fn = pin.partition("::")
+        path = os.path.join(here, fname)
+        assert os.path.exists(path), f"{name}: pin file {fname} missing"
+        with open(path) as f:
+            src = f.read()
+        assert re.search(rf"^def {re.escape(fn)}\(", src, re.M), (
+            f"{name}: pin test {pin} not found — a _MATERIALIZED entry "
+            "must name a live dedicated test"
+        )
 
 # Queries where BroadcastNestedLoopJoin is the CORRECT plan: every one is
 # a crossJoin against a one-row aggregate (global scalar: totals, bounds,
