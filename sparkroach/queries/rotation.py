@@ -83,6 +83,162 @@ R5_WINDOW: frozenset[str] = frozenset(
 # The window applied this round.
 ACTIVE_WINDOW: frozenset[str] | None = R5_WINDOW
 
+# Round-6 rotation pin: every never-driver-recorded query whose EXECUTION
+# PATH is novel (streaming state shapes, Python lanes, source formats /
+# physical layout, iterative plans, distinct join/window machinery) —
+# each must get its own driver recording.  Queries registered during r5
+# join this set.
+R6_ROTATION: frozenset[str] = frozenset(
+    {
+        # streaming gates with state shapes no recorded gate exercises
+        "events_dedup_then_rollup_streamed",  # chained state stores
+        "events_full_join_streamed",  # both-side state expiry
+        "events_sessions_timeout_streamed",  # EventTimeTimeout path
+        "events_stream_static_join",  # source-progress-only recovery
+        # Python execution lanes (each a distinct eval path in the engine)
+        "doc_passages_udtf",
+        "docs_arrow_udf_checksum",
+        "events_user_trend_grouped_map",
+        "events_value_median_udaf",
+        "multimodal_features_arrow",
+        # source formats / physical layout
+        "multimodal_binaryfile_ingest",
+        "documents_text_source_roundtrip",
+        "documents_xml_roundtrip",
+        "documents_sql_ddl_roundtrip",
+        "documents_schema_evolution",
+        "documents_shard_export",
+        "lineitem_zorder_read",
+        "events_dynamic_partition_overwrite",
+        # iterative / recursive plans
+        "dup_graph_recursive_cte",
+        "dup_graph_bfs_layers",
+        "bpe_second_merge",
+        # as-of (bench headline, never recorded)
+        "events_click_purchase_asof",
+        # dedup-plane certification paths
+        "prefix_jaccard_join_exact",
+        "lsh_recall_report",
+        "leakage_safe_split",
+        # distinct analytic machinery
+        "events_scd2_intervals",
+        "sessions_concurrency_peak",  # distributed prefix sum
+        "events_path_signature",
+        "part_brand_multiset_ops",  # INTERSECT/EXCEPT ALL bag semantics
+        "events_props_variant_hist",  # VARIANT type
+        "docs_null_safe_join",  # null-safe equality join
+        "table_diff_buckets",
+        "orders_lineitem_dq_audit",
+        "user_activity_bitmap_pairs",
+    }
+)
+
+# Permanent delegation to the LOCAL oracle sweep: SQL-shape variants whose
+# execution path is already driver-proven by the named twin (recorded, or
+# pinned in R5_WINDOW/R6_ROTATION).  Still registered, still value-checked
+# against DuckDB at three SFs every round by tests/test_oracle_gate.py and
+# `python -m sparkroach.oracle`; they just never occupy driver slots.
+# name -> (driver-proven twin, one-line justification)
+DELEGATED: dict[str, tuple[str, str]] = {
+    "orders_priority_rollup": (
+        "docs_grouping_sets",
+        "GROUP BY ROLLUP shape; grouping-set execution recorded via the "
+        "CUBE gate and pinned by the r5 grouping-sets gate",
+    ),
+    "events_sliding_window_rollup": (
+        "events_incremental_rollup",
+        "overlapping tumbling windows = the same explode->agg rollup path",
+    ),
+    "events_interarrival_stats": (
+        "events_type_transitions",
+        "lag()-window + grouped agg, same one-shuffle partitioned-lag plan",
+    ),
+    "events_trailing_hour_peak": (
+        "events_peak_window",
+        "RANGE-frame running window, same frame machinery",
+    ),
+    "events_active_day_streaks": (
+        "events_session_bookends",
+        "gaps-and-islands via row_number difference, the sessionization "
+        "window shape recorded since r2",
+    ),
+    "orders_monthly_seasonality": (
+        "events_incremental_rollup",
+        "calendar-bucket grouped agg + window over the bucket table",
+    ),
+    "docs_explode_outer_census": (
+        "events_value_unpivot",
+        "explode_outer->agg; null-preserving expand path shared with the "
+        "unpivot gate and the postings explode",
+    ),
+    "events_ewma_dyadic": (
+        "sessions_concurrency_peak",
+        "range-partitioned running recurrence (prefix-scan recipe); the "
+        "peak gate drives the same distributed prefix machinery",
+    ),
+    "doc_shingle_novelty": (
+        "passage_dedup_exact",
+        "sliding-window hash explode + first-occurrence grouping",
+    ),
+    "token_cosine_pairs": (
+        "minhash_jaccard_verified",
+        "capped-candidate scoring join, scalar similarity on pairs",
+    ),
+    "doc_containment_pairs": (
+        "minhash_jaccard_verified",
+        "same capped LSH candidates, asymmetric score instead of Jaccard",
+    ),
+    "docs_levenshtein_verify": (
+        "minhash_jaccard_verified",
+        "same capped candidates scored with builtin levenshtein()",
+    ),
+    "dedup_threshold_sweep": (
+        "lsh_band_selectivity",
+        "parameter sweep = explode thresholds over the verified-pair table",
+    ),
+    "denylist_scrub_report": (
+        "quality_filter_funnel",
+        "broadcast-lexicon map-only scan + funnel counts",
+    ),
+    "cms_join_size_estimate": (
+        "hll_sketch_merge",
+        "mergeable-sketch partial-agg path; CMS registers recorded via "
+        "cms_heavy_hitters (r4)",
+    ),
+    "ann_ivfpq_rerank": (
+        "ann_ivfpq_adc",
+        "stage 1 is exactly the recorded ADC path; rerank adds one "
+        "candidate-bounded exact-score join (the ann_cosine_topk shape)",
+    ),
+    "customer_k_anonymity_ladder": (
+        "docs_grouping_sets",
+        "multi-granularity groupBy ladder = grouping-sets execution",
+    ),
+    "orders_profile_report": (
+        "dataset_card_stats",
+        "per-column profiling aggregates in one pass, same plan family",
+    ),
+    "embedding_triplet_mining": (
+        "knn_graph_ivf",
+        "IVF-blocked scored-neighbor joins; mining = a filter over the "
+        "same bounded pair stage",
+    ),
+    "events_approx_quantile_check": (
+        "hist_quantile_sketch",
+        "approx-quantile vs exact two-pass; sketch path recorded r4",
+    ),
+    "docs_sorted_neighborhood_pairs": (
+        "events_type_transitions",
+        "sort + bounded lead()-window pair generation, the partitioned-"
+        "lag plan; pair scoring shared with the LSH verify stage",
+    ),
+    "lang_id_confusion": (
+        "temperature_mix_weights",
+        "crosstab-style two-key grouped counts over the lang-id scan "
+        "(lang_id_stopwords recorded r4)",
+    ),
+}
+
 
 def apply_rotation(queries: dict) -> None:
     """Override per-call ``gated=`` flags with the pinned window.
