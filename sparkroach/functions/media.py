@@ -14,9 +14,11 @@ REAL container round-trips that need nothing beyond the Python stdlib:
   BITMAPINFOHEADER + bottom-up rows padded to 4 bytes, decoded with
   ``struct`` — width, height, exact pixel-channel sum (padding excluded).
 
-Exotic containers (JPEG/MP4/...) remain honestly stubbed: the dispatcher
-raises ``NotImplementedError`` rather than faking a decode (no imaging
-libraries in this environment).
+Baseline JPEG got its own from-scratch codec in round 5
+(``functions/jpeg.py`` — real DCT/quant/Huffman bitstream, exact on its
+tile corpus).  MP4 remains honestly stubbed: the dispatcher raises
+``NotImplementedError`` rather than faking a decode (container parsing
+without a video codec is not meaningful).
 
 The synthetic corpus is derived deterministically from ``doc_id`` alone, so
 a SQL oracle can mirror every decoded feature as integer arithmetic — but
@@ -223,8 +225,10 @@ def decode_payload(container: str, payload: bytes) -> dict:
     if container == "bmp":
         return decode_bmp(payload)
     raise NotImplementedError(
-        f"no stdlib decoder for container {container!r} (JPEG/MP4/... need "
-        "imaging libraries not present in this environment)"
+        f"no stdlib decoder for container {container!r} here — baseline "
+        "JPEG has its own from-scratch codec (functions/jpeg.py, r5); "
+        "MP4 stays stubbed (container parsing without a video codec is "
+        "not meaningful)"
     )
 
 

@@ -233,3 +233,61 @@ def docs_arrow_udf_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_prefix("text").alias("th"),
         md5_prefix_reversed("text").alias("th_rev"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# multimodal_jpeg_decode — round 5: REAL baseline JPEG through the lane
+# ---------------------------------------------------------------------------
+# functions/jpeg.py is a from-scratch sequential-baseline JFIF encoder AND
+# decoder (ITU-T T.81: DCT, quantization via in-stream DQT, zigzag, DC
+# prediction, AC run-length, canonical Huffman with the Annex K tables,
+# byte stuffing, full marker framing).  The gate corpus is tile-constant
+# gray images where the DCT roundtrip is PROVABLY exact (q_DC=8 divides
+# every constant block's DC coefficient; AC are mathematically zero; gray
+# pixels pin Cb=Cr=128), so the oracle mirrors width/height/components/
+# pixel-sum as pure doc_id arithmetic while the Spark side runs the real
+# bitstream — per-tile DC differences exercise the Huffman categories.
+# Lossy behavior on general images is bounded in tests/test_jpeg_codec.py.
+
+
+@register(
+    "multimodal_jpeg_decode",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id,
+                   8 * (2 + doc_id % 3) AS w,
+                   8 * (2 + (doc_id // 3) % 3) AS h
+            FROM documents
+        ),
+        tiles AS (
+            SELECT p.doc_id, p.w, p.h,
+                   SUM((p.doc_id * 31 + ty.v * 16 + tx.v * 5) % 256) AS vsum
+            FROM p
+            JOIN range(0, 4) tx(v) ON tx.v < p.w // 8
+            JOIN range(0, 4) ty(v) ON ty.v < p.h // 8
+            GROUP BY p.doc_id, p.w, p.h
+        )
+        SELECT doc_id AS media_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               3 AS n_components,
+               CAST(3 * 64 * vsum AS BIGINT) AS pixel_sum
+        FROM tiles
+        ORDER BY media_id
+    """,
+    survey_ref="LLM ops: multimodal decode — real from-scratch baseline "
+    "JPEG (JFIF) codec through the mapInPandas lane; completes the codec "
+    "matrix (WAV/PPM/BMP/JPEG real, MP4 honestly stubbed)",
+    description="encode a real baseline JFIF per document (DCT + DQT + "
+    "Annex-K Huffman + byte stuffing) and decode it back with an "
+    "independent general baseline decoder; the tile-constant gray corpus "
+    "makes the lossy codec exact by construction so every feature is an "
+    "integer the SQL oracle mirrors. Map-only mapInPandas both ways",
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach._shiplib import ensure_shipped
+    from sparkroach.functions.jpeg import jpeg_features, synthesize_jpeg_media
+
+    ensure_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    return jpeg_features(synthesize_jpeg_media(docs)).orderBy("media_id")

@@ -130,6 +130,8 @@ R6_ROTATION: frozenset[str] = frozenset(
         "table_diff_buckets",
         "orders_lineitem_dq_audit",
         "user_activity_bitmap_pairs",
+        # registered during r5
+        "multimodal_jpeg_decode",  # real baseline JPEG codec lane
     }
 )
 

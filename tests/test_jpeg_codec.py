@@ -1,0 +1,110 @@
+"""From-scratch baseline JPEG codec (functions/jpeg.py) pins.
+
+No external JPEG implementation exists in this container, so validation is
+(a) exact roundtrip on the tile-constant gate corpus (provably lossless,
+see the module docstring's DC-divisibility argument), (b) general-image
+roundtrips bounded by quantization error, (c) bitstream structure, and
+(d) decoder honesty on unsupported variants.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from sparkroach.functions.jpeg import (
+    Q_LUMA,
+    ZIGZAG,
+    decode_jpeg,
+    encode_doc_jpeg,
+    encode_jpeg,
+    jpeg_params,
+    tile_value,
+)
+from sparkroach.queries import QUERIES
+from tests.conftest import SF_SMALL
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 5, 17, 123, 4096, 99999])
+def test_tile_corpus_roundtrip_is_exact(doc_id):
+    d = decode_jpeg(encode_doc_jpeg(doc_id))
+    p = jpeg_params(doc_id)
+    assert (d["width"], d["height"], d["n_components"]) == (
+        p["width"], p["height"], 3,
+    )
+    for ty in range(p["height"] // 8):
+        for tx in range(p["width"] // 8):
+            v = tile_value(doc_id, tx, ty)
+            block = d["rgb"][ty * 8 : ty * 8 + 8, tx * 8 : tx * 8 + 8, :]
+            assert (block == v).all(), (doc_id, tx, ty)
+
+
+def test_general_image_roundtrip_within_quant_bound():
+    """Pure noise is JPEG's worst case; the error must still be bounded by
+    the quantization steps (q_AC=16 → block error well under 64/channel)."""
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg(img))
+    err = np.abs(d["rgb"].astype(int) - img.astype(int))
+    assert d["width"] == 32 and d["height"] == 24
+    assert err.mean() < 12 and err.max() < 64
+
+
+def test_smooth_image_roundtrip_is_tight():
+    x = np.linspace(0, 255, 32)
+    y = np.linspace(0, 255, 24)
+    img = np.stack(
+        [
+            np.add.outer(y, x) / 2,
+            np.tile(x, (24, 1)),
+            np.tile(y[:, None], (1, 32)),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(img))
+    err = np.abs(d["rgb"].astype(int) - img.astype(int))
+    assert err.mean() < 4 and err.max() < 16
+
+
+def test_bitstream_structure():
+    b = encode_doc_jpeg(7)
+    assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+    assert b[2:4] == b"\xff\xe0" and b[6:11] == b"JFIF\x00"
+    # DQT carries the luma table in zigzag order
+    i = b.find(b"\xff\xdb")
+    zz = b[i + 5 : i + 69]
+    assert list(zz) == [Q_LUMA[ZIGZAG[k]] for k in range(64)]
+    # entropy data contains no bare 0xFF (stuffing) between SOS and EOI
+    sos = b.find(b"\xff\xda")
+    scan_start = sos + 2 + struct.unpack_from(">H", b, sos + 2)[0]
+    body = b[scan_start : len(b) - 2]
+    k = 0
+    while k < len(body):
+        if body[k] == 0xFF:
+            assert body[k + 1] == 0x00, f"bare 0xFF at {k}"
+            k += 2
+        else:
+            k += 1
+
+
+def test_decoder_rejects_unsupported_variants():
+    b = bytearray(encode_doc_jpeg(3))
+    i = bytes(b).find(b"\xff\xc0")
+    b[i + 1] = 0xC2  # pretend progressive
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(b))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x00")
+
+
+def test_gate_matches_oracle(spark):
+    from sparkroach import oracle
+
+    q = QUERIES["multimodal_jpeg_decode"]
+    con = oracle._duck_connection(SF_SMALL)
+    res = oracle.compare(
+        "multimodal_jpeg_decode", q.fn(spark, SF_SMALL), q.oracle, SF_SMALL, con
+    )
+    assert res.ok, res.detail
