@@ -466,18 +466,41 @@ class ChainDB:
 
     # -- streaming (A1/A2) ----------------------------------------------------
 
+    #: mirror push order: facts (delta by round range), then state tables
+    #: (full, idempotent upsert), then boxes (upsert of live rows)
+    _MIRROR_FACTS = ("block_header", "txn", "txn_participation")
+    _MIRROR_STATE = (
+        "account", "account_asset", "asset", "app", "account_app", "metastate",
+    )
+
     def stream_ingest(
         self,
         blocks_stream: DataFrame,
         checkpoint_dir: str,
         available_now: bool = True,
+        mirror=None,
     ):
         """Structured Streaming wrapper: foreachBatch → add_blocks.  The
         round gate makes redelivered batches no-ops, which together with
-        the checkpoint gives exactly-once table maintenance (A2/A3)."""
+        the checkpoint gives exactly-once table maintenance (A2/A3).
+
+        With ``mirror`` (a :class:`sparkroach.sinks.jdbc.JdbcMirror`), the
+        SAME micro-batch also pushes the batch to the external database:
+        store first, mirror second, checkpoint commit last.  Every mirror
+        write is idempotent (fact append is PK-guarded, state merges are
+        upserts), so a crash at ANY point replays the batch and converges —
+        the store may briefly run AHEAD of the mirror but never behind,
+        the cross-sink version of the reference's facts-ahead invariant
+        (cockroach.go:189-199).  Exactly-once across BOTH sinks under a
+        mid-stream crash/restart is proven on real postgres in
+        tests/test_jdbc_postgres.py::test_stream_ingest_mirrors_postgres_exactly_once.
+        """
 
         def _apply(df: DataFrame, batch_id: int) -> None:
-            self.add_blocks(df.sortWithinPartitions("round"))
+            batch = df.sortWithinPartitions("round")
+            self.add_blocks(batch)
+            if mirror is not None:
+                self._mirror_batch(mirror, batch)
 
         writer = blocks_stream.writeStream.foreachBatch(_apply).option(
             "checkpointLocation", checkpoint_dir
@@ -485,6 +508,33 @@ class ChainDB:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+    def _mirror_batch(self, mirror, batch_df: DataFrame) -> None:
+        """Push one ingested micro-batch to the external mirror.
+
+        Facts move as a round-range DELTA (the batch's rounds only — at
+        cluster scale the fact tables dwarf any batch); state planes move
+        whole (bounded by live entities, merged by PK upsert).  A
+        redelivered batch re-pushes the same rows and every statement is
+        idempotent, so convergence needs no cross-sink transaction."""
+        bounds = batch_df.agg(
+            F.min("round").alias("lo"), F.max("round").alias("hi")
+        ).collect()[0]  # bounded: one row
+        if bounds.lo is None:
+            return
+        for t in self._MIRROR_FACTS:
+            mirror.apply_state_batch(
+                t,
+                self.store.read(t).where(
+                    F.col("round").between(bounds.lo, bounds.hi)
+                ),
+            )
+        for t in self._MIRROR_STATE:
+            mirror.apply_state_batch(t, self.store.read(t))
+        mirror.apply_state_batch(
+            "app_box",
+            self.store.read("app_box").withColumn("op", F.lit("upsert")),
+        )
 
     # -- health / pruning (A23, A25) -------------------------------------------
 

@@ -416,3 +416,111 @@ def test_bulk_append_facts_via_copy_on_real_db(pg, chain_db):
                     assert json.loads(g[i]) == json.loads(w[name]), name
             else:
                 assert g[i] == _pg_text(w[name]), (name, g[i], w[name])
+
+
+def test_stream_ingest_mirrors_postgres_exactly_once(pg, mirror, spark, tmp_path):
+    """VERDICT r4 item 8: stream_ingest + JdbcMirror in ONE foreachBatch —
+    store first, postgres second, checkpoint last — with a CRASH injected
+    between the store write and the mirror write of a mid-stream batch.
+    The restart redelivers that batch (checkpoint uncommitted): the round
+    gate no-ops the store side, the idempotent mirror push completes, and
+    postgres must equal the COW store row-for-row across every table."""
+    from pyspark.sql import functions as F
+
+    from sparkroach.chain.ingest import ChainDB
+    from sparkroach.chain.schemas import block_schema
+    from tests import chain_fixtures as fx
+
+    mirror.init_schema()
+    for t in list(TABLE_SCHEMAS) + [f"{t}_staging" for t in TABLE_SCHEMAS]:
+        _psql(pg, f"DROP TABLE IF EXISTS {t} CASCADE")
+    mirror.init_schema()
+
+    src = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    db = ChainDB(spark, str(tmp_path / "chain"), n_buckets=2)
+    blocks = (
+        [fx.make_block(0)]
+        + [
+            fx.make_block(
+                r,
+                payset=[fx.pay_txn(f"T{r}")],
+                accts=[fx.acct_delta(fx.ADDR_A, 100 + r)],
+            )
+            for r in (1, 2, 3)
+        ]
+    )
+    for b in blocks:
+        fx.blocks_df(spark, [b]).repartition(1).write.mode("append").format(
+            "json"
+        ).save(src)
+
+    # crash injection: the txn mirror write of the 3rd micro-batch dies
+    # AFTER that batch already reached the store (block_header was pushed,
+    # txn was not — mid-push crash, the ugliest cut)
+    calls = {"n": 0, "armed": True}
+    real_apply = mirror.apply_state_batch
+
+    def flaky_apply(table, df):
+        calls["n"] += 1
+        if calls["armed"] and calls["n"] == 2 * len(TABLE_SCHEMAS) + 2:
+            calls["armed"] = False
+            raise RuntimeError("injected mirror crash")
+        real_apply(table, df)
+
+    mirror.apply_state_batch = flaky_apply
+    try:
+        stream = (
+            spark.readStream.schema(block_schema())
+            .option("maxFilesPerTrigger", 1)  # one micro-batch per block
+            .json(src)
+        )
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        q = db.stream_ingest(stream, ckpt, available_now=True, mirror=mirror)
+        failed = False
+        try:
+            q.awaitTermination(180)
+            failed = q.exception() is not None
+        except StreamingQueryException:
+            failed = True
+        assert failed, "injected crash did not surface"
+        # the store ran AHEAD of the mirror (never behind): the crashed
+        # batch's round is in the store but its txn row is not in postgres
+        ahead = db.next_round() - 1
+        pg_rounds = _query(pg, "SELECT coalesce(max(round), -1) FROM txn")
+        assert int(pg_rounds[0][0]) < ahead
+
+        # restart on the same checkpoint: the crashed batch redelivers,
+        # the round gate no-ops the store, the mirror push completes
+        stream2 = (
+            spark.readStream.schema(block_schema())
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q2 = db.stream_ingest(stream2, ckpt, available_now=True, mirror=mirror)
+        q2.awaitTermination(180)
+        assert q2.exception() is None
+    finally:
+        mirror.apply_state_batch = real_apply
+
+    assert db.next_round() == 4
+    # postgres content equals the COW store, table by table, row by row
+    for t in TABLE_SCHEMAS:
+        names = [f.name for f in TABLE_SCHEMAS[t].fields]
+        pk = ", ".join(TABLE_KEYS[t])
+        got = _query(pg, f"SELECT {', '.join(names)} FROM {t} ORDER BY {pk}")
+        want = sorted(
+            db.store.read(t).collect(),
+            key=lambda r: tuple(
+                bytes(v).hex() if isinstance(v, (bytes, bytearray)) else str(v)
+                for v in (r[k] for k in TABLE_KEYS[t])
+            ),
+        )
+        assert len(got) == len(want), (t, len(got), len(want))
+        for g, w in zip(got, want):
+            for i, name in enumerate(names):
+                if (t, name) in jdbc._JSONB_COLS:
+                    assert json.loads(g[i]) == json.loads(w[name]), (t, name)
+                else:
+                    assert g[i] == _pg_text(w[name]), (t, name, g[i])
