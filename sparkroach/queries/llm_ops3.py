@@ -746,3 +746,189 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("doc_id"), "degree", F.col("pr").alias("pagerank")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# bm25_top_docs — round 5: BM25 retrieval over the inverted-index artifacts
+# ---------------------------------------------------------------------------
+# The retrieval twin of inverted_index_postings: Okapi BM25 (k1=1.2,
+# b=0.75) scoring of every document containing a query term, top-10 per
+# query.  Queries are deterministic — the BM25_PROBES md5-smallest docs
+# contribute their first BM25_QTERMS distinct words (in text order).
+#
+# Float discipline: the standard idf uses ln(), which is NOT correctly
+# rounded identically across engines; the rational idf variant
+# (N-df+0.5)/(df+0.5) (the argument of BM25+'s log, monotone in df) keeps
+# every operation an IEEE-exact +,-,*,/ mirrored in the same order on both
+# sides.  Per-term scores are then ROUND(·,9)->DECIMAL-summed per (query,
+# doc) so aggregation order cannot perturb the hash, one final cast to
+# DOUBLE.  Ranking ties break on doc_id.
+#
+# 100 TB: query terms broadcast; only posting-list rows (docs containing a
+# query term) are scored — work is O(Σ df(q_t)), never corpus-wide; the
+# per-query top-10 is a bounded window over the scored set.
+
+BM25_PROBES = 8
+BM25_QTERMS = 4
+BM25_TOPK = 10
+
+
+def _bm25_oracle() -> str:
+    return f"""
+        WITH stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total
+            FROM documents
+        ),
+        probes AS (
+            SELECT doc_id FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            LIMIT {BM25_PROBES}
+        ),
+        qterms AS (
+            SELECT probe, term FROM (
+                SELECT p.doc_id AS probe, w.term,
+                       row_number() OVER (
+                           PARTITION BY p.doc_id ORDER BY w.first_pos
+                       ) AS rk
+                FROM probes p
+                JOIN (
+                    SELECT doc_id, term, MIN(pos) AS first_pos
+                    FROM (SELECT doc_id,
+                                 unnest(string_split(text, ' ')) AS term,
+                                 generate_subscripts(string_split(text, ' '), 1) AS pos
+                          FROM documents)
+                    GROUP BY doc_id, term
+                ) w ON w.doc_id = p.doc_id
+            ) WHERE rk <= {BM25_QTERMS}
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+        ),
+        dl AS (
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+            FROM documents
+        ),
+        scored AS (
+            SELECT q.probe, t.doc_id,
+                   ROUND(
+                       ((CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                        / (CAST(d.df AS DOUBLE) + 0.5))
+                       * ((CAST(t.tf AS DOUBLE) * 2.2)
+                          / (CAST(t.tf AS DOUBLE)
+                             + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                                  / (CAST(s.total AS DOUBLE) / CAST(s.n AS DOUBLE)))))),
+                       9) AS ts
+            FROM qterms q
+            JOIN tf t ON t.term = q.term
+            JOIN df d ON d.term = q.term
+            JOIN dl l ON l.doc_id = t.doc_id
+            CROSS JOIN stats s
+        ),
+        agg AS (
+            SELECT probe, doc_id,
+                   CAST(SUM(CAST(ts AS DECIMAL(28,9))) AS DOUBLE) AS bm25
+            FROM scored GROUP BY probe, doc_id
+        ),
+        ranked AS (
+            SELECT probe, doc_id, bm25,
+                   row_number() OVER (
+                       PARTITION BY probe ORDER BY bm25 DESC, doc_id
+                   ) AS rank
+            FROM agg
+        )
+        SELECT probe, CAST(rank AS INT) AS rank, doc_id, bm25
+        FROM ranked WHERE rank <= {BM25_TOPK}
+        ORDER BY probe, rank
+    """
+
+
+@register(
+    "bm25_top_docs",
+    oracle=_bm25_oracle(),
+    survey_ref="LLM ops: BM25 retrieval — Okapi scoring over posting-list "
+    "rows with per-query top-k, the lexical-retrieval baseline of every "
+    "RAG corpus build (pairs with inverted_index_postings and the ANN "
+    "family's dense retrieval)",
+    description=f"{BM25_PROBES} deterministic probe queries (first "
+    f"{BM25_QTERMS} distinct words of the md5-smallest docs); rational-idf "
+    "BM25 (k1=1.2, b=0.75) over docs sharing a query term only; per-term "
+    "scores decimal-quantized before the (query, doc) sum so aggregation "
+    "order is hash-neutral; top-10 per query with doc_id tie-breaks",
+)
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    stats = d.agg(
+        F.count("*").alias("n"),
+        F.sum(F.size(F.split("text", " "))).alias("total"),
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    # top-k heap (TakeOrderedAndProject), not a single-partition window
+    probes = (
+        d.select(F.col("doc_id").alias("probe"), h.alias("h"))
+        .orderBy("h", "probe")
+        .limit(BM25_PROBES)
+        .select("probe")
+    )
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+    first_pos = words.groupBy("doc_id", "term").agg(
+        F.min("pos").alias("first_pos")
+    )
+    wq = Window.partitionBy("probe").orderBy("first_pos")
+    qterms = (
+        F.broadcast(probes)
+        .join(first_pos, F.col("probe") == F.col("doc_id"))
+        .select("probe", "term", "first_pos")
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= BM25_QTERMS)
+        .select("probe", "term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dl = d.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
+    # identical IEEE op order as the oracle: rational idf × saturating tf
+    avgdl = F.col("total").cast("double") / F.col("n").cast("double")
+    ts = F.round(
+        (
+            (F.col("n").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+        )
+        * (
+            (F.col("tf").cast("double") * F.lit(2.2))
+            / (
+                F.col("tf").cast("double")
+                + F.lit(1.2)
+                * (
+                    F.lit(0.25)
+                    + F.lit(0.75) * (F.col("dl").cast("double") / avgdl)
+                )
+            )
+        ),
+        9,
+    )
+    scored = (
+        F.broadcast(qterms)
+        .join(tf, "term")
+        .join(F.broadcast(df_t.join(F.broadcast(qterms.select("term").distinct()), "term")), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("probe", "doc_id", ts.alias("ts"))
+    )
+    agg = scored.groupBy("probe", "doc_id").agg(
+        F.sum(F.col("ts").cast("decimal(28,9)")).cast("double").alias("bm25")
+    )
+    wr = Window.partitionBy("probe").orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        agg.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= BM25_TOPK)
+        .select("probe", "rank", "doc_id", "bm25")
+        .orderBy("probe", "rank")
+    )

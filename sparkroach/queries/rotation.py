@@ -132,6 +132,7 @@ R6_ROTATION: frozenset[str] = frozenset(
         "user_activity_bitmap_pairs",
         # registered during r5
         "multimodal_jpeg_decode",  # real baseline JPEG codec lane
+        "bm25_top_docs",  # lexical retrieval over posting lists
     }
 )
 

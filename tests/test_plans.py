@@ -318,6 +318,7 @@ def test_materialized_pins_are_live():
 # shapes the r3 verdict audited as safe.  A BNLJ anywhere else is a bug.
 _SCALAR_BNLJ_OK = {
     "ann_cosine_topk", "ann_int8_quantized", "ann_ivf_kmeans",
+    "bm25_top_docs",  # crossJoin against the 1-row (N, total_len) stats
     "ann_ivf_multiprobe", "ann_ivfpq_adc", "ann_pq_adc", "ann_recall_report",
     "ann_ivfpq_rerank",  # inherits ivfpq's broadcast-centroid assign stage
     "bpe_second_merge",  # crossJoin against the 1-row learned merge
