@@ -1,0 +1,427 @@
+"""Dedup-plane stress harness: a synthetic corpus 10-100x the sf0.1 one.
+
+The sf* testdata tops out at 5,000 documents, so the cap/skew machinery in
+the capped-LSH family (``capped_band_pairs``, ``LSH_BUCKET_CAP``, K-star
+over-cap fallback) had never been exercised on a corpus where OVER-CAP
+buckets dominate.  This module synthesizes (deterministically, seeded) a
+corpus with the three adversarial features a web-scale crawl has:
+
+  * planted duplicate clusters — Zipf-sized groups of exact + near
+    duplicates (0-2 word edits on a shared base), the signal dedup must
+    recover;
+  * flooded buckets — a large template family (every member 1-3 word
+    substitutions off one template) whose shingle sets collide into a few
+    giant LSH buckets, forcing the over-cap K-star branch everywhere;
+  * source skew — one "hot" source holding most of the corpus, so any
+    per-source aggregation sees a heavy hitter.
+
+It then runs the production dedup family end to end, measuring wall time,
+candidate/verified/cluster counts, bucket census (over-cap buckets, max
+bucket), LSH recall (from ``lsh_recall_report``), and partition skew of
+the candidate stage — and value-verifies a subset against the SAME capped
+DuckDB oracles the driver gate uses (the scratch dir swaps in synthetic
+documents/embeddings and symlinks the rest of the tables).
+
+CLI::
+
+    python -m sparkroach.stress --n 100000 --out /tmp/sparkroach_stress \
+        [--verify] [--keep]
+
+prints one JSON object with all measurements.  The measured numbers for
+the 100k run live in SCALE.md §10.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import random
+import shutil
+import time
+
+TABLES_TO_LINK = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events",
+)
+LINK_FROM = "/root/testdata/sf0.01"
+
+# vocabulary in the testdata's register: short lowercase tokens
+_VOCAB = [
+    "key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
+    "hash", "merge", "batch", "spark", "line", "sort", "window", "join",
+    "shuffle", "plan", "query", "index", "block", "store", "read", "write",
+    "cache", "spill", "skew", "broadcast", "filter", "map", "reduce",
+    "group", "order", "limit", "union", "except", "bucket", "band", "sig",
+    "token", "shingle", "corpus", "doc", "text", "lang", "source", "char",
+    "byte", "bit", "node", "edge", "graph", "tree", "leaf", "root", "path",
+    "cost", "stat", "hint", "rule", "expr", "cast", "null", "true", "false",
+    "the", "a", "of", "and", "to", "in", "is", "on", "for", "with",
+]
+
+
+def _rand_words(rng: random.Random, n: int) -> list[str]:
+    return [rng.choice(_VOCAB) for _ in range(n)]
+
+
+def synthesize(
+    out_dir: str,
+    n_docs: int = 100_000,
+    seed: int = 7,
+    n_vecs: int | None = None,
+    template_frac: float = 0.25,
+    hot_source_frac: float = 0.7,
+) -> dict:
+    """Write documents.parquet + embeddings.parquet; symlink other tables.
+
+    Deterministic for a given (n_docs, seed).  Returns composition stats.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES_TO_LINK:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(LINK_FROM, f"{t}.parquet"), dst)
+
+    n_template = int(n_docs * template_frac)
+    n_organic = n_docs - n_template
+
+    texts: list[str] = []
+    kinds: list[str] = []  # base | exact_dup | near_dup | template
+    planted: list[int] = []  # ground-truth cluster id (template family = -1)
+
+    # -- organic side: Zipf-sized clusters of exact/near duplicates ------
+    # cluster sizes ~ Zipf(2) truncated at 64; singletons dominate,
+    # a few clusters are large — the dup-cluster size law of real crawls
+    cl = 0
+    while len(texts) < n_organic:
+        size = min(64, int(rng.paretovariate(1.3)))
+        base = _rand_words(rng, rng.randint(24, 72))
+        texts.append(" ".join(base))
+        kinds.append("base")
+        planted.append(cl)
+        for _ in range(size - 1):
+            if len(texts) >= n_organic:
+                break
+            if rng.random() < 0.3:
+                texts.append(" ".join(base))
+                kinds.append("exact_dup")
+            else:
+                mutated = list(base)
+                for _ in range(rng.randint(1, 2)):
+                    mutated[rng.randrange(len(mutated))] = rng.choice(_VOCAB)
+                texts.append(" ".join(mutated))
+                kinds.append("near_dup")
+            planted.append(cl)
+        cl += 1
+
+    # -- flood side: one template family → giant LSH buckets -------------
+    template = _rand_words(rng, 48)
+    for _ in range(n_template):
+        m = list(template)
+        for _ in range(rng.randint(1, 3)):
+            m[rng.randrange(len(m))] = rng.choice(_VOCAB)
+        texts.append(" ".join(m))
+        kinds.append("template")
+        planted.append(-1)
+
+    # deterministic shuffle of doc order (ids stay 0..n-1 after shuffle)
+    order = list(range(len(texts)))
+    rng.shuffle(order)
+    texts = [texts[i] for i in order]
+    kinds = [kinds[i] for i in order]
+    planted = [planted[i] for i in order]
+
+    langs = [rng.choice(["en"] * 8 + ["de", "fr", "es", "pt"]) for _ in texts]
+    sources = [
+        "src_hot" if rng.random() < hot_source_frac
+        else f"src{rng.randrange(1, 20)}"
+        for _ in texts
+    ]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(langs, type=pa.string()),
+            "source": pa.array(sources, type=pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tab, os.path.join(out_dir, "documents.parquet"))
+    truth = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "kind": pa.array(kinds, type=pa.string()),
+            "planted_cluster": pa.array(planted, type=pa.int64()),
+        }
+    )
+    pq.write_table(truth, os.path.join(out_dir, "ground_truth.parquet"))
+
+    # -- embeddings: planted vector clusters + near-identical dups -------
+    nv = n_vecs if n_vecs is not None else min(n_docs, 50_000)
+    nprng = np.random.default_rng(seed)
+    n_centroids = max(8, nv // 100)
+    centroids = nprng.normal(size=(n_centroids, 64))
+    assign = nprng.integers(0, n_centroids, size=nv)
+    vecs = centroids[assign] + nprng.normal(scale=0.35, size=(nv, 64))
+    # plant near-dup vectors: 5% of vectors are a tiny perturbation of an
+    # earlier vector (cosine ≈ 0.999) — what embedding dedup must find
+    n_dup = nv // 20
+    dup_src = nprng.integers(0, nv - n_dup, size=n_dup)
+    for k, s in enumerate(dup_src):
+        vecs[nv - n_dup + k] = vecs[s] + nprng.normal(scale=0.01, size=64)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(nv), type=pa.int64()),
+            "embedding": pa.array(
+                [v.astype("float32") for v in vecs],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array(
+                [int(a) for a in assign], type=pa.int32()
+            ),
+        }
+    )
+    pq.write_table(emb, os.path.join(out_dir, "embeddings.parquet"))
+
+    from collections import Counter
+
+    comp = Counter(kinds)
+    return {
+        "n_docs": len(texts),
+        "n_vecs": nv,
+        "composition": dict(comp),
+        "hot_source_docs": sources.count("src_hot"),
+        "seed": seed,
+    }
+
+
+def _bucket_census(spark, sf_dir: str) -> dict:
+    """Band-bucket size distribution of the production minhash pipeline."""
+    import pyspark.sql.functions as F
+
+    from sparkroach.queries.llm_ops import (
+        LSH_BUCKET_CAP,
+        _with_shingles,
+        lsh_bands,
+    )
+    from sparkroach.tables import load
+
+    bands = lsh_bands(_with_shingles(load(spark, sf_dir, "documents")))
+    census = bands.groupBy("band_idx", "band_val").count()
+    row = census.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("count").alias("max_bucket"),
+        F.sum((F.col("count") > LSH_BUCKET_CAP).cast("long")).alias(
+            "over_cap_buckets"
+        ),
+        F.sum(
+            F.when(F.col("count") > LSH_BUCKET_CAP, F.col("count")).otherwise(0)
+        ).alias("docs_in_over_cap"),
+    ).collect()[0]
+    return {
+        "n_buckets": row.n_buckets,
+        "max_bucket": row.max_bucket,
+        "over_cap_buckets": row.over_cap_buckets,
+        "docs_in_over_cap_buckets": row.docs_in_over_cap,
+        "cap": LSH_BUCKET_CAP,
+    }
+
+
+def _partition_skew(df) -> dict:
+    """max/mean rows per partition of a materialized stage — the task-skew
+    proxy (local[32] has no per-task metric API worth scraping)."""
+    import pyspark.sql.functions as F
+
+    rows = (
+        df.withColumn("__p", F.spark_partition_id())
+        .groupBy("__p")
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in rows] or [0]
+    mean = sum(counts) / len(counts)
+    return {
+        "partitions": len(counts),
+        "max_rows": max(counts),
+        "mean_rows": round(mean, 1),
+        "skew_ratio": round(max(counts) / mean, 2) if mean else None,
+    }
+
+
+STRESS_QUERIES = (
+    "minhash_lsh_candidates",
+    "minhash_jaccard_verified",
+    "dedup_cc_clusters",
+    "ngram_char_jaccard",
+    "lsh_recall_report",
+    "dedup_embedding_cosine",
+    "semdedup_clusters",
+)
+
+# subset value-verified against the capped DuckDB oracles on the synthetic
+# corpus (the rest are verified at the sf* dirs every round; running every
+# oracle at 100k is DuckDB-bound, not a Spark signal)
+VERIFY_QUERIES = (
+    "minhash_jaccard_verified",
+    "dedup_cc_clusters",
+    "dedup_embedding_cosine",
+    "lsh_recall_report",
+)
+
+
+def run(spark, sf_dir: str, verify: bool = False) -> dict:
+    import pyspark.sql.functions as F
+
+    from sparkroach.queries import QUERIES
+
+    out: dict = {"sf_dir": sf_dir, "queries": {}}
+    out["bucket_census"] = _bucket_census(spark, sf_dir)
+
+    for name in STRESS_QUERIES:
+        fn = QUERIES[name].fn
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        rows = df.count()
+        wall = time.time() - t0
+        rec: dict = {"rows": rows, "wall_s": round(wall, 2)}
+        if name == "lsh_recall_report":
+            r = df.collect()[0]
+            rec.update(
+                n_true_pairs=r.n_true_pairs,
+                n_found=r.n_found,
+                recall=round(r.recall, 4),
+            )
+        if name == "dedup_cc_clusters":
+            agg = df.groupBy("cluster_id").count()
+            top = agg.agg(
+                F.max("count").alias("mx"), F.count("*").alias("n")
+            ).collect()[0]
+            rec.update(n_clusters=top.n, max_cluster=top.mx)
+        out["queries"][name] = rec
+
+    # planted-truth cluster recovery: pair-level recall is the wrong
+    # metric under flooded buckets (the cap DELIBERATELY drops pairs while
+    # preserving connectivity); what dedup must deliver is that each
+    # planted duplicate doc lands in a CC cluster WITH another member of
+    # its planted group.  exact_dup docs are true dups by construction;
+    # near_dup docs may legitimately fall under tau after 1-2 edits, so
+    # their recovery is reported separately (best-effort signal).
+    truth = spark.read.parquet(os.path.join(sf_dir, "ground_truth.parquet"))
+    cc = QUERIES["dedup_cc_clusters"].fn(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    m = truth.join(cc, "doc_id", "left")
+    grp_n = (
+        m.where(F.col("cluster_id").isNotNull())
+        .groupBy("planted_cluster", "cluster_id")
+        .agg(F.count("*").alias("together"))
+    )
+    detected = (
+        m.join(grp_n, ["planted_cluster", "cluster_id"], "left")
+        .withColumn(
+            "ok",
+            (F.col("planted_cluster") >= 0)
+            & (F.coalesce(F.col("together"), F.lit(0)) >= 2),
+        )
+    )
+    rec_rows = (
+        detected.where(F.col("kind").isin("exact_dup", "near_dup"))
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("ok").cast("long")).alias("recovered"),
+        )
+        .collect()
+    )
+    recovery = {
+        r.kind: {
+            "n": r.n,
+            "recovered": r.recovered,
+            "rate": round(r.recovered / r.n, 4) if r.n else None,
+        }
+        for r in rec_rows
+    }
+    tpl = (
+        m.where(F.col("kind") == "template")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("cluster_id").isNotNull().cast("long")).alias(
+                "in_some_cluster"
+            ),
+            F.countDistinct("cluster_id").alias("n_cc_clusters"),
+        )
+        .collect()[0]
+    )
+    recovery["template_flood"] = {
+        "n": tpl.n,
+        "in_some_cluster": tpl.in_some_cluster,
+        "fragments": tpl.n_cc_clusters,
+    }
+    out["cluster_recovery"] = recovery
+
+    # partition skew of the candidate stage (the shape skew hits first)
+    from sparkroach.queries.llm_ops import (
+        _with_shingles,
+        capped_band_pairs,
+        lsh_bands,
+    )
+    from sparkroach.tables import load
+
+    cand = capped_band_pairs(
+        lsh_bands(_with_shingles(load(spark, sf_dir, "documents"))),
+        "doc_id",
+        key_cols=("band_idx", "band_val"),
+    )
+    out["candidate_stage_skew"] = _partition_skew(cand)
+
+    if verify:
+        from sparkroach import oracle
+
+        con = oracle._duck_connection(sf_dir)
+        out["oracle"] = {}
+        for name in VERIFY_QUERIES:
+            q = QUERIES[name]
+            t0 = time.time()
+            res = oracle.compare(name, q.fn(spark, sf_dir), q.oracle, sf_dir, con)
+            out["oracle"][name] = {
+                "ok": res.ok,
+                "rows": res.spark_rows,
+                "wall_s": round(time.time() - t0, 2),
+                **({"detail": res.detail[:200]} if not res.ok else {}),
+            }
+    return out
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--out", default="/tmp/sparkroach_stress")
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--verify", action="store_true")
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    from sparkroach.session import get_spark
+
+    report: dict = {"synth": synthesize(args.out, args.n, args.seed)}
+    spark = get_spark("sparkroach-stress")
+    try:
+        t0 = time.time()
+        report.update(run(spark, args.out, verify=args.verify))
+        report["total_wall_s"] = round(time.time() - t0, 2)
+    finally:
+        spark.stop()
+        if not args.keep:
+            shutil.rmtree(args.out, ignore_errors=True)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

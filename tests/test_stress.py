@@ -1,0 +1,112 @@
+"""CI pin for the dedup-plane stress harness (sparkroach/stress.py).
+
+The 100k run's measured numbers live in SCALE.md §10; this pins the
+harness itself at a small corpus: synthesizer determinism, the capped
+oracles agreeing on the synthetic dir, and the recovery properties that
+§10 claims (100% exact-dup recovery; ~all true near dups recovered).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from sparkroach import oracle, stress
+from sparkroach.queries import QUERIES
+
+N = 2_000
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("stress_corpus"))
+    info = stress.synthesize(out, n_docs=N, seed=7)
+    return out, info
+
+
+def test_synthesizer_is_deterministic(tmp_path, corpus):
+    out, info = corpus
+    again = str(tmp_path / "again")
+    info2 = stress.synthesize(again, n_docs=N, seed=7)
+    assert info == info2
+    a = open(os.path.join(out, "documents.parquet"), "rb").read()
+    b = open(os.path.join(again, "documents.parquet"), "rb").read()
+    assert a == b
+
+
+def test_composition_has_all_adversarial_features(corpus):
+    _, info = corpus
+    c = info["composition"]
+    assert set(c) == {"base", "exact_dup", "near_dup", "template"}
+    assert c["template"] == int(N * 0.25)
+    assert info["hot_source_docs"] > 0.6 * N
+
+
+def test_capped_oracles_agree_on_synthetic_corpus(spark, corpus):
+    out, _ = corpus
+    con = oracle._duck_connection(out)
+    for name in ("minhash_jaccard_verified", "dedup_cc_clusters"):
+        q = QUERIES[name]
+        res = oracle.compare(name, q.fn(spark, out), q.oracle, out, con)
+        assert res.ok, (name, res.detail)
+
+
+def test_recovery_properties(spark, corpus):
+    out, _ = corpus
+    from sparkroach.queries.llm_ops import _JACCARD_TAU, _with_shingles
+
+    truth = spark.read.parquet(os.path.join(out, "ground_truth.parquet"))
+    cc = QUERIES["dedup_cc_clusters"].fn(spark, out).select(
+        "doc_id", "cluster_id"
+    )
+    m = truth.join(cc, "doc_id", "left")
+    grp = (
+        m.where(F.col("cluster_id").isNotNull())
+        .groupBy("planted_cluster", "cluster_id")
+        .agg(F.count("*").alias("together"))
+    )
+    det = m.join(grp, ["planted_cluster", "cluster_id"], "left").select(
+        "doc_id",
+        "kind",
+        (F.coalesce("together", F.lit(0)) >= 2).alias("recovered"),
+    )
+    # every exact duplicate must land in a cluster with its group
+    ex = det.where(F.col("kind") == "exact_dup")
+    assert ex.where(~F.col("recovered")).count() == 0
+
+    # near dups whose TRUE Jaccard clears tau recover near-completely
+    docs = spark.read.parquet(os.path.join(out, "documents.parquet"))
+    sh = _with_shingles(docs)
+    base = truth.where(F.col("kind") == "base").select(
+        F.col("planted_cluster").alias("pc"), F.col("doc_id").alias("base_id")
+    )
+    nd = truth.where(F.col("kind") == "near_dup").select(
+        F.col("planted_cluster").alias("pc"), "doc_id"
+    )
+    pairs = (
+        nd.join(base, "pc")
+        .join(sh.select("doc_id", F.col("shingles").alias("sa")), "doc_id")
+        .join(
+            sh.select(
+                F.col("doc_id").alias("base_id"), F.col("shingles").alias("sb")
+            ),
+            "base_id",
+        )
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    true_dup = (inter.cast("double") / union) >= _JACCARD_TAU
+    r = (
+        pairs.select("doc_id", true_dup.alias("td"))
+        .join(det, "doc_id")
+        .where(F.col("td"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("recovered").cast("long")).alias("rec"),
+        )
+        .collect()[0]
+    )
+    assert r.n > 100  # nonvacuous
+    assert r.rec / r.n >= 0.99, (r.rec, r.n)
