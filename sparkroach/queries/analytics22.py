@@ -291,3 +291,80 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_shipped(spark)
     docs = load(spark, sf_dir, "documents")
     return jpeg_features(synthesize_jpeg_media(docs)).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# docs_lang_stats_arrow_grouped — round 5: the applyInArrow grouped-map lane
+# ---------------------------------------------------------------------------
+# Spark 4's SQL_GROUPED_MAP_ARROW_UDF: one pyarrow.Table per group, no
+# pandas conversion on either side — the last Python execution lane not
+# yet exercised (pandas scalar, GROUPED_AGG, grouped-map pandas,
+# mapInPandas, mapInArrow, arrow-optimized scalar UDF, UDTF and
+# applyInPandasWithState all are).  The function computes per-language
+# corpus stats with pyarrow.compute kernels only; every output is an
+# exact integer, so the SQL oracle is a plain GROUP BY — the gate proves
+# real bytes flowed through the Arrow grouped-map worker and aggregated
+# correctly, not merely that the lane executes.
+# 100 TB posture: same contract as every grouped-map lane — "a group
+# fits in one Arrow table"; language groups are bounded here, and the
+# corpus-wide twin stays on grouped SQL aggregates (SCALE.md §8).
+
+
+@register(
+    "docs_lang_stats_arrow_grouped",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(MAX(n_chars) AS BIGINT) AS max_n_chars
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    survey_ref="Python lanes — applyInArrow (Spark 4 grouped-map over raw "
+    "Arrow tables, no pandas materialization): per-language corpus stats "
+    "via pyarrow.compute kernels, exact integers vs the SQL twin",
+    description="groupBy(lang).applyInArrow: each language group arrives "
+    "as ONE pyarrow.Table; counts/sums/distincts computed with "
+    "pyarrow.compute (sum, count_distinct, max) and returned as a 1-row "
+    "Arrow table — the zero-copy grouped-map lane for group-local "
+    "feature engineering where pandas conversion is pure overhead",
+)
+def docs_lang_stats_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach._shiplib import ensure_shipped
+
+    ensure_shipped(spark)
+    d = load(spark, sf_dir, "documents")
+
+    def stats(table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "lang": [table.column("lang")[0].as_py()],
+                "n_docs": pa.array([table.num_rows], type=pa.int64()),
+                "sum_doc_id": pa.array(
+                    [pc.sum(table.column("doc_id")).as_py()], type=pa.int64()
+                ),
+                "sum_n_chars": pa.array(
+                    [pc.sum(table.column("n_chars")).as_py()], type=pa.int64()
+                ),
+                "n_sources": pa.array(
+                    [pc.count_distinct(table.column("source")).as_py()],
+                    type=pa.int64(),
+                ),
+                "max_n_chars": pa.array(
+                    [pc.max(table.column("n_chars")).as_py()], type=pa.int64()
+                ),
+            }
+        )
+
+    out = d.groupBy("lang").applyInArrow(
+        stats,
+        schema="lang string, n_docs long, sum_doc_id long, "
+        "sum_n_chars long, n_sources long, max_n_chars long",
+    )
+    return out.orderBy("lang")

@@ -133,6 +133,7 @@ R6_ROTATION: frozenset[str] = frozenset(
         # registered during r5
         "multimodal_jpeg_decode",  # real baseline JPEG codec lane
         "bm25_top_docs",  # lexical retrieval over posting lists
+        "docs_lang_stats_arrow_grouped",  # applyInArrow grouped-map lane
     }
 )
 
