@@ -851,6 +851,7 @@ def _bm25_oracle() -> str:
 
 @register(
     "bm25_top_docs",
+    bench=True,  # r5: retrieval-plane representative in the headline set
     oracle=_bm25_oracle(),
     survey_ref="LLM ops: BM25 retrieval — Okapi scoring over posting-list "
     "rows with per-query top-k, the lexical-retrieval baseline of every "
