@@ -531,9 +531,28 @@ class ChainDB:
             )
         for t in self._MIRROR_STATE:
             mirror.apply_state_batch(t, self.store.read(t))
+        # app_box is the one physically-deleted state plane (A13): the
+        # store DROPS delete-marked boxes in _merge_boxes, so pushing only
+        # live rows would leave a box deleted after being mirrored in the
+        # external DB forever (r5 ADVICE).  Re-derive this batch's folded
+        # box ops and push the delete-flagged keys alongside the live
+        # upserts — apply_state_batch runs box_delete_sql over op='delete'
+        # staging rows before the merge, and a redelivered delete of an
+        # absent key is a no-op, preserving idempotent convergence.
+        bupd = _fold(
+            transforms.box_updates(batch_df), ["app", "name"], ["value"]
+        )
+        box_deletes = bupd.where(F.col("last_op") == "delete").select(
+            "app",
+            "name",
+            F.col("last_value").alias("value"),
+            F.lit("delete").alias("op"),
+        )
         mirror.apply_state_batch(
             "app_box",
-            self.store.read("app_box").withColumn("op", F.lit("upsert")),
+            self.store.read("app_box")
+            .withColumn("op", F.lit("upsert"))
+            .unionByName(box_deletes),
         )
 
     # -- health / pruning (A23, A25) -------------------------------------------

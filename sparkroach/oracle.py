@@ -95,10 +95,33 @@ def _type_class(type_name: str) -> str:
 
 
 def _canon(rows: list[tuple], cols: list[str]) -> list[tuple]:
+    """Canonicalize a result frame the way the DRIVER does.
+
+    The driver sorts columns by name, loads the rows into pandas, and
+    ``sort_values`` over all columns before hashing.  Round-5 lesson: the
+    sim used to sort rows by ``(str(type), str(value))``, which happily
+    handles list cells — but pandas ``sort_values`` raises
+    ``TypeError: unhashable type: 'list'`` on them, so a query emitting
+    an ARRAY column passed the sim and failed the driver
+    (``inverted_index_postings``, CORRECTNESS_r05).  The sort now goes
+    through pandas on the RAW cells so the sim crashes exactly where the
+    driver crashes; value normalization (NaN, Decimal, datetime, bytes)
+    happens only after sorting, for the equality check.
+    """
+    import pandas as pd
+
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_normalize(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda r: tuple((str(type(v)), str(v)) for v in r))
-    return out
+    pdf = pd.DataFrame(
+        [[r[i] for i in order] for r in rows],
+        columns=[cols[i] for i in order],
+        dtype=object,
+    )
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns))
+    return [
+        tuple(_normalize(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
 
 
 def compare(

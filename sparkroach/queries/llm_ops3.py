@@ -492,7 +492,9 @@ POSTINGS_HEAD = 10
         SELECT w.term,
                CAST(count(*) AS BIGINT) AS df,
                cf.cf,
-               (list_sort(list(w.doc_id)))[1:{POSTINGS_HEAD}] AS postings_head
+               array_to_string(
+                   (list_sort(list(w.doc_id)))[1:{POSTINGS_HEAD}], ' '
+               ) AS postings_head
         FROM words w JOIN cf ON cf.term = w.term
         GROUP BY w.term, cf.cf
         ORDER BY w.term
@@ -504,9 +506,12 @@ POSTINGS_HEAD = 10
     "the posting count, postings_head the first "
     f"{POSTINGS_HEAD} doc ids in sorted order (the posting list head — "
     "full lists would be emitted to a term-bucketed store at scale; the "
-    "head keeps the gate row bounded while pinning real order).  One "
-    "shuffle on term with map-side combine; corpus frequency joins from "
-    "the vocab-sized side",
+    "head keeps the gate row bounded while pinning real order).  "
+    "postings_head is space-joined to a STRING because the driver "
+    "canonicalizes result frames with pandas sort_values, which cannot "
+    "sort list cells (the r5 red recording); the join preserves the "
+    "order pin exactly.  One shuffle on term with map-side combine; "
+    "corpus frequency joins from the vocab-sized side",
     gated=False,
 )
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,9 +525,12 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.groupBy("term")
         .agg(
             F.count("*").alias("df"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_HEAD).alias(
-                "postings_head"
-            ),
+            F.array_join(
+                F.slice(
+                    F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_HEAD
+                ),
+                " ",
+            ).alias("postings_head"),
         )
         .join(F.broadcast(cf), "term")
         .select("term", "df", "cf", "postings_head")

@@ -18,12 +18,23 @@ The r5 window below is exactly the 49 never-driver-recorded queries
 pinned in COVERAGE.md (r5 rotation candidates) plus the rows-only
 ``chain_end_to_end`` — 50 names, filling the window and giving a first
 driver recording to the entire backlog-eligible set.
+
+Round 6 flips :data:`ACTIVE_WINDOW` to the R6 set: the 36 queries pinned
+in :data:`R6_ROTATION`, the r5-red :data:`R6_RERECORD` re-record, queries
+registered during r6 itself, and the rows-only ``chain_end_to_end``.  A
+"recorded" disposition now means a GREEN recording (all three driver
+match flags true) — a red row re-enters the window until it lands green
+(the r5 ledger hole, VERDICT r5 item 2).
 """
 
 from __future__ import annotations
 
-# Round-5 driver window: 49 oracle-bearing first-recordings + the
-# rows-only chain_end_to_end (value-checked by tests/test_chain_end_to_end.py).
+# Round-5 driver window (HISTORICAL — round 6 uses R6_WINDOW below): 49
+# oracle-bearing first-recordings + the rows-only chain_end_to_end
+# (value-checked by tests/test_chain_end_to_end.py).  48 landed green in
+# CORRECTNESS_r05; inverted_index_postings landed RED (list-typed output
+# column crashed the driver's pandas canonicalization) and is re-pinned
+# via R6_RERECORD with a scalarized output schema.
 R5_WINDOW: frozenset[str] = frozenset(
     {
         "ann_ivfpq_adc",
@@ -80,9 +91,6 @@ R5_WINDOW: frozenset[str] = frozenset(
     }
 )
 
-# The window applied this round.
-ACTIVE_WINDOW: frozenset[str] | None = R5_WINDOW
-
 # Round-6 rotation pin: every never-driver-recorded query whose EXECUTION
 # PATH is novel (streaming state shapes, Python lanes, source formats /
 # physical layout, iterative plans, distinct join/window machinery) —
@@ -136,6 +144,26 @@ R6_ROTATION: frozenset[str] = frozenset(
         "docs_lang_stats_arrow_grouped",  # applyInArrow grouped-map lane
     }
 )
+
+# r5 rows that came back RED at the driver: fixed this round and
+# re-pinned until a GREEN recording exists.  inverted_index_postings'
+# values were always correct (judge re-verified vs DuckDB) — its
+# postings_head ARRAY column crashed the driver's pandas sort_values
+# canonicalization; the column is now a space-joined STRING on both
+# sides (llm_ops3.py).
+R6_RERECORD: frozenset[str] = frozenset({"inverted_index_postings"})
+
+# Rows-only by design (no SQL-expressible oracle): value-checked by
+# tests/test_chain_end_to_end.py instead; keeps its driver slot every
+# round so the end-to-end streaming ingest keeps producing hard signal.
+ROWS_ONLY: frozenset[str] = frozenset({"chain_end_to_end"})
+
+# Round-6 driver window: the pinned novel-execution-path set, the red
+# re-record, and the rows-only chain gate.
+R6_WINDOW: frozenset[str] = R6_ROTATION | R6_RERECORD | ROWS_ONLY
+
+# The window applied this round.
+ACTIVE_WINDOW: frozenset[str] | None = R6_WINDOW
 
 # Permanent delegation to the LOCAL oracle sweep: SQL-shape variants whose
 # execution path is already driver-proven by the named twin (recorded, or

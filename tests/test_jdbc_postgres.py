@@ -439,6 +439,15 @@ def test_stream_ingest_mirrors_postgres_exactly_once(pg, mirror, spark, tmp_path
     src = str(tmp_path / "feed")
     ckpt = str(tmp_path / "ckpt")
     db = ChainDB(spark, str(tmp_path / "chain"), n_buckets=2)
+    # boxes: block 1 creates two, block 3 deletes one — the delete lands
+    # in a LATER micro-batch than the mirrored create, so the mirror must
+    # propagate the physical delete (r5 ADVICE: _mirror_batch used to push
+    # live upserts only, leaving the deleted box in postgres forever; the
+    # final row-for-row compare below catches exactly that divergence)
+    box_mods = {
+        1: [(fx.box_key(7, b"keep"), b"v1"), (fx.box_key(7, b"gone"), b"tmp")],
+        3: [(fx.box_key(7, b"gone"), None)],
+    }
     blocks = (
         [fx.make_block(0)]
         + [
@@ -446,6 +455,7 @@ def test_stream_ingest_mirrors_postgres_exactly_once(pg, mirror, spark, tmp_path
                 r,
                 payset=[fx.pay_txn(f"T{r}")],
                 accts=[fx.acct_delta(fx.ADDR_A, 100 + r)],
+                kv_mods=box_mods.get(r),
             )
             for r in (1, 2, 3)
         ]

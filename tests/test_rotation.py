@@ -1,11 +1,14 @@
 """The rotation ledger must account for EVERY registered query.
 
-Each query is either (a) already driver-recorded in some CORRECTNESS_r*.json,
-(b) pinned in the active window (R5_WINDOW), (c) pinned for the next
-rotation (R6_ROTATION), or (d) permanently DELEGATED to the local oracle
-sweep with a named driver-proven twin.  A new query that declares none of
-these fails here — the backlog can't silently grow past the driver window
-again (r4 verdict item 1/2).
+Each query is either (a) driver-recorded GREEN in some CORRECTNESS_r*.json
+(all three match flags true — a red row does NOT count; that was the r5
+ledger hole, VERDICT r5 item 2), (b) pinned in the active window
+(ACTIVE_WINDOW = R6_WINDOW), or (c) permanently DELEGATED to the local
+oracle sweep with a named driver-proven twin.  Rows-only queries
+(ROWS_ONLY) count as recorded when a row with spark_rows >= 0 exists —
+their value check lives in dedicated tests instead of the oracle.  A new
+query that declares none of these fails here — the backlog can't silently
+grow past the driver window again (r4 verdict item 1/2).
 """
 
 from __future__ import annotations
@@ -16,58 +19,87 @@ import os
 
 from sparkroach.queries import QUERIES
 from sparkroach.queries.registry import DRIVER_WINDOW
-from sparkroach.queries.rotation import DELEGATED, R5_WINDOW, R6_ROTATION
+from sparkroach.queries.rotation import (
+    ACTIVE_WINDOW,
+    DELEGATED,
+    ROWS_ONLY,
+)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _recorded() -> set[str]:
+def _recorded_green() -> set[str]:
+    """Names with at least one GREEN driver recording.
+
+    Green = rows_match AND schema_match AND hash_match all true.  The
+    rows-only exemption applies ONLY to names in ROWS_ONLY (no oracle by
+    design): any recording with spark_rows >= 0 counts for those.
+    """
     names: set[str] = set()
     for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json")):
-        names |= set(json.load(open(f)))
+        for name, rec in json.load(open(f)).items():
+            if name in ROWS_ONLY:
+                if (rec.get("spark_rows") or -1) >= 0:
+                    names.add(name)
+            elif (
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match")
+            ):
+                names.add(name)
     return names
 
 
 def test_every_query_has_a_declared_disposition():
-    recorded = _recorded()
+    recorded = _recorded_green()
     undeclared = sorted(
         name
         for name in QUERIES
         if name not in recorded
-        and name not in R5_WINDOW
-        and name not in R6_ROTATION
+        and name not in ACTIVE_WINDOW
         and name not in DELEGATED
     )
     assert not undeclared, (
         f"queries with no rotation disposition: {undeclared} — add each to "
-        "R6_ROTATION (novel execution path, needs a driver recording) or "
-        "DELEGATED (SQL-shape variant, name its driver-proven twin)"
+        "the active window (novel execution path or red re-record, needs a "
+        "green driver recording) or DELEGATED (SQL-shape variant, name its "
+        "driver-proven twin)"
     )
 
 
+def test_red_recordings_do_not_count_as_recorded():
+    # the r5 red row must NOT satisfy the recorded disposition — it needs
+    # a green re-record, enforced by its ACTIVE_WINDOW pin
+    assert "inverted_index_postings" not in _recorded_green()
+    assert "inverted_index_postings" in ACTIVE_WINDOW
+
+
 def test_dispositions_are_disjoint_and_names_exist():
-    assert not (R5_WINDOW & R6_ROTATION)
-    assert not (R5_WINDOW & set(DELEGATED))
-    assert not (R6_ROTATION & set(DELEGATED))
-    for s in (R5_WINDOW, R6_ROTATION, set(DELEGATED)):
+    assert not (ACTIVE_WINDOW & set(DELEGATED))
+    for s in (ACTIVE_WINDOW, set(DELEGATED)):
         missing = s - set(QUERIES)
         assert not missing, f"rotation names not registered: {sorted(missing)}"
 
 
-def test_r6_rotation_fits_the_driver_window():
-    # chain_end_to_end keeps its rows-only slot every round
-    assert len(R6_ROTATION) + 1 <= DRIVER_WINDOW, (
-        f"{len(R6_ROTATION)} r6-pinned queries exceed the "
+def test_active_window_fits_the_driver_window():
+    assert len(ACTIVE_WINDOW) <= DRIVER_WINDOW, (
+        f"{len(ACTIVE_WINDOW)} pinned queries exceed the "
         f"{DRIVER_WINDOW}-slot window — delegate SQL-shape variants"
     )
 
 
+def test_active_window_is_exactly_the_gated_set():
+    gated = {n for n, q in QUERIES.items() if q.gated}
+    assert gated == set(ACTIVE_WINDOW)
+
+
 def test_delegation_twins_are_driver_proven_or_scheduled():
-    recorded = _recorded()
+    recorded = _recorded_green()
     for name, (twin, why) in DELEGATED.items():
         assert twin in QUERIES, f"{name}: twin {twin} not registered"
-        assert twin in recorded or twin in R5_WINDOW or twin in R6_ROTATION, (
-            f"{name}: twin {twin} is neither driver-recorded nor pinned "
-            "for a rotation window — a delegation must point at hard signal"
+        assert twin in recorded or twin in ACTIVE_WINDOW, (
+            f"{name}: twin {twin} is neither driver-recorded green nor "
+            "pinned in the active window — a delegation must point at "
+            "hard signal"
         )
         assert why.strip(), name
