@@ -8,8 +8,11 @@ run-length coding, canonical Huffman entropy coding with the spec's
 standard tables, 0xFF byte stuffing, marker framing (SOI/APP0/DQT/SOF0/
 DHT/SOS/EOI).  The decoder is a GENERAL baseline decoder (any 8-bit,
 non-subsampled, single-scan baseline JPEG: it reads dimensions, component
-count, quant + Huffman tables from the stream); the encoder is general
-over arbitrary RGB rasters.
+count, quant + Huffman tables from the stream, and handles DRI restart
+intervals / RSTn resync markers and 0xFF fill bytes; standalone markers
+that are illegal in the header raise a clean error); the encoder is
+general over arbitrary RGB rasters and can emit restart intervals
+(``encode_jpeg(..., restart_interval=n)``).
 
 Oracle exactness: a DCT codec is lossy in general, so the gate corpus is
 chosen where the roundtrip is PROVABLY exact — images tiled from constant
@@ -184,6 +187,15 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
         return bytes(self.out)
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-bit padding) and emit an RSTm marker (T.81 E.1.2).
+
+        The marker bytes are appended RAW — marker 0xFF is never stuffed."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes((0xFF, 0xD0 + (m & 7)))
+
 
 class _BitReader:
     def __init__(self, data: bytes):
@@ -222,6 +234,26 @@ class _BitReader:
             if sym is not None:
                 return sym
         raise ValueError("invalid Huffman code")
+
+    def sync_restart(self, m: int) -> None:
+        """Discard bits to the byte boundary and consume the expected RSTm
+        marker (T.81 E.2.4); fill 0xFF bytes before the marker are legal."""
+        self.nbits = 0
+        while (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1  # fill byte
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (m & 7)
+        ):
+            raise ValueError(
+                f"expected RST{m & 7} marker at entropy offset {self.pos}"
+            )
+        self.pos += 2
 
 
 def _category(v: int) -> int:
@@ -290,9 +322,13 @@ def _encode_block(bw, block, qtab, dc_codes, ac_codes, pred: int) -> int:
     return zz[0]
 
 
-def encode_jpeg(rgb) -> bytes:
+def encode_jpeg(rgb, restart_interval: int = 0) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array (h, w multiples of 8) as a
-    baseline JFIF with no chroma subsampling."""
+    baseline JFIF with no chroma subsampling.
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTm marker every
+    that many MCUs (DC predictors reset, entropy stream byte-aligned) —
+    the spec's resync mechanism, common in real baseline files."""
     import numpy as np
 
     rgb = np.asarray(rgb, dtype="uint8")
@@ -327,6 +363,9 @@ def encode_jpeg(rgb) -> bytes:
     ):
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (cls << 4) | tid)
         out += bytes(bits) + bytes(vals)
+    # DRI (optional): 2-byte MCU restart interval
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     out += b"\xff\xda" + struct.pack(">HB", 12, 3)
     for cid, tids in ((1, 0x00), (2, 0x11), (3, 0x11)):
@@ -341,8 +380,13 @@ def encode_jpeg(rgb) -> bytes:
 
     bw = _BitWriter()
     preds = [0, 0, 0]
+    mcu = 0
     for by in range(h // 8):
         for bx in range(w // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.restart((mcu // restart_interval - 1) % 8)
+                preds = [0, 0, 0]
+            mcu += 1
             for ci in range(3):  # interleaved MCU: Y, Cb, Cr (1x1 each)
                 dc_codes, ac_codes, qtab = tables[ci]
                 block = planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
@@ -373,13 +417,24 @@ def decode_jpeg(payload: bytes) -> dict:
     h = w = 0
     scan_order: list[dict] = []
     data_start = None
+    restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = payload[pos + 1]
         pos += 2
+        if marker == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos -= 1
+            continue
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # standalone markers carry NO length field; none is legal in
+            # the header stream (RSTn live in entropy data, SOI only at
+            # offset 0) — fail cleanly instead of misparsing a length
+            raise ValueError(
+                f"unexpected standalone marker 0x{marker:02x} in header"
+            )
         seg_len = struct.unpack_from(">H", payload, pos)[0]
         seg = payload[pos + 2 : pos + seg_len]
         if marker == 0xDB:  # DQT (possibly several tables)
@@ -405,6 +460,8 @@ def decode_jpeg(payload: bytes) -> dict:
                 comps.append({"id": cid, "q": qid})
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("non-baseline SOF unsupported")
+        elif marker == 0xDD:  # DRI: MCU restart interval
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xC4:  # DHT (possibly several tables)
             p = 0
             while p < len(seg):
@@ -438,8 +495,13 @@ def decode_jpeg(payload: bytes) -> dict:
         raise ValueError("non-multiple-of-8 dims unsupported")
     planes = [np.zeros((h, w), dtype="float64") for _ in scan_order]
     preds = [0] * len(scan_order)
+    mcu = 0
     for by in range(bh):
         for bx in range(bw_):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.sync_restart((mcu // restart_interval - 1) % 8)
+                preds = [0] * len(scan_order)
+            mcu += 1
             for ci, comp in enumerate(scan_order):
                 dc_tab = huff[(0, comp["dc"])]
                 ac_tab = huff[(1, comp["ac"])]

@@ -1664,14 +1664,34 @@ def _emb_int8_qdot():
     def qdot(a, b):
         if len(a) == 0:
             return pd.Series([], dtype="int64")
-        joined = b"".join(a)
-        if not joined:  # all-empty vectors: dot is 0 by definition
-            return pd.Series(np.zeros(len(a), dtype=np.int64))
-        A = np.frombuffer(joined, dtype=np.int8).reshape(len(a), -1)
-        B = np.frombuffer(b"".join(b), dtype=np.int8).reshape(len(b), -1)
-        return pd.Series(
-            (A.astype(np.int32) * B.astype(np.int32)).sum(axis=1)
-        )
+        size = lambda v: len(v) if v is not None else -1  # noqa: E731
+        lens_a = a.map(size)
+        lens_b = b.map(size)
+        if (
+            lens_a.nunique() == 1
+            and lens_b.nunique() == 1
+            and lens_a.iloc[0] >= 0
+            and lens_b.iloc[0] >= 0
+        ):
+            # uniform lengths (the normal case): one batch-wide reshape
+            joined = b"".join(a)
+            if not joined:  # all-empty vectors: dot is 0 by definition
+                return pd.Series(np.zeros(len(a), dtype=np.int64))
+            A = np.frombuffer(joined, dtype=np.int8).reshape(len(a), -1)
+            B = np.frombuffer(b"".join(b), dtype=np.int8).reshape(len(b), -1)
+            return pd.Series(
+                (A.astype(np.int32) * B.astype(np.int32)).sum(axis=1)
+            )
+        # ragged batch (mixed dims / empties): per-pair fallback — the
+        # reshape above would raise ValueError on non-uniform lengths
+        out = np.zeros(len(a), dtype=np.int64)
+        for i, (pa, pb) in enumerate(zip(a, b)):
+            if pa and pb:
+                va = np.frombuffer(pa, dtype=np.int8).astype(np.int32)
+                vb = np.frombuffer(pb, dtype=np.int8).astype(np.int32)
+                n = min(va.size, vb.size)
+                out[i] = int((va[:n] * vb[:n]).sum())
+        return pd.Series(out)
 
     return pandas_udf(qdot, "int")
 

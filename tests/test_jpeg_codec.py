@@ -89,6 +89,46 @@ def test_bitstream_structure():
             k += 1
 
 
+def test_restart_interval_roundtrip():
+    """DRI/RSTn (r5 ADVICE): an interval-2 encode inserts real restart
+    markers (byte-aligned, DC predictors reset) and the decoder resyncs —
+    the decoded raster must equal the non-restart decode exactly, and on
+    a random image the quantization bound must hold unchanged."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    plain = encode_jpeg(img)
+    with_rst = encode_jpeg(img, restart_interval=2)
+    # DRI segment present with the declared interval
+    i = with_rst.find(b"\xff\xdd")
+    assert i > 0 and struct.unpack_from(">HH", with_rst, i + 2) == (4, 2)
+    # RST markers cycle 0xD0..0xD7: 12 MCUs / interval 2 -> 5 restarts
+    assert with_rst.count(b"\xff\xd0") >= 1
+    d_plain = decode_jpeg(plain)
+    d_rst = decode_jpeg(with_rst)
+    assert (d_rst["rgb"] == d_plain["rgb"]).all()
+    err = np.abs(d_rst["rgb"].astype(int) - img.astype(int))
+    assert err.mean() < 12 and err.max() < 64
+    # the exact tile corpus stays exact under restarts
+    doc = decode_jpeg(
+        encode_jpeg(decode_jpeg(encode_doc_jpeg(5))["rgb"], restart_interval=1)
+    )
+    assert (doc["rgb"] == decode_jpeg(encode_doc_jpeg(5))["rgb"]).all()
+
+
+def test_decoder_header_marker_honesty():
+    """Fill bytes before a marker parse cleanly; standalone markers in the
+    header raise a clean error instead of misparsing a length field."""
+    b = encode_doc_jpeg(3)
+    # inject a fill 0xFF before the DQT marker — must still decode
+    i = b.find(b"\xff\xdb")
+    filled = b[:i] + b"\xff" + b[i:]
+    assert decode_jpeg(filled)["pixel_sum"] == decode_jpeg(b)["pixel_sum"]
+    # inject a standalone RST0 in the header — clean refusal
+    broken = b[:i] + b"\xff\xd0" + b[i:]
+    with pytest.raises(ValueError, match="standalone marker"):
+        decode_jpeg(broken)
+
+
 def test_decoder_rejects_unsupported_variants():
     b = bytearray(encode_doc_jpeg(3))
     i = bytes(b).find(b"\xff\xc0")

@@ -190,3 +190,22 @@ def test_qdot_edge_cases(spark):
     rows = df.select(qdot("a", "b").alias("iq")).collect()
     # int8: 255 -> -1, so 1*2 + (-1)*2 + 3*2 = 6
     assert [r.iq for r in rows] == [6, 0]
+
+
+def test_qdot_ragged_batch(spark):
+    """Mixed vector lengths in ONE Arrow batch (r5 ADVICE): the uniform
+    reshape fast path must fall back per-pair instead of raising
+    ValueError, and empty/None vectors score 0."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "a": [bytes([1, 2]), b"", bytes([5, 5, 5]), None],
+                "b": [bytes([3, 4]), bytes([9]), bytes([1, 1, 1]), bytes([7])],
+            }
+        )
+    ).coalesce(1)  # force one Arrow batch so lengths genuinely mix
+    qdot = _emb_int8_qdot()
+    rows = df.select(qdot("a", "b").alias("iq")).collect()
+    assert [r.iq for r in rows] == [11, 0, 15, 0]
