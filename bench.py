@@ -7,6 +7,14 @@ OPTIMIZE job); (2) JIT warmup at sf0.001; (3) each query timed 3×, median
 reported — steady-state plan cost, excluding one-time codegen compilation.
 Each run is a materializing collect (result sets are ≤ a few thousand
 rows, so collect cost is plan cost, not transfer cost).
+
+Cross-round comparability (VERDICT r5 item 4): a fixed, engine-independent
+SENTINEL workload (spark.range reduction — same plan, same row count,
+every round, no data dependency) is timed before and after the query
+phase.  Co-tenant machine load inflates the sentinel and the queries
+alike, so `value_normalized` (= value / mean sentinel) is the
+round-over-round comparable number; a uniform raw drift with a flat
+normalized value is machine noise, not a regression.
 """
 
 from __future__ import annotations
@@ -41,6 +49,24 @@ def main() -> None:
         for q in bench_queries.values():
             q.fn(spark, warm_dir).collect()  # JIT warmup only — untimed
 
+    def sentinel_sec() -> float:
+        """Median-of-3 fixed workload: 8B-row modular sum, one codegen
+        stage, zero I/O — a pure measure of this machine's momentary
+        JVM/CPU throughput, identical every round by construction."""
+        from pyspark.sql import functions as F
+
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(8_000_000_000).select(
+                F.sum(F.col("id") % 7).alias("s")
+            ).collect()
+            runs.append(time.perf_counter() - t0)
+        return round(sorted(runs)[1], 4)
+
+    sentinel_sec()  # codegen warmup for the sentinel's own plan shape
+    sentinel_before = sentinel_sec()
+
     # median of 3 runs: steady-state plan cost (the first run additionally
     # pays one-time whole-stage-codegen compilation for this plan shape)
     timings: dict[str, float] = {}
@@ -71,13 +97,24 @@ def main() -> None:
         sorted(ingest_blocks(spark, n_blocks=32) for _ in range(3))[1], 4
     )
 
+    sentinel_after = sentinel_sec()
+    sentinel_mean = round((sentinel_before + sentinel_after) / 2, 4)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_queries_total_wall",
-        "value": round(sum(timings.values()), 4),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        "sentinel": {
+            "workload": "range(8B) modular sum, median of 3",
+            "before_sec": sentinel_before,
+            "after_sec": sentinel_after,
+            "mean_sec": sentinel_mean,
+        },
+        "value_normalized": round(total / sentinel_mean, 4),
     }
     print(json.dumps(out))
 
