@@ -226,9 +226,12 @@ def decode_payload(container: str, payload: bytes) -> dict:
         return decode_bmp(payload)
     raise NotImplementedError(
         f"no stdlib decoder for container {container!r} here — baseline "
-        "JPEG has its own from-scratch codec (functions/jpeg.py, r5); "
-        "MP4 stays stubbed (container parsing without a video codec is "
-        "not meaningful)"
+        "JPEG has its own from-scratch codec (functions/jpeg.py, r5) and "
+        "MJPEG-in-AVI video decodes for real through functions/avi.py "
+        "(r6: RIFF container parse + per-frame JPEG decode); plain "
+        "MP4/H.264 stays stubbed because a container parse without a "
+        "motion-compensated codec decodes nothing — the real video lane "
+        "is multimodal_mjpeg_decode"
     )
 
 

@@ -294,6 +294,81 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal_mjpeg_decode — round 6: REAL video decode (MJPEG in AVI)
+# ---------------------------------------------------------------------------
+# functions/avi.py is a from-scratch RIFF/AVI container writer+parser
+# (public "AVI RIFF File Reference": hdrl/avih/strl/strh/strf, movi with
+# '00dc' chunks, idx1) over MJPEG — the one mainstream video encoding
+# whose frames are independent baseline JPEGs, so the r5 codec decodes
+# every frame with no inter-frame prediction.  Frames reuse the provably
+# exact tile corpus with a per-frame term; ODD frames are encoded with a
+# DRI restart interval so the gate exercises RSTn resync inside the
+# entropy stream.  Every 2nd frame is sampled (the frame-sample policy),
+# and the oracle mirrors (doc_id, frame_idx) arithmetic while the Spark
+# side parses the real container and bitstream.  MP4/H.264 remains
+# honestly stubbed: a container parse without a motion-compensated codec
+# decodes nothing (functions/multimodal.py).
+
+
+@register(
+    "multimodal_mjpeg_decode",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id,
+                   8 * (2 + doc_id % 3) AS w,
+                   8 * (2 + (doc_id // 3) % 3) AS h,
+                   2 + doc_id % 4 AS nf
+            FROM documents
+        ),
+        fr AS (
+            SELECT p.doc_id, p.w, p.h, p.nf, f.v AS frame_idx
+            FROM p JOIN range(0, 5) f(v) ON f.v < p.nf
+            WHERE f.v % 2 = 0
+        ),
+        tiles AS (
+            SELECT fr.doc_id, fr.frame_idx, fr.w, fr.h, fr.nf,
+                   SUM((fr.doc_id * 31 + fr.frame_idx * 7
+                        + ty.v * 16 + tx.v * 5) % 256) AS vsum
+            FROM fr
+            JOIN range(0, 4) tx(v) ON tx.v < fr.w // 8
+            JOIN range(0, 4) ty(v) ON ty.v < fr.h // 8
+            GROUP BY fr.doc_id, fr.frame_idx, fr.w, fr.h, fr.nf
+        )
+        SELECT doc_id AS media_id,
+               CAST(frame_idx AS INT) AS frame_idx,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(nf AS INT) AS n_frames,
+               CAST(3 * 64 * vsum AS BIGINT) AS pixel_sum
+        FROM tiles
+        ORDER BY media_id, frame_idx
+    """,
+    survey_ref="LLM ops: multimodal video decode — real MJPEG-in-AVI "
+    "(RIFF container parse + per-frame baseline JPEG decode + every-Nth "
+    "frame sampling) through the mapInPandas lane; extends the codec "
+    "matrix (WAV/PPM/BMP/JPEG/MJPEG-AVI real, MP4 honestly stubbed)",
+    description="encode a deterministic MJPEG AVI per document (2-5 "
+    "exact-roundtrip tile frames, odd frames with DRI/RSTn restarts), "
+    "parse the RIFF container back, sample every 2nd frame, and decode "
+    "each sampled frame with the independent baseline JPEG decoder; all "
+    "features are integers the SQL oracle mirrors from (doc_id, "
+    "frame_idx) arithmetic. Map-only mapInPandas both ways — no shuffle",
+)
+def multimodal_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach._shiplib import ensure_shipped
+    from sparkroach.functions.avi import (
+        mjpeg_frame_features,
+        synthesize_mjpeg_media,
+    )
+
+    ensure_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    return mjpeg_frame_features(synthesize_mjpeg_media(docs), stride=2).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+# ---------------------------------------------------------------------------
 # docs_lang_stats_arrow_grouped — round 5: the applyInArrow grouped-map lane
 # ---------------------------------------------------------------------------
 # Spark 4's SQL_GROUPED_MAP_ARROW_UDF: one pyarrow.Table per group, no

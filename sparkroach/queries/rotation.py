@@ -142,6 +142,8 @@ R6_ROTATION: frozenset[str] = frozenset(
         "multimodal_jpeg_decode",  # real baseline JPEG codec lane
         "bm25_top_docs",  # lexical retrieval over posting lists
         "docs_lang_stats_arrow_grouped",  # applyInArrow grouped-map lane
+        # registered during r6
+        "multimodal_mjpeg_decode",  # RIFF/AVI MJPEG container + per-frame decode
     }
 )
 
