@@ -71,6 +71,7 @@ def synthesize(
     n_vecs: int | None = None,
     template_frac: float = 0.25,
     hot_source_frac: float = 0.7,
+    uniform_frac: float = 0.0,
 ) -> dict:
     """Write documents.parquet + embeddings.parquet; symlink other tables.
 
@@ -168,9 +169,18 @@ def synthesize(
     centroids = nprng.normal(size=(n_centroids, 64))
     assign = nprng.integers(0, n_centroids, size=nv)
     vecs = centroids[assign] + nprng.normal(scale=0.35, size=(nv, 64))
+    # unclustered background (ANN stress, r6): a fraction of vectors is
+    # drawn uniform — far from every centroid, the worst case for any
+    # IVF/label partitioning (their stored `label` becomes meaningless,
+    # which is exactly the recall hazard to measure).  Default 0.0 keeps
+    # the §10 dedup corpus byte-identical.
+    n_dup = nv // 20
+    n_uniform = int(nv * uniform_frac)
+    if n_uniform:
+        u_idx = nprng.choice(nv - n_dup, size=n_uniform, replace=False)
+        vecs[u_idx] = nprng.uniform(-3.0, 3.0, size=(n_uniform, 64))
     # plant near-dup vectors: 5% of vectors are a tiny perturbation of an
     # earlier vector (cosine ≈ 0.999) — what embedding dedup must find
-    n_dup = nv // 20
     dup_src = nprng.integers(0, nv - n_dup, size=n_dup)
     for k, s in enumerate(dup_src):
         vecs[nv - n_dup + k] = vecs[s] + nprng.normal(scale=0.01, size=64)
@@ -194,6 +204,7 @@ def synthesize(
     return {
         "n_docs": len(texts),
         "n_vecs": nv,
+        "n_uniform_vecs": n_uniform,
         "composition": dict(comp),
         "hot_source_docs": sources.count("src_hot"),
         "seed": seed,
@@ -397,6 +408,104 @@ def run(spark, sf_dir: str, verify: bool = False) -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# ANN-plane stress (r6): recall/cost on a 20-50x-sf0.1 vector corpus
+# ---------------------------------------------------------------------------
+# VERDICT r5 item 7: the 100k-doc harness above certifies the dedup plane;
+# this runs the ANN family end to end on a large clustered+uniform vector
+# mix — recall@k per method (from ann_recall_report, against brute-force
+# truth computed at the same scale), scanned-candidate cost as a corpus
+# fraction (the cluster-pruning claim, measured), and wall time.  The
+# uniform fraction is the adversarial part: those vectors sit far from
+# every centroid, so IVF methods must keep recall on the clustered mass
+# while their cost stays pruned.
+
+ANN_QUERIES = (
+    "ann_cosine_topk",  # exact brute-force baseline (the truth)
+    "ann_ivf_label",
+    "ann_ivf_kmeans",
+    "ann_ivf_multiprobe",
+    "ann_lsh_buckets",
+    "ann_int8_quantized",
+    "ann_pq_adc",
+    "ann_ivfpq_adc",
+    "ann_ivfpq_rerank",
+    "knn_graph_ivf",
+)
+
+# subset value-verified against the same DuckDB oracles the driver gate
+# uses (brute-force truth + the deepest quantized chain); the full list
+# is oracle-verified at the sf* dirs every round — at stress scale the
+# SQL oracles are DuckDB-bound, not a Spark signal
+ANN_VERIFY_QUERIES = (
+    "ann_cosine_topk",
+    "ann_ivfpq_adc",
+    "ann_ivfpq_rerank",
+)
+
+
+def run_ann(spark, sf_dir: str, verify: bool = False) -> dict:
+    import pyspark.sql.functions as F
+
+    from sparkroach.queries import QUERIES
+
+    out: dict = {"sf_dir": sf_dir, "queries": {}}
+    out["n_vecs"] = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+    )
+
+    for name in ANN_QUERIES:
+        fn = QUERIES[name].fn
+        t0 = time.time()
+        rows = fn(spark, sf_dir).count()
+        out["queries"][name] = {
+            "rows": rows,
+            "wall_s": round(time.time() - t0, 2),
+        }
+
+    # the recall/cost dial: per-method mean recall@k and mean scanned
+    # candidates (as an absolute count and a corpus fraction)
+    t0 = time.time()
+    rep = (
+        QUERIES["ann_recall_report"]
+        .fn(spark, sf_dir)
+        .groupBy("method", "n_probes")
+        .agg(
+            F.round(F.avg("recall_at_k"), 4).alias("recall"),
+            F.round(F.avg("candidates"), 1).alias("avg_candidates"),
+        )
+        .orderBy("method", "n_probes")
+        .collect()
+    )
+    out["recall_report_wall_s"] = round(time.time() - t0, 2)
+    denom = max(1, out["n_vecs"] - 1)
+    out["recall_by_method"] = {
+        f"{r.method}@p{r.n_probes}": {
+            "recall_at_k": r.recall,
+            "avg_candidates": r.avg_candidates,
+            "corpus_frac_scanned": round(r.avg_candidates / denom, 4),
+        }
+        for r in rep
+    }
+
+    if verify:
+        from sparkroach import oracle
+
+        con = oracle._duck_connection(sf_dir)
+        out["oracle"] = {}
+        for name in ANN_VERIFY_QUERIES:
+            q = QUERIES[name]
+            t0 = time.time()
+            res = oracle.compare(name, q.fn(spark, sf_dir), q.oracle, sf_dir, con)
+            out["oracle"][name] = {
+                "ok": res.ok,
+                "rows": res.spark_rows,
+                "wall_s": round(time.time() - t0, 2),
+                **({"detail": res.detail[:200]} if not res.ok else {}),
+            }
+    return out
+
+
 def main() -> None:
     import argparse
 
@@ -406,15 +515,39 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--verify", action="store_true")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument(
+        "--ann", action="store_true",
+        help="run the ANN-plane stress instead of the dedup plane",
+    )
+    ap.add_argument(
+        "--n-vecs", type=int, default=None,
+        help="vector count (default: dedup plane min(n,50k); ANN plane n)",
+    )
+    ap.add_argument(
+        "--uniform-frac", type=float, default=None,
+        help="fraction of unclustered uniform vectors (default: ANN 0.15, "
+        "dedup 0.0 — keeps the §10 corpus byte-identical)",
+    )
     args = ap.parse_args()
 
     from sparkroach.session import get_spark
 
-    report: dict = {"synth": synthesize(args.out, args.n, args.seed)}
+    uniform = args.uniform_frac
+    if uniform is None:
+        uniform = 0.15 if args.ann else 0.0
+    n_vecs = args.n_vecs
+    if n_vecs is None and args.ann:
+        n_vecs = args.n
+    report: dict = {
+        "synth": synthesize(
+            args.out, args.n, args.seed, n_vecs=n_vecs, uniform_frac=uniform
+        )
+    }
     spark = get_spark("sparkroach-stress")
     try:
         t0 = time.time()
-        report.update(run(spark, args.out, verify=args.verify))
+        runner = run_ann if args.ann else run
+        report.update(runner(spark, args.out, verify=args.verify))
         report["total_wall_s"] = round(time.time() - t0, 2)
     finally:
         spark.stop()

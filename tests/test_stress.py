@@ -110,3 +110,60 @@ def test_recovery_properties(spark, corpus):
     )
     assert r.n > 100  # nonvacuous
     assert r.rec / r.n >= 0.99, (r.rec, r.n)
+
+
+# ---------------------------------------------------------------------------
+# ANN-plane harness (SCALE.md §11) — r6
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ann_corpus(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ann_corpus"))
+    info = stress.synthesize(
+        out, n_docs=N, seed=7, n_vecs=N, uniform_frac=0.15
+    )
+    return out, info
+
+
+def test_ann_corpus_has_uniform_background(ann_corpus):
+    _, info = ann_corpus
+    assert info["n_vecs"] == N
+    assert info["n_uniform_vecs"] == int(N * 0.15)
+
+
+def test_default_corpus_is_unchanged_by_uniform_knob(tmp_path):
+    """uniform_frac=0 must keep the §10 dedup corpus byte-identical —
+    the knob may not perturb the RNG stream of the default path."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    stress.synthesize(a, n_docs=500, seed=7)
+    stress.synthesize(b, n_docs=500, seed=7, uniform_frac=0.0)
+    pa = open(os.path.join(a, "embeddings.parquet"), "rb").read()
+    pb = open(os.path.join(b, "embeddings.parquet"), "rb").read()
+    assert pa == pb
+
+
+def test_ann_harness_end_to_end(spark, ann_corpus):
+    """run_ann on the small corpus: oracle agreement (the same three
+    oracles the §11 20k run verifies) + the recall/cost table's shape
+    invariants (exact truth fully recalled by construction is not
+    asserted — recall is measured; what must hold is that every
+    cluster-pruned route scans a strict corpus subset and the report
+    covers all 8 methods)."""
+    out, _ = ann_corpus
+    rep = stress.run_ann(spark, out, verify=True)
+    for name, rec in rep["oracle"].items():
+        assert rec["ok"], (name, rec)
+    methods = rep["recall_by_method"]
+    assert len(methods) == 8
+    for key, rec in methods.items():
+        assert 0.0 <= rec["recall_at_k"] <= 1.0, key
+    # IVF probe routes scan a strict subset; full-scan quantizers scan all
+    assert methods["ivf_label@p1"]["corpus_frac_scanned"] < 0.2
+    assert methods["ivf_multiprobe@p1"]["corpus_frac_scanned"] < 0.2
+    assert methods["int8_sq@p1"]["corpus_frac_scanned"] == 1.0
+    # multiprobe dominates-or-ties the raw label route at equal probes
+    assert (
+        methods["ivf_multiprobe@p1"]["recall_at_k"]
+        >= methods["ivf_label@p1"]["recall_at_k"]
+    )
