@@ -99,11 +99,16 @@ def test_funnel_thresholds_split_the_corpus():
 
 
 def test_postings_heads_are_sorted_prefixes(spark):
+    # postings_head is a space-joined STRING since r6 (the driver's pandas
+    # canonicalization cannot sort list cells — the r5 red recording); the
+    # numeric sort happens BEFORE stringification, so the parsed-back ids
+    # must still be numerically ascending
     rows = QUERIES["inverted_index_postings"].fn(spark, SF_SMALL).collect()
     assert len(rows) > 0
     for r in rows:
-        assert r.postings_head == sorted(r.postings_head)
-        assert len(r.postings_head) == min(r.df, 10)
+        head = [int(x) for x in r.postings_head.split()]
+        assert head == sorted(head)
+        assert len(head) == min(r.df, 10)
         assert r.cf >= r.df  # every posting has >= 1 occurrence
 
 
