@@ -252,3 +252,137 @@ def sessions_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first_peak_us").cast("long"),
         F.col("n_sessions").cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_value_ks_drift — exact two-sample Kolmogorov–Smirnov (r6)
+# ---------------------------------------------------------------------------
+# Corpus drift detection, the training-data-pipeline question "did this
+# snapshot's distribution move?", answered with the classic two-sample KS
+# statistic — EXACTLY.  D = max_v |F_A(v) - F_B(v)| is a rational with
+# denominator n_a*n_b, so the comparison runs entirely on the integer
+# numerator |ra*n_b - rb*n_a| (ra/rb = running counts <= v per sample)
+# and the only IEEE operation is ONE final division, identical in both
+# engines.  The split point is integer arithmetic over unix micros
+# ((min+max) div 2), so sample membership is exact too.
+#
+# 100 TB posture: the per-value count table shrinks the stream to its
+# distinct values, and the global running counts come from the same
+# distributed prefix-sum recipe sessions_concurrency_peak pins (range
+# partition + local running sums + O(partitions) broadcast offsets — no
+# single-partition window).  Both samples ride ONE prefix pass: the two
+# per-value counts are packed into one 64-bit accumulator
+# (ca*2^32 + cb), exact while each sample holds < 2^32 rows — beyond
+# that, widen to two passes (the recipe is linear either way).
+
+_KS_ORACLE = """
+    WITH bounds AS (
+        SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+        FROM events
+    ),
+    lab AS (
+        SELECT value,
+               CASE WHEN epoch_us(ts) < bounds.mid THEN 0 ELSE 1 END AS grp
+        FROM events, bounds
+        WHERE value IS NOT NULL
+    ),
+    tot AS (
+        SELECT CAST(count(*) FILTER (WHERE grp = 0) AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (WHERE grp = 1) AS BIGINT) AS n_b
+        FROM lab
+    ),
+    per AS (
+        SELECT value,
+               CAST(count(*) FILTER (WHERE grp = 0) AS BIGINT) AS ca,
+               CAST(count(*) FILTER (WHERE grp = 1) AS BIGINT) AS cb
+        FROM lab GROUP BY value
+    ),
+    run AS (
+        SELECT value,
+               SUM(ca) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS ra,
+               SUM(cb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS rb
+        FROM per
+    ),
+    d AS (
+        SELECT value,
+               abs(CAST(ra AS BIGINT) * tot.n_b
+                   - CAST(rb AS BIGINT) * tot.n_a) AS numer
+        FROM run, tot
+    ),
+    mx AS (SELECT max(numer) AS ks_numer FROM d),
+    at AS (
+        SELECT min(value) AS ks_at_value
+        FROM d, mx WHERE d.numer = mx.ks_numer
+    )
+    SELECT tot.n_a, tot.n_b,
+           CAST(mx.ks_numer AS BIGINT) AS ks_numer,
+           at.ks_at_value,
+           CAST(mx.ks_numer AS DOUBLE) / (tot.n_a * tot.n_b) AS ks_stat
+    FROM tot, mx, at
+"""
+
+
+@register(
+    "events_value_ks_drift",
+    oracle=_KS_ORACLE,
+    survey_ref="LLM ops: corpus drift detection — exact two-sample "
+    "Kolmogorov-Smirnov over the event-value distribution (first vs "
+    "second half of the time range), integer-numerator rational "
+    "arithmetic with one final IEEE division",
+    description="two-sample KS as a distributed prefix sum: per-value "
+    "counts of both samples packed into one 64-bit running accumulator "
+    "(ca*2^32+cb, exact below 2^32 rows per sample) through the "
+    "range-partitioned prefix recipe — no single-partition window; "
+    "D's numerator |ra*n_b - rb*n_a| stays integer so both engines "
+    "agree bit-for-bit; ks_at_value is the smallest value attaining "
+    "the max for determinism",
+    gated=False,
+)
+def events_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(F.unix_micros("ts").alias("t"), "value")
+    )
+    bounds = ev.agg(F.expr("(min(t) + max(t)) div 2").alias("mid"))
+    lab = ev.join(F.broadcast(bounds)).select(  # 1-row scalar crossJoin
+        "value", (F.col("t") < F.col("mid")).alias("is_a")
+    )
+    tot = lab.agg(
+        F.sum(F.col("is_a").cast("long")).alias("n_a"),
+        F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
+    )
+    per = lab.groupBy("value").agg(
+        F.sum(F.col("is_a").cast("long")).alias("ca"),
+        F.sum((~F.col("is_a")).cast("long")).alias("cb"),
+    )
+    packed = per.withColumn(
+        "comb", F.col("ca") * F.lit(4294967296) + F.col("cb")
+    )
+    run = running_global_sum(packed, "value", "comb")
+    d = (
+        run.join(F.broadcast(tot))
+        .select(
+            "value",
+            "n_a",
+            "n_b",
+            F.abs(
+                F.shiftright("running", 32) * F.col("n_b")
+                - F.col("running").bitwiseAND(F.lit(4294967295)) * F.col("n_a")
+            ).alias("numer"),
+        )
+    )
+    mx = d.agg(F.max("numer").alias("ks_numer"))
+    return (
+        d.join(F.broadcast(mx), d["numer"] == mx["ks_numer"])
+        .agg(
+            F.any_value("n_a").alias("n_a"),
+            F.any_value("n_b").alias("n_b"),
+            F.any_value("ks_numer").alias("ks_numer"),
+            F.min("value").alias("ks_at_value"),
+            (
+                F.any_value("ks_numer").cast("double")
+                / (F.any_value("n_a") * F.any_value("n_b")).cast("double")
+            ).alias("ks_stat"),
+        )
+    )

@@ -144,6 +144,7 @@ R6_ROTATION: frozenset[str] = frozenset(
         "docs_lang_stats_arrow_grouped",  # applyInArrow grouped-map lane
         # registered during r6
         "multimodal_mjpeg_decode",  # RIFF/AVI MJPEG container + per-frame decode
+        "events_value_ks_drift",  # dual-counter packed distributed prefix KS
     }
 )
 

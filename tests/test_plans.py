@@ -330,6 +330,8 @@ _SCALAR_BNLJ_OK = {
     "term_cooccurrence_lift", "tfidf_top_terms",
     # 1-row peak/count aggregates joined back (scalar build sides)
     "sessions_concurrency_peak",
+    # 1-row bounds/totals/max scalars joined back at three stages
+    "events_value_ks_drift",
     "cms_join_size_estimate",  # 1-row est x 1-row exact crossJoin
     # 8-row x 8-row broadcast pair join over the top-8 user bitmaps:
     # build side bounded by the TOP_USERS constant, never by data size
