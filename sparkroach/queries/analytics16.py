@@ -386,3 +386,128 @@ def events_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_stat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_type_drift_chi2 — categorical drift (r6, KS's categorical twin)
+# ---------------------------------------------------------------------------
+# The categorical companion to events_value_ks_drift: did the event-TYPE
+# mix shift between the two halves of the time range?  Pearson chi² over
+# the 2×K contingency table.  Exactness recipe: each cell's deviation
+# d = o·grand − row_total·col_total is INTEGER (computed in BIGINT, no
+# rounding); d fits a double exactly (< 2^53 up to ~10^8-row halves), so
+# d·d and the one division per term are the same IEEE operations in both
+# engines; per-term values are then quantized to DECIMAL(28,9) before
+# summation (the BM25 recipe) so the sum is order-independent and
+# hash-neutral.  chi2 here = classic Σ(o−e)²/e scaled by grand
+# (constant): rank-order and threshold comparisons are unaffected, and
+# the scale makes every intermediate exact.
+
+_CHI2_ORACLE = """
+    WITH bounds AS (
+        SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+        FROM events
+    ),
+    lab AS (
+        SELECT event_type,
+               CASE WHEN epoch_us(ts) < bounds.mid THEN 0 ELSE 1 END AS grp
+        FROM events, bounds
+    ),
+    cell AS (
+        SELECT event_type, grp, CAST(count(*) AS BIGINT) AS o
+        FROM lab GROUP BY event_type, grp
+    ),
+    -- complete 2xK table: a type absent from one half is a 0 cell
+    full_cell AS (
+        SELECT t.event_type, g.grp, COALESCE(c.o, 0) AS o
+        FROM (SELECT DISTINCT event_type FROM cell) t
+        CROSS JOIN (SELECT 0 AS grp UNION ALL SELECT 1) g
+        LEFT JOIN cell c USING (event_type, grp)
+    ),
+    rt AS (SELECT grp, CAST(SUM(o) AS BIGINT) AS row_tot
+           FROM full_cell GROUP BY grp),
+    ct AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS col_tot
+           FROM full_cell GROUP BY event_type),
+    g AS (SELECT CAST(SUM(o) AS BIGINT) AS grand FROM full_cell),
+    term AS (
+        SELECT f.event_type,
+               CAST(
+                   CAST(f.o * g.grand - rt.row_tot * ct.col_tot AS DOUBLE)
+                   * CAST(f.o * g.grand - rt.row_tot * ct.col_tot AS DOUBLE)
+                   / CAST(rt.row_tot * ct.col_tot AS DOUBLE)
+                   AS DECIMAL(28,9)) AS t_q
+        FROM full_cell f
+        JOIN rt ON rt.grp = f.grp
+        JOIN ct ON ct.event_type = f.event_type
+        CROSS JOIN g
+    )
+    SELECT t.event_type,
+           ct.col_tot AS n_events,
+           CAST(SUM(t.t_q) AS DOUBLE) AS chi2_scaled_contrib
+    FROM term t JOIN ct ON ct.event_type = t.event_type
+    GROUP BY t.event_type, ct.col_tot
+    ORDER BY t.event_type
+"""
+
+
+@register(
+    "events_type_drift_chi2",
+    oracle=_CHI2_ORACLE,
+    survey_ref="LLM ops: categorical corpus drift — Pearson chi2 over "
+    "the 2xK (half x event_type) contingency table, grand-scaled so "
+    "every intermediate is integer-exact, per-term decimal quantization "
+    "(the BM25 recipe) keeps the sum engine-identical",
+    description="per-type chi2 contribution (scaled by the constant "
+    "grand total: threshold/rank semantics unchanged, intermediates "
+    "exact): the 2xK table completes missing cells to 0, deviations "
+    "o*grand - rt*ct stay BIGINT, one IEEE division per cell, "
+    "DECIMAL(28,9) quantization before the order-insensitive sum. "
+    "Grouped counts + broadcast scalar totals only — no prefix pass "
+    "needed (the KS gate pins that machinery)",
+    gated=False,
+)
+def events_type_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("t"), "event_type"
+    )
+    bounds = ev.agg(F.expr("(min(t) + max(t)) div 2").alias("mid"))
+    lab = ev.join(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(F.col("t") < F.col("mid"), F.lit(0)).otherwise(F.lit(1)).alias("grp"),
+    )
+    cell = lab.groupBy("event_type", "grp").agg(F.count("*").alias("o"))
+    types = cell.select("event_type").distinct()
+    grps = spark.range(2).select(F.col("id").cast("int").alias("grp"))
+    full_cell = (
+        types.crossJoin(F.broadcast(grps))
+        .join(cell, ["event_type", "grp"], "left")
+        .select("event_type", "grp", F.coalesce("o", F.lit(0)).alias("o"))
+    )
+    rt = full_cell.groupBy("grp").agg(F.sum("o").alias("row_tot"))
+    ct = full_cell.groupBy("event_type").agg(F.sum("o").alias("col_tot"))
+    g = full_cell.agg(F.sum("o").alias("grand"))
+    dev = (F.col("o") * F.col("grand") - F.col("row_tot") * F.col("col_tot")).cast(
+        "double"
+    )
+    term = (
+        full_cell.join(F.broadcast(rt), "grp")
+        .join(F.broadcast(ct), "event_type")
+        .join(F.broadcast(g))
+        .select(
+            "event_type",
+            "col_tot",
+            (
+                dev * dev / (F.col("row_tot") * F.col("col_tot")).cast("double")
+            ).cast("decimal(28,9)").alias("t_q"),
+        )
+    )
+    return (
+        term.groupBy("event_type", "col_tot")
+        .agg(F.sum("t_q").cast("double").alias("chi2_scaled_contrib"))
+        .select(
+            "event_type",
+            F.col("col_tot").alias("n_events"),
+            "chi2_scaled_contrib",
+        )
+        .orderBy("event_type")
+    )

@@ -272,6 +272,13 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "crosstab-style two-key grouped counts over the lang-id scan "
         "(lang_id_stopwords recorded r4)",
     ),
+    "events_type_drift_chi2": (
+        "temperature_mix_weights",
+        "grouped counts + broadcast scalar totals + DECIMAL(28,9) "
+        "quantized-term summation — the recorded mix-weights plan family; "
+        "the drift-specific machinery (distributed prefix pass) is pinned "
+        "by the events_value_ks_drift gate",
+    ),
 }
 
 

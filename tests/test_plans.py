@@ -332,6 +332,8 @@ _SCALAR_BNLJ_OK = {
     "sessions_concurrency_peak",
     # 1-row bounds/totals/max scalars joined back at three stages
     "events_value_ks_drift",
+    # 1-row bounds/grand scalars + a 2-row constant grp frame
+    "events_type_drift_chi2",
     "cms_join_size_estimate",  # 1-row est x 1-row exact crossJoin
     # 8-row x 8-row broadcast pair join over the top-8 user bitmaps:
     # build side bounded by the TOP_USERS constant, never by data size
