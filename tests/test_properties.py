@@ -217,3 +217,65 @@ def test_next_contiguous_round_is_the_first_gap(present, start):
     assert nxt >= start
     assert nxt not in present
     assert all(r in present for r in range(start, nxt))
+
+
+# ---------------------------------------------------------------------------
+# JPEG / MJPEG-AVI codec properties (r6)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)  # DCT per example: keep bounded
+@given(
+    st.integers(1, 3),  # width in 8px tiles
+    st.integers(1, 3),  # height in 8px tiles
+    st.integers(0, 6),  # restart interval (0 = none)
+    st.integers(0, 2**32 - 1),  # image seed
+)
+def test_jpeg_restart_interval_never_changes_pixels(tw, th, ri, seed):
+    """encode(img, restart_interval=r) must decode to EXACTLY the same
+    raster as encode(img) for every r — restarts reframe the entropy
+    stream (byte alignment + DC predictor resets) without touching a
+    single coefficient."""
+    import numpy as np
+
+    from sparkroach.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(8 * th, 8 * tw, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img))
+    rst = decode_jpeg(encode_jpeg(img, restart_interval=ri))
+    assert (rst["rgb"] == base["rgb"]).all()
+    assert rst["pixel_sum"] == base["pixel_sum"]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(0, 2**31 - 1), min_size=1, max_size=6),
+    st.integers(1, 3),
+    st.integers(1, 3),
+    st.integers(1, 60),
+)
+def test_avi_container_is_lossless_for_any_frame_sequence(
+    frame_seeds, tw, th, fps
+):
+    """The RIFF/AVI container must return the EXACT JPEG bytes it was
+    given, in order, with the header metadata intact — for any frame
+    count, dimension, and fps (container losslessness is what makes the
+    per-frame codec's exactness argument compose)."""
+    import numpy as np
+
+    from sparkroach.functions.avi import encode_avi_mjpeg, parse_avi_mjpeg
+    from sparkroach.functions.jpeg import encode_jpeg
+
+    w, h = 8 * tw, 8 * th
+    frames = []
+    for s in frame_seeds:
+        rng = np.random.default_rng(s)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        frames.append(encode_jpeg(img, restart_interval=s % 3))
+    avi = encode_avi_mjpeg(frames, w, h, fps=fps)
+    v = parse_avi_mjpeg(avi)
+    assert v["frames"] == frames  # byte-exact, order-preserving
+    assert (v["width"], v["height"], v["n_frames"]) == (w, h, len(frames))
+    assert v["handler"] == "MJPG"
+    assert v["fps"] == 1_000_000 // (1_000_000 // fps)
