@@ -419,6 +419,8 @@ def decode_jpeg(payload: bytes) -> dict:
     data_start = None
     restart_interval = 0
     while pos < len(payload):
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated marker at end of stream")
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = payload[pos + 1]

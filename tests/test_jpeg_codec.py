@@ -127,6 +127,9 @@ def test_decoder_header_marker_honesty():
     broken = b[:i] + b"\xff\xd0" + b[i:]
     with pytest.raises(ValueError, match="standalone marker"):
         decode_jpeg(broken)
+    # header cut mid-marker — clean refusal, not IndexError
+    with pytest.raises(ValueError, match="truncated marker"):
+        decode_jpeg(b[:i] + b"\xff")
 
 
 def test_decoder_rejects_unsupported_variants():
