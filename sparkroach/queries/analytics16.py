@@ -511,3 +511,143 @@ def events_type_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_drift_timeline — consecutive-window drift monitor (r6)
+# ---------------------------------------------------------------------------
+# The production artifact the two drift tests compose into: a TIMELINE of
+# drift scores between each pair of adjacent 6-hour windows — what a
+# pipeline monitor alerts on.  Same grand-scaled chi² recipe as
+# events_type_drift_chi2, applied per adjacent-window pair.  Plan shape:
+# ONE count shuffle on (window, type); each count row then contributes
+# to its two adjacent pairs via a 2-way UNION ALL re-key (no window
+# functions, no global sort, no scalar crossJoins) and a second grouped
+# agg on (pair, type) — everything scales with the number of windows ×
+# types, never with raw event rows.  Pairs exist only where BOTH
+# calendar slots have events (a gap yields no row — absence of data is
+# not drift).
+
+_W6_US = 6 * 3600 * 1_000_000
+
+_DRIFT_TIMELINE_ORACLE = f"""
+    WITH cnt AS (
+        SELECT epoch_us(ts) // {_W6_US} AS win, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    wins AS (SELECT win, CAST(SUM(n) AS BIGINT) AS wn FROM cnt GROUP BY win),
+    pairs AS (
+        SELECT a.win AS p, a.wn AS n_prev, b.wn AS n_curr
+        FROM wins a JOIN wins b ON b.win = a.win + 1
+    ),
+    contrib AS (
+        SELECT win AS p, event_type, n AS ca, CAST(0 AS BIGINT) AS cb
+        FROM cnt
+        UNION ALL
+        SELECT win - 1 AS p, event_type, CAST(0 AS BIGINT) AS ca, n AS cb
+        FROM cnt
+    ),
+    cell AS (
+        SELECT c.p, c.event_type,
+               CAST(SUM(ca) AS BIGINT) AS ca, CAST(SUM(cb) AS BIGINT) AS cb
+        FROM contrib c JOIN pairs ON pairs.p = c.p
+        GROUP BY c.p, c.event_type
+    ),
+    term AS (
+        SELECT cell.p,
+               CAST(
+                   CAST(cell.ca * (pr.n_prev + pr.n_curr)
+                        - pr.n_prev * (cell.ca + cell.cb) AS DOUBLE)
+                   * CAST(cell.ca * (pr.n_prev + pr.n_curr)
+                          - pr.n_prev * (cell.ca + cell.cb) AS DOUBLE)
+                   / CAST(pr.n_prev * (cell.ca + cell.cb) AS DOUBLE)
+                   AS DECIMAL(28,9))
+               + CAST(
+                   CAST(cell.cb * (pr.n_prev + pr.n_curr)
+                        - pr.n_curr * (cell.ca + cell.cb) AS DOUBLE)
+                   * CAST(cell.cb * (pr.n_prev + pr.n_curr)
+                          - pr.n_curr * (cell.ca + cell.cb) AS DOUBLE)
+                   / CAST(pr.n_curr * (cell.ca + cell.cb) AS DOUBLE)
+                   AS DECIMAL(28,9)) AS t_q
+        FROM cell JOIN pairs pr ON pr.p = cell.p
+    )
+    SELECT CAST(pr.p * {_W6_US} AS BIGINT) AS window_start_us,
+           pr.n_prev, pr.n_curr,
+           CAST(SUM(t.t_q) AS DOUBLE) AS chi2_scaled
+    FROM term t JOIN pairs pr ON pr.p = t.p
+    GROUP BY pr.p, pr.n_prev, pr.n_curr
+    ORDER BY window_start_us
+"""
+
+
+@register(
+    "events_drift_timeline",
+    oracle=_DRIFT_TIMELINE_ORACLE,
+    survey_ref="LLM ops: drift monitoring timeline — grand-scaled chi2 "
+    "between every pair of adjacent 6-hour windows' event_type mixes; "
+    "the alerting artifact the KS/chi2 drift tests compose into",
+    description="per adjacent-window-pair categorical drift score: one "
+    "count shuffle on (window, type), a UNION ALL re-key so each count "
+    "feeds its two adjacent pairs, a second grouped agg — no window "
+    "functions, no global sort, no scalar joins; deviations stay "
+    "BIGINT-exact, one IEEE division per cell, DECIMAL(28,9) "
+    "quantization before the order-insensitive per-pair sum; gaps "
+    "yield no pair (absence of data is not drift)",
+    gated=False,
+)
+def events_drift_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        (F.unix_micros("ts") / F.lit(_W6_US)).cast("long").alias("win"),
+        "event_type",
+    )
+    cnt = ev.groupBy("win", "event_type").agg(F.count("*").alias("n"))
+    wins = cnt.groupBy("win").agg(F.sum("n").alias("wn"))
+    pairs = (
+        wins.alias("a")
+        .join(wins.alias("b"), F.col("b.win") == F.col("a.win") + 1)
+        .select(
+            F.col("a.win").alias("p"),
+            F.col("a.wn").alias("n_prev"),
+            F.col("b.wn").alias("n_curr"),
+        )
+    )
+    contrib = cnt.select(
+        F.col("win").alias("p"), "event_type",
+        F.col("n").alias("ca"), F.lit(0).cast("long").alias("cb"),
+    ).unionByName(
+        cnt.select(
+            (F.col("win") - 1).alias("p"), "event_type",
+            F.lit(0).cast("long").alias("ca"), F.col("n").alias("cb"),
+        )
+    )
+    cell = (
+        contrib.join(pairs.select("p"), "p")
+        .groupBy("p", "event_type")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    j = cell.join(pairs, "p")
+    grand = F.col("n_prev") + F.col("n_curr")
+    ct = F.col("ca") + F.col("cb")
+    dev_a = (F.col("ca") * grand - F.col("n_prev") * ct).cast("double")
+    dev_b = (F.col("cb") * grand - F.col("n_curr") * ct).cast("double")
+    t_q = (
+        (dev_a * dev_a / (F.col("n_prev") * ct).cast("double")).cast(
+            "decimal(28,9)"
+        )
+        + (dev_b * dev_b / (F.col("n_curr") * ct).cast("double")).cast(
+            "decimal(28,9)"
+        )
+    )
+    return (
+        j.select("p", "n_prev", "n_curr", t_q.alias("t_q"))
+        .groupBy("p", "n_prev", "n_curr")
+        .agg(F.sum("t_q").cast("double").alias("chi2_scaled"))
+        .select(
+            (F.col("p") * F.lit(_W6_US)).cast("long").alias("window_start_us"),
+            "n_prev",
+            "n_curr",
+            "chi2_scaled",
+        )
+        .orderBy("window_start_us")
+    )

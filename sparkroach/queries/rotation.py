@@ -279,6 +279,13 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "the drift-specific machinery (distributed prefix pass) is pinned "
         "by the events_value_ks_drift gate",
     ),
+    "events_drift_timeline": (
+        "temperature_mix_weights",
+        "two grouped aggs + equi-joins with the same DECIMAL(28,9) "
+        "quantized-term summation; per-pair chi2 arithmetic identical to "
+        "events_type_drift_chi2, re-keyed by a UNION ALL (the explode->agg "
+        "shape recorded across the unpivot/rollup gates)",
+    ),
 }
 
 
