@@ -528,3 +528,65 @@ def test_max_partition_bytes_controls_scan_parallelism(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_cbo_stats_reorder_joins(spark):
+    """Cost-based optimization pin (complements the AQE runtime pins):
+    with ANALYZE'd column statistics on catalog tables, enabling CBO +
+    joinReorder must rewrite a deliberately bad join order (fact table
+    first) into dimension-first — the static-planning lever that, at
+    100 TB, composes with AQE: CBO fixes the join ORDER from stats
+    before execution, AQE fixes strategies/skew from runtime sizes."""
+    import re
+
+    sf = SF_SMALL
+    tables = ("nation", "customer", "orders")
+    for t in tables:
+        spark.read.parquet(f"{sf}/{t}.parquet").write.mode(
+            "overwrite"
+        ).saveAsTable(f"cbo_{t}")
+        spark.sql(f"ANALYZE TABLE cbo_{t} COMPUTE STATISTICS FOR ALL COLUMNS")
+    q = """
+        SELECT n.n_name, count(*) AS n
+        FROM cbo_orders o
+        JOIN cbo_customer c ON c.c_custkey = o.o_custkey
+        JOIN cbo_nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+    """
+
+    def scan_order(enabled: str) -> list[str]:
+        prev = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.cbo.enabled",
+                "spark.sql.cbo.joinReorder.enabled",
+            )
+        }
+        spark.conf.set("spark.sql.cbo.enabled", enabled)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", enabled)
+        try:
+            plan = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+        seen: list[str] = []
+        for t in re.findall(r"cbo_(\w+)", plan):
+            if t not in seen:
+                seen.append(t)
+        return seen
+
+    try:
+        baseline = scan_order("false")
+        reordered = scan_order("true")
+        # without CBO the plan follows the written (fact-first) order
+        assert baseline[0] == "orders", baseline
+        # with stats + CBO the fact table moves off the front: the
+        # optimizer builds the small dimension side first
+        assert reordered[0] != "orders", reordered
+        assert set(reordered) == {"orders", "customer", "nation"}
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
