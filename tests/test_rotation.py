@@ -28,15 +28,17 @@ from sparkroach.queries.rotation import (
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _recorded_green() -> set[str]:
+def _recorded_green(files: list[str] | None = None) -> set[str]:
     """Names with at least one GREEN driver recording.
 
     Green = rows_match AND schema_match AND hash_match all true.  The
     rows-only exemption applies ONLY to names in ROWS_ONLY (no oracle by
     design): any recording with spark_rows >= 0 counts for those.
     """
+    if files is None:
+        files = glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))
     names: set[str] = set()
-    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json")):
+    for f in files:
         for name, rec in json.load(open(f)).items():
             if name in ROWS_ONLY:
                 if (rec.get("spark_rows") or -1) >= 0:
@@ -67,11 +69,57 @@ def test_every_query_has_a_declared_disposition():
     )
 
 
-def test_red_recordings_do_not_count_as_recorded():
-    # the r5 red row must NOT satisfy the recorded disposition — it needs
-    # a green re-record, enforced by its ACTIVE_WINDOW pin
-    assert "inverted_index_postings" not in _recorded_green()
-    assert "inverted_index_postings" in ACTIVE_WINDOW
+def test_red_recordings_do_not_count_as_recorded(tmp_path):
+    # Pin the MECHANISM (the r5 ledger lesson), not live history: a row
+    # with any match flag false must not satisfy the recorded disposition;
+    # an all-green row must.  (The r6 verdict: the previous version of this
+    # test asserted against live CORRECTNESS files and went red the moment
+    # the driver delivered the green re-record it was built to produce.)
+    fixture = tmp_path / "CORRECTNESS_r0X.json"
+    fixture.write_text(
+        json.dumps(
+            {
+                "red_row": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": False,
+                    "spark_rows": 5,
+                    "oracle_rows": 5,
+                },
+                "green_row": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                    "spark_rows": 5,
+                    "oracle_rows": 5,
+                },
+                "errored_row": {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": -1,
+                    "oracle_rows": -1,
+                    "err": "boom",
+                },
+            }
+        )
+    )
+    names = _recorded_green([str(fixture)])
+    assert "red_row" not in names
+    assert "errored_row" not in names
+    assert "green_row" in names
+
+
+def test_r5_red_rerecord_landed_green_in_r6():
+    # History regression pin with explicit file scoping (no expiry): the
+    # inverted_index_postings row is red in the r1–r5 files and green from
+    # the r6 file on — both halves must keep holding as rounds accumulate.
+    r1_to_r5 = [
+        os.path.join(REPO, f"CORRECTNESS_r0{n}.json") for n in range(1, 6)
+    ]
+    r1_to_r5 = [f for f in r1_to_r5 if os.path.exists(f)]
+    assert "inverted_index_postings" not in _recorded_green(r1_to_r5)
+    assert "inverted_index_postings" in _recorded_green()
 
 
 def test_dispositions_are_disjoint_and_names_exist():
