@@ -122,6 +122,10 @@ def parse_avi_mjpeg(payload: bytes) -> dict:
     ``frames`` is the list of '00dc'/'00db' chunk payloads in stream
     order.  Fails cleanly on non-RIFF input, a non-AVI form type, or a
     truncated chunk."""
+    if len(payload) < 12:
+        raise ValueError(
+            f"not a RIFF file ({len(payload)} bytes, preamble needs 12)"
+        )
     if payload[:4] != b"RIFF":
         raise ValueError("not a RIFF file")
     (riff_len,) = struct.unpack_from("<I", payload, 4)
@@ -151,12 +155,23 @@ def parse_avi_mjpeg(payload: bytes) -> dict:
             if fourcc == b"LIST":
                 walk(body_start + 4, body_end)  # skip the list type
             elif fourcc == b"avih":
+                # fixed-struct chunks must DECLARE at least the struct
+                # size — unpack_from would otherwise read past the chunk
+                # body into neighboring bytes (r6 advice)
+                if size < 56:
+                    raise ValueError(
+                        f"avih chunk declares {size} bytes, needs 56"
+                    )
                 vals = struct.unpack_from("<14I", payload, body_start)
                 meta["fps"] = 1_000_000 // vals[0] if vals[0] else 0
                 meta["n_frames"] = vals[4]
                 meta["width"] = vals[8]
                 meta["height"] = vals[9]
             elif fourcc == b"strh":
+                if size < 8:
+                    raise ValueError(
+                        f"strh chunk declares {size} bytes, needs >= 8"
+                    )
                 if payload[body_start : body_start + 4] == b"vids":
                     meta["handler"] = payload[
                         body_start + 4 : body_start + 8

@@ -271,9 +271,18 @@ def sessions_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distributed prefix-sum recipe sessions_concurrency_peak pins (range
 # partition + local running sums + O(partitions) broadcast offsets — no
 # single-partition window).  Both samples ride ONE prefix pass: the two
-# per-value counts are packed into one 64-bit accumulator
-# (ca*2^32 + cb), exact while each sample holds < 2^32 rows — beyond
-# that, widen to two passes (the recipe is linear either way).
+# per-value counts are packed into one SIGNED 64-bit accumulator
+# (ca*2^32 + cb), exact while each sample holds < 2^31 rows (the running
+# high half ra*2^32 must stay below 2^63; that bound also keeps the
+# numerator |ra*n_b - rb*n_a| < 2^62) — beyond that, widen to two
+# prefix passes (the recipe is linear either way).  A runtime guard
+# (_KS_PACK_MAX) raises instead of silently overflowing.
+
+# Single-pass packed-prefix exactness bound: each sample must hold
+# < 2^31 rows so the running high half (ra * 2^32) stays inside a signed
+# 64-bit long and |ra*n_b - rb*n_a| < 2^62.  Module-level so tests can
+# exercise the guard without materializing 2^31 rows.
+_KS_PACK_MAX = 1 << 31
 
 _KS_ORACLE = """
     WITH bounds AS (
@@ -330,8 +339,9 @@ _KS_ORACLE = """
     "second half of the time range), integer-numerator rational "
     "arithmetic with one final IEEE division",
     description="two-sample KS as a distributed prefix sum: per-value "
-    "counts of both samples packed into one 64-bit running accumulator "
-    "(ca*2^32+cb, exact below 2^32 rows per sample) through the "
+    "counts of both samples packed into one signed-64-bit running "
+    "accumulator (ca*2^32+cb, exact below 2^31 rows per sample — "
+    "runtime-guarded, not silent) through the "
     "range-partitioned prefix recipe — no single-partition window; "
     "D's numerator |ra*n_b - rb*n_a| stays integer so both engines "
     "agree bit-for-bit; ks_at_value is the smallest value attaining "
@@ -360,15 +370,34 @@ def events_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "comb", F.col("ca") * F.lit(4294967296) + F.col("cb")
     )
     run = running_global_sum(packed, "value", "comb")
+    # Runtime overflow guard: assert_true raises (instead of silently
+    # corrupting the packed accumulator) if either sample reaches the
+    # 2^31-row single-pass bound; on success it evaluates to NULL, so the
+    # coalesce leaves `numer` untouched and the output schema unchanged.
+    guard = F.coalesce(
+        F.assert_true(
+            (F.col("n_a") < F.lit(_KS_PACK_MAX))
+            & (F.col("n_b") < F.lit(_KS_PACK_MAX)),
+            F.lit(
+                "events_value_ks_drift: packed single-pass prefix is exact "
+                "only below 2^31 rows per sample; run the two-pass variant"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
     d = (
         run.join(F.broadcast(tot))
         .select(
             "value",
             "n_a",
             "n_b",
-            F.abs(
-                F.shiftright("running", 32) * F.col("n_b")
-                - F.col("running").bitwiseAND(F.lit(4294967295)) * F.col("n_a")
+            (
+                F.abs(
+                    F.shiftright("running", 32) * F.col("n_b")
+                    - F.col("running").bitwiseAND(F.lit(4294967295))
+                    * F.col("n_a")
+                )
+                + guard
             ).alias("numer"),
         )
     )
@@ -598,7 +627,10 @@ _DRIFT_TIMELINE_ORACLE = f"""
 )
 def events_drift_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
-        (F.unix_micros("ts") / F.lit(_W6_US)).cast("long").alias("win"),
+        # integer floor division (div), matching the oracle's `//` exactly —
+        # float division + cast('long') truncates toward zero, diverging for
+        # pre-epoch timestamps and losing exactness past 2^53 micros
+        F.expr(f"unix_micros(ts) div {_W6_US}").alias("win"),
         "event_type",
     )
     cnt = ev.groupBy("win", "event_type").agg(F.count("*").alias("n"))

@@ -1683,14 +1683,21 @@ def _emb_int8_qdot():
                 (A.astype(np.int32) * B.astype(np.int32)).sum(axis=1)
             )
         # ragged batch (mixed dims / empties): per-pair fallback — the
-        # reshape above would raise ValueError on non-uniform lengths
+        # reshape above would raise ValueError on non-uniform lengths.
+        # Empty/None payloads score 0; a cross-column DIMENSION MISMATCH
+        # between two non-empty vectors raises, matching the uniform fast
+        # path (which would fail the reshape) — never a silent truncation
         out = np.zeros(len(a), dtype=np.int64)
         for i, (pa, pb) in enumerate(zip(a, b)):
             if pa and pb:
                 va = np.frombuffer(pa, dtype=np.int8).astype(np.int32)
                 vb = np.frombuffer(pb, dtype=np.int8).astype(np.int32)
-                n = min(va.size, vb.size)
-                out[i] = int((va[:n] * vb[:n]).sum())
+                if va.size != vb.size:
+                    raise ValueError(
+                        f"int8 qdot: dimension mismatch {va.size} != "
+                        f"{vb.size} — refusing to truncate"
+                    )
+                out[i] = int((va * vb).sum())
         return pd.Series(out)
 
     return pandas_udf(qdot, "int")

@@ -87,6 +87,23 @@ def test_parser_honesty():
         parse_avi_mjpeg(good[:-7])
     with pytest.raises(ValueError, match="at least one frame"):
         encode_avi_mjpeg([], 16, 16)
+    # r6 ADVICE hardening: sub-preamble payloads raise ValueError (not
+    # struct.error), and fixed-struct chunks lying about their size fail
+    # instead of unpack_from reading past the declared body
+    for n in range(12):
+        with pytest.raises(ValueError, match="RIFF"):
+            parse_avi_mjpeg(b"RIFF\x04\x00\x00\x00AVI "[:n])
+    short_avih = (
+        b"AVI "
+        + b"avih" + struct.pack("<I", 8) + b"\x00" * 8
+    )
+    lying = b"RIFF" + struct.pack("<I", len(short_avih)) + short_avih
+    with pytest.raises(ValueError, match="avih chunk declares 8"):
+        parse_avi_mjpeg(lying)
+    short_strh = b"AVI " + b"strh" + struct.pack("<I", 4) + b"vids"
+    lying2 = b"RIFF" + struct.pack("<I", len(short_strh)) + short_strh
+    with pytest.raises(ValueError, match="strh chunk declares 4"):
+        parse_avi_mjpeg(lying2)
 
 
 def test_gate_matches_oracle(spark):

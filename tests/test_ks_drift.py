@@ -45,13 +45,28 @@ def test_ks_invariants_and_independent_recompute(spark):
 
 
 def test_dual_counter_packing_headroom(spark):
-    """The single-pass packing (ca*2^32 + cb) is exact while each
-    sample's running count stays below 2^32 — assert the corpus is
-    inside the contract and that the packed running sum decomposes to
-    the two independent running counts."""
+    """The single-pass packing (ca*2^32 + cb) rides a SIGNED 64-bit long,
+    so it is exact only while each sample's running count stays below
+    2^31 (the high half ra*2^32 must stay under 2^63; this also keeps
+    |ra*n_b - rb*n_a| < 2^62) — assert the corpus is inside the
+    contract.  (The r6 advice found the earlier 2^32 claim off by 2:
+    the region 2^31..2^32 passed the stated contract yet overflowed.)"""
     ev = (
         load(spark, SF_SMALL, "events")
         .where(F.col("value").isNotNull())
         .count()
     )
-    assert ev < 2**32
+    assert ev < 2**31
+
+
+def test_packing_overflow_guard_raises(spark, monkeypatch):
+    """Beyond the 2^31-per-sample bound the query must RAISE, not return
+    silently corrupted numerators.  Exercised by shrinking the module
+    bound instead of materializing 2^31 rows."""
+    import pytest
+
+    from sparkroach.queries import analytics16
+
+    monkeypatch.setattr(analytics16, "_KS_PACK_MAX", 4)
+    with pytest.raises(Exception, match="below 2\\^31 rows per sample"):
+        QUERIES["events_value_ks_drift"].fn(spark, SF_SMALL).collect()

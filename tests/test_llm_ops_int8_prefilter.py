@@ -209,3 +209,26 @@ def test_qdot_ragged_batch(spark):
     qdot = _emb_int8_qdot()
     rows = df.select(qdot("a", "b").alias("iq")).collect()
     assert [r.iq for r in rows] == [11, 0, 15, 0]
+
+
+def test_qdot_ragged_dimension_mismatch_raises(spark):
+    """A cross-column dimension mismatch between two NON-EMPTY vectors
+    must raise in the ragged fallback too (r6 ADVICE: it used to
+    silently truncate to min(len) there, while the uniform fast path
+    raised on the same bad input)."""
+    import pandas as pd
+    import pytest
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                # the empty-bytes row makes the batch ragged, routing the
+                # mismatched pair through the per-pair fallback
+                "a": [b"", bytes([1, 2, 3])],
+                "b": [bytes([9]), bytes([4, 5])],
+            }
+        )
+    ).coalesce(1)
+    qdot = _emb_int8_qdot()
+    with pytest.raises(Exception, match="dimension mismatch"):
+        df.select(qdot("a", "b").alias("iq")).collect()
