@@ -165,16 +165,66 @@ ROWS_ONLY: frozenset[str] = frozenset({"chain_end_to_end"})
 # re-record, and the rows-only chain gate.
 R6_WINDOW: frozenset[str] = R6_ROTATION | R6_RERECORD | ROWS_ONLY
 
-# The window applied this round.
-ACTIVE_WINDOW: frozenset[str] | None = R6_WINDOW
+# Round-7 promotion: the ENTIRE r6 delegation set (preserved below as
+# R6_DELEGATED) converted into hard driver signal.  Delegation was a
+# rationing device from when the backlog exceeded the window; with the
+# registry closed (r6 verdict: 198 driver-green + 24 delegated + 1
+# rows-only = 223, zero undisposed) the 24 delegated queries are the only
+# remaining gap between "every query" and "every query the driver has
+# verified".  All 24 are local-oracle green at three SFs; the r6 judge
+# independently re-verified 10 of them at sf0.01.
+R7_PROMOTED: frozenset[str] = frozenset(
+    {
+        "ann_ivfpq_rerank",
+        "cms_join_size_estimate",
+        "customer_k_anonymity_ladder",
+        "dedup_threshold_sweep",
+        "denylist_scrub_report",
+        "doc_containment_pairs",
+        "doc_shingle_novelty",
+        "docs_explode_outer_census",
+        "docs_levenshtein_verify",
+        "docs_sorted_neighborhood_pairs",
+        "embedding_triplet_mining",
+        "events_active_day_streaks",
+        "events_approx_quantile_check",
+        "events_drift_timeline",
+        "events_ewma_dyadic",
+        "events_interarrival_stats",
+        "events_sliding_window_rollup",
+        "events_trailing_hour_peak",
+        "events_type_drift_chi2",
+        "lang_id_confusion",
+        "orders_monthly_seasonality",
+        "orders_priority_rollup",
+        "orders_profile_report",
+        "token_cosine_pairs",
+    }
+)
 
-# Permanent delegation to the LOCAL oracle sweep: SQL-shape variants whose
-# execution path is already driver-proven by the named twin (recorded, or
-# pinned in R5_WINDOW/R6_ROTATION).  Still registered, still value-checked
-# against DuckDB at three SFs every round by tests/test_oracle_gate.py and
-# `python -m sparkroach.oracle`; they just never occupy driver slots.
+# Queries registered during round 7 (novel execution paths — each needs
+# its own driver recording).
+R7_NEW: frozenset[str] = frozenset()
+
+# Round-7 driver window: every formerly-delegated query, r7-new
+# registrations, and the rows-only chain gate.
+R7_WINDOW: frozenset[str] = R7_PROMOTED | R7_NEW | ROWS_ONLY
+
+# The window applied this round.
+ACTIVE_WINDOW: frozenset[str] | None = R7_WINDOW
+
+# Active delegation set: EMPTY since round 7 — the whole r6 delegation
+# set was promoted into the driver window (R7_PROMOTED above), so every
+# registered query either has (or is pinned to get) a hard driver
+# recording.  The mechanism stays: a future round with more new queries
+# than free slots re-populates this dict.
 # name -> (driver-proven twin, one-line justification)
-DELEGATED: dict[str, tuple[str, str]] = {
+DELEGATED: dict[str, tuple[str, str]] = {}
+
+# HISTORICAL — the r5/r6 delegation set, kept for the ledger (these 24
+# ran r5–r6 under local-oracle-only verification with the named
+# driver-proven twin; promoted wholesale in r7).
+R6_DELEGATED: dict[str, tuple[str, str]] = {
     "orders_priority_rollup": (
         "docs_grouping_sets",
         "GROUP BY ROLLUP shape; grouping-set execution recorded via the "
