@@ -2364,10 +2364,12 @@ def _ivf_multiprobe(spark: SparkSession, sf_dir: str, n_probes: int) -> DataFram
 
 
 def _ivf_multiprobe_parts(
-    spark: SparkSession, sf_dir: str, n_probes: int
+    spark: SparkSession, sf_dir: str, n_probes: int, n_queries: int = N_QUERIES
 ) -> tuple[DataFrame, DataFrame]:
     """(probes (q_id, label), top-k result) — probes exposed so
-    ann_recall_report can count scanned candidates per query."""
+    ann_recall_report can count scanned candidates per query, and the
+    query-id bound is a parameter so the PQ dial sweep (stress.py) can
+    route a wider query set through the identical stage-1 plan."""
     e = load(spark, sf_dir, "embeddings")
     # decimal-exact element-wise centroid means per label
     dims = (
@@ -2385,7 +2387,7 @@ def _ivf_multiprobe_parts(
             F.sort_array(F.collect_list(F.struct("i", "v"))), lambda s: s["v"]
         ).alias("ce")
     )
-    q = e.where(F.col("vec_id") < N_QUERIES).select(
+    q = e.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("ve")
     )
     # rank centroids per query; probe the top N_PROBES labels

@@ -350,15 +350,20 @@ _PQ_DSUB = 8  # dims per subvector
 _PQ_K = 16  # centroids per subvector → 4 bits/code, M bytes/vector total
 
 
-def _pq_codebook() -> list[list[list[float]]]:
+def _pq_codebook(
+    m: int = _PQ_M, k: int = _PQ_K, dsub: int = _PQ_DSUB
+) -> list[list[list[float]]]:
     """Deterministic codebook: centroid[m][k][j] = (md5int % 2001 − 1000)/1000
     ∈ [−1, 1] with 3 decimals.  Computed driver-side (hashlib) and embedded
     as NUMERIC LITERALS in both engines' expressions, so there is no
     cross-engine hash arithmetic to keep in sync — both engines parse the
     identical decimal literal to the identical double (correctly-rounded
     strtod).  A production pipeline would train these with k-means (see
-    ann_ivf_kmeans for the trained-centroid pattern); the ADC machinery is
-    identical either way."""
+    ann_ivf_kmeans for the trained-centroid pattern, and
+    stress.train_pq_codebook for the sampled per-subspace training the
+    PQ dial sweep measures); the ADC machinery is identical either way.
+    Parameterized (m × k = codebook resolution, the production recall
+    dial — SCALE.md §11) with the gate-pinned defaults."""
     import hashlib
 
     def md5i(s: str) -> int:
@@ -367,12 +372,12 @@ def _pq_codebook() -> list[list[list[float]]]:
     return [
         [
             [
-                (md5i(f"pq|{m}|{k}|{j}") % 2001 - 1000) / 1000.0
-                for j in range(_PQ_DSUB)
+                (md5i(f"pq|{mi}|{ki}|{j}") % 2001 - 1000) / 1000.0
+                for j in range(dsub)
             ]
-            for k in range(_PQ_K)
+            for ki in range(k)
         ]
-        for m in range(_PQ_M)
+        for mi in range(m)
     ]
 
 
@@ -419,45 +424,69 @@ def _pq_code_expr(m: int) -> str:
 # for the non-negative squared terms, so the summation order — and hence
 # every bit of the result — is unchanged.
 
-_PQ_CB_LIT = "array(" + ", ".join(
-    "array(" + ", ".join(
-        "array(" + ", ".join(repr(c) for c in _PQ_CB[m][k]) + ")"
-        for k in range(_PQ_K)
+def _pq_cb_lit(cb: list[list[list[float]]]) -> str:
+    """The codebook as ONE constant-folded nested-array Spark literal."""
+    return "array(" + ", ".join(
+        "array(" + ", ".join(
+            "array(" + ", ".join(repr(c) for c in row) + ")"
+            for row in sub
+        ) + ")"
+        for sub in cb
     ) + ")"
-    for m in range(_PQ_M)
-) + ")"
 
 
-def _pq_sqdist_hof(vec: str, m_var: str, k_var: str) -> str:
+_PQ_CB_LIT = _pq_cb_lit(_PQ_CB)
+
+
+def _pq_sqdist_hof(
+    vec: str,
+    m_var: str,
+    k_var: str,
+    cb_lit: str = _PQ_CB_LIT,
+    dsub: int = _PQ_DSUB,
+) -> str:
     """||vec_sub − centroid[m][k]||² as an aggregate() fold (j ascending,
     left-assoc — the unrolled form's order)."""
-    el = f"CAST(element_at({vec}, {m_var} * {_PQ_DSUB} + j) AS DOUBLE)"
+    el = f"CAST(element_at({vec}, {m_var} * {dsub} + j) AS DOUBLE)"
     c = (
-        f"element_at(element_at(element_at({_PQ_CB_LIT}, {m_var} + 1), "
+        f"element_at(element_at(element_at({cb_lit}, {m_var} + 1), "
         f"{k_var} + 1), j)"
     )
     return (
-        f"aggregate(sequence(1, {_PQ_DSUB}), CAST(0.0 AS DOUBLE), "
+        f"aggregate(sequence(1, {dsub}), CAST(0.0 AS DOUBLE), "
         f"(acc, j) -> acc + (({el}) - ({c})) * (({el}) - ({c})))"
     )
 
 
-def _pq_codes_hof_expr(vec: str = "embedding") -> str:
+def _pq_codes_hof_expr(
+    vec: str = "embedding",
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    dsub: int = _PQ_DSUB,
+    cb_lit: str = _PQ_CB_LIT,
+) -> str:
     """codes[m] = argmin_k dist(vec_sub_m, centroid[m][k]) — same
     struct-min tie rule as _pq_code_expr, loop-compiled."""
     return (
-        f"transform(sequence(0, {_PQ_M - 1}), m -> "
-        f"array_min(transform(sequence(0, {_PQ_K - 1}), k -> "
-        f"named_struct('d', {_pq_sqdist_hof(vec, 'm', 'k')}, 'k', k))).k)"
+        f"transform(sequence(0, {m - 1}), m -> "
+        f"array_min(transform(sequence(0, {k - 1}), k -> "
+        f"named_struct('d', {_pq_sqdist_hof(vec, 'm', 'k', cb_lit, dsub)}, "
+        f"'k', k))).k)"
     )
 
 
-def _pq_lut_hof_expr(vec: str = "qe") -> str:
+def _pq_lut_hof_expr(
+    vec: str = "qe",
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    dsub: int = _PQ_DSUB,
+    cb_lit: str = _PQ_CB_LIT,
+) -> str:
     """lut[m][k] = ||vec_sub_m − centroid[m][k]||², loop-compiled."""
     return (
-        f"transform(sequence(0, {_PQ_M - 1}), m -> "
-        f"transform(sequence(0, {_PQ_K - 1}), k -> "
-        f"{_pq_sqdist_hof(vec, 'm', 'k')}))"
+        f"transform(sequence(0, {m - 1}), m -> "
+        f"transform(sequence(0, {k - 1}), k -> "
+        f"{_pq_sqdist_hof(vec, 'm', 'k', cb_lit, dsub)}))"
     )
 
 

@@ -506,6 +506,309 @@ def run_ann(spark, sf_dir: str, verify: bool = False) -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# PQ dial sweep (r7): recall@10 vs codebook resolution × shortlist depth
+# ---------------------------------------------------------------------------
+# VERDICT r6 item 3 (the one `weak`): ivfpq_rerank recall@10 was 0.36 at
+# 100k vectors with the gate-pinned dial (m=8, 4-bit codes, shortlist 24).
+# Stage 1 (k-means IVF routing) measured recall 1.0 at 100k (§11), so the
+# loss is entirely the ADC shortlist cut — the production dial is codebook
+# resolution (m × nbits = bytes/vector) × shortlist depth.  This sweep
+# measures that dial with the SAME parameterized expressions the gate
+# queries compile (llm_ops2._pq_codes_hof_expr/_pq_lut_hof_expr), plus a
+# sampled per-subspace k-means TRAINED codebook (the FAISS offline
+# training step) as the quality ceiling at each resolution.  Rerank
+# recall@10 at shortlist s equals |truth∩ADC-top-s|/|truth| exactly: the
+# exact-cosine rerank of a shortlist surfaces every true top-k member the
+# shortlist contains (no true member can be outranked by a non-member).
+
+PQ_SWEEP_DIALS = (
+    # (m, nbits, trained)
+    (8, 4, False),  # gate-pinned dial — the r6-measured weak point
+    (16, 4, False),
+    (8, 8, False),
+    (16, 8, False),
+    (8, 8, True),  # trained codebooks: the production answer
+    (16, 8, True),
+)
+PQ_SWEEP_SHORTLISTS = (10, 40, 160, 640)  # 1×/4×/16×/64× top-k
+PQ_SWEEP_NPROBES = (1, 2, 4)  # label-centroid multiprobe widths (stage 1)
+PQ_SWEEP_N_QUERIES = 32
+_EMB_DIM = 64
+
+
+def train_pq_codebook(
+    spark,
+    sf_dir: str,
+    m: int,
+    k: int,
+    dsub: int,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 7,
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd k-means on a deterministic corpus sample —
+    FAISS's offline PQ training step.  Sample = a fixed vec_id stride
+    (order-free, coordination-free: every worker/rerun picks the same
+    rows), size- and iteration-bounded, trained driver-side in numpy
+    (training is O(sample·k·dsub) — offline and tiny next to the corpus
+    scan it parameterizes).  Centroids round to 6 decimals so both
+    engines parse identical literals."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = e.count()
+    stride = max(1, n // sample)
+    rows = (
+        e.select("vec_id", "embedding")
+        .where(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cb = []
+    for mi in range(m):
+        S = X[:, mi * dsub : (mi + 1) * dsub]
+        idx = rng.choice(len(S), size=min(k, len(S)), replace=False)
+        C = S[idx].copy()
+        if len(C) < k:  # degenerate tiny sample: pad by repetition
+            C = np.vstack([C] * (k // len(C) + 1))[:k]
+        for _ in range(iters):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for ki in range(k):
+                pts = S[a == ki]
+                if len(pts):
+                    C[ki] = pts.mean(axis=0)
+        cb.append(
+            [[round(float(v), 6) for v in C[ki]] for ki in range(k)]
+        )
+    return cb
+
+
+def _np_pq_codes_udf(cb: list[list[list[float]]]):
+    """Arrow-batched PQ encoder: codes[m] = argmin_k ||sub − C[m][k]||².
+
+    Vectorized numpy with numpy's argmin (first minimum → lowest k, the
+    SAME tie rule as the gate queries' array_min-struct expressions).
+    The sweep uses this instead of the HOF expressions purely for wall
+    time (k=256 dials are ~100× faster through Arrow); the gate queries
+    pin the HOF-expr plans, and tests/test_stress.py pins this encoder
+    equal to the HOF expression on the gate dial."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cb, dtype=np.float64)  # m × k × dsub
+
+    def enc(col):
+        m, _k, dsub = C.shape
+        X = np.stack(col.to_numpy()).astype(np.float64)
+        codes = np.empty((X.shape[0], m), dtype=np.int32)
+        for mi in range(m):
+            S = X[:, mi * dsub : (mi + 1) * dsub]
+            d = ((S[:, None, :] - C[mi][None, :, :]) ** 2).sum(axis=2)
+            codes[:, mi] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return pandas_udf(enc, "array<int>")
+
+
+def run_pq_sweep(spark, sf_dir: str) -> dict:
+    import numpy as np
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from sparkroach.queries.llm_ops import (
+        _DOT,
+        _NORM,
+        TOP_K,
+        _ivf_kmeans_parts,
+        _ivf_multiprobe_parts,
+    )
+    from sparkroach.queries.llm_ops2 import _pq_codebook
+
+    nq = PQ_SWEEP_N_QUERIES
+    out: dict = {"sf_dir": sf_dir, "n_queries": nq, "top_k": TOP_K, "dials": []}
+    e = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .select("vec_id", "embedding")
+    )
+    out["n_vecs"] = e.count()
+
+    # brute-force ground truth over nq queries (production cosine exprs)
+    cosine = F.round(
+        F.expr(_DOT)
+        / (F.expr(_NORM.format(col="qe")) * F.expr(_NORM.format(col="ce"))),
+        6,
+    )
+    qv = e.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    cv = e.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce")
+    )
+    wt = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id")
+    )
+    t0 = time.time()
+    truth = (
+        cv.join(F.broadcast(qv))
+        .where(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(wt))
+        .where(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id")
+        .localCheckpoint(eager=True)
+    )
+    n_truth = truth.count()
+    out["truth_wall_s"] = round(time.time() - t0, 2)
+
+    # -- stage-1 routing configs: whose cells do queries probe? ----------
+    # "kmeans@1": the trained 8-cell k-means assignment (the r6 gate
+    # shape); "label_mp@p": multiprobe over the per-label centroid means
+    # (fine cells — nv/100 of them on the stress corpus — the production
+    # routing at scale).  Each yields (probes (q_id, cell), members
+    # (c_id, cell)); the candidate set is their equi-join, and its
+    # truth overlap is the dial-independent recall CEILING.
+    t0 = time.time()
+    assign = _ivf_kmeans_parts(spark, sf_dir)[0].localCheckpoint(eager=True)
+    out["ivf_assign_wall_s"] = round(time.time() - t0, 2)
+    e_lab = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).select("vec_id", "label")
+
+    probes_by, members_by = {}, {}
+    probes_by["kmeans@1"] = (
+        assign.where(F.col("vec_id") < nq)
+        .select(F.col("vec_id").alias("q_id"), F.col("cluster").alias("cell"))
+        .localCheckpoint(eager=True)
+    )
+    members_by["kmeans@1"] = assign.select(
+        F.col("vec_id").alias("c_id"), F.col("cluster").alias("cell")
+    )
+    label_members = e_lab.select(
+        F.col("vec_id").alias("c_id"), F.col("label").alias("cell")
+    )
+    for p in PQ_SWEEP_NPROBES:
+        probes_by[f"label_mp@{p}"] = (
+            _ivf_multiprobe_parts(spark, sf_dir, p, n_queries=nq)[0]
+            .select("q_id", F.col("label").alias("cell"))
+            .localCheckpoint(eager=True)
+        )
+        members_by[f"label_mp@{p}"] = label_members
+
+    out["stage1"] = {}
+    for s1, probes in probes_by.items():
+        cand = probes.join(members_by[s1], "cell").where(
+            F.col("c_id") != F.col("q_id")
+        )
+        n_cand = cand.count()
+        reach = cand.join(truth, ["q_id", "c_id"]).count()
+        out["stage1"][s1] = {
+            "recall_ceiling": round(reach / n_truth, 4),
+            "avg_candidates": round(n_cand / nq, 1),
+            "corpus_frac_scanned": round(
+                n_cand / nq / max(1, out["n_vecs"] - 1), 4
+            ),
+        }
+
+    # the nq query vectors, collected once (bounded) — LUTs are computed
+    # driver-side in numpy and shipped as a tiny broadcast DataFrame
+    qrows = sorted(qv.collect(), key=lambda r: r.q_id)
+
+    max_s = max(PQ_SWEEP_SHORTLISTS)
+    for m, nbits, trained in PQ_SWEEP_DIALS:
+        k, dsub = 1 << nbits, _EMB_DIM // m
+        t0 = time.time()
+        cb = (
+            train_pq_codebook(spark, sf_dir, m, k, dsub)
+            if trained
+            else _pq_codebook(m, k, dsub)
+        )
+        train_s = round(time.time() - t0, 2)
+
+        # encode the corpus ONCE per dial (Arrow path, bit-identical to
+        # the gate HOF expressions — tests/test_stress.py), reuse across
+        # every stage-1 config
+        t0 = time.time()
+        enc = _np_pq_codes_udf(cb)
+        codes = (
+            e.select(
+                F.col("vec_id").alias("c_id"), enc("embedding").alias("codes")
+            )
+            .localCheckpoint(eager=True)
+        )
+        codes.count()
+        encode_s = round(time.time() - t0, 2)
+
+        C = np.asarray(cb, dtype=np.float64)
+        luts = []
+        for r in qrows:
+            x = np.asarray(r.qe, dtype=np.float64)
+            lut = [
+                [
+                    float(((x[mi * dsub : (mi + 1) * dsub] - C[mi][ki]) ** 2).sum())
+                    for ki in range(k)
+                ]
+                for mi in range(m)
+            ]
+            luts.append((r.q_id, lut))
+        qlut = spark.createDataFrame(luts, "q_id long, lut array<array<double>>")
+        adc = F.expr(
+            " + ".join(
+                f"element_at(element_at(lut, {mi + 1}), "
+                f"element_at(codes, {mi + 1}) + 1)"
+                for mi in range(m)
+            )
+        )
+        ws = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id"))
+
+        entry = {
+            "m": m,
+            "nbits": nbits,
+            "trained": trained,
+            "bytes_per_vec": m * nbits // 8,
+            "train_wall_s": train_s,
+            "encode_wall_s": encode_s,
+            "recall_at_10": {},
+            "scan_wall_s": {},
+        }
+        for s1, probes in probes_by.items():
+            t0 = time.time()
+            ranked = (
+                F.broadcast(qlut.join(probes, "q_id"))
+                .join(members_by[s1], "cell")
+                .where(F.col("c_id") != F.col("q_id"))
+                .join(codes, "c_id")
+                .select("q_id", "c_id", adc.alias("adc"))
+                .select(
+                    "q_id", "c_id", F.row_number().over(ws).alias("rn")
+                )
+                .where(F.col("rn") <= max_s)
+            )
+            hits = (
+                ranked.join(truth, ["q_id", "c_id"])
+                .agg(
+                    *[
+                        F.sum((F.col("rn") <= s).cast("long")).alias(f"s{s}")
+                        for s in PQ_SWEEP_SHORTLISTS
+                    ]
+                )
+                .collect()[0]
+            )
+            entry["recall_at_10"][s1] = {
+                str(s): round((hits[f"s{s}"] or 0) / n_truth, 4)
+                for s in PQ_SWEEP_SHORTLISTS
+            }
+            entry["scan_wall_s"][s1] = round(time.time() - t0, 2)
+        out["dials"].append(entry)
+    return out
+
+
 def main() -> None:
     import argparse
 
@@ -518,6 +821,11 @@ def main() -> None:
     ap.add_argument(
         "--ann", action="store_true",
         help="run the ANN-plane stress instead of the dedup plane",
+    )
+    ap.add_argument(
+        "--pq-sweep", action="store_true",
+        help="run the PQ dial sweep (codebook resolution × shortlist "
+        "depth × trained/deterministic codebooks) on the ANN corpus",
     )
     ap.add_argument(
         "--n-vecs", type=int, default=None,
@@ -534,9 +842,9 @@ def main() -> None:
 
     uniform = args.uniform_frac
     if uniform is None:
-        uniform = 0.15 if args.ann else 0.0
+        uniform = 0.15 if (args.ann or args.pq_sweep) else 0.0
     n_vecs = args.n_vecs
-    if n_vecs is None and args.ann:
+    if n_vecs is None and (args.ann or args.pq_sweep):
         n_vecs = args.n
     report: dict = {
         "synth": synthesize(
@@ -546,8 +854,11 @@ def main() -> None:
     spark = get_spark("sparkroach-stress")
     try:
         t0 = time.time()
-        runner = run_ann if args.ann else run
-        report.update(runner(spark, args.out, verify=args.verify))
+        if args.pq_sweep:
+            report.update(run_pq_sweep(spark, args.out))
+        else:
+            runner = run_ann if args.ann else run
+            report.update(runner(spark, args.out, verify=args.verify))
         report["total_wall_s"] = round(time.time() - t0, 2)
     finally:
         spark.stop()

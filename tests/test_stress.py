@@ -167,3 +167,66 @@ def test_ann_harness_end_to_end(spark, ann_corpus):
         methods["ivf_multiprobe@p1"]["recall_at_k"]
         >= methods["ivf_label@p1"]["recall_at_k"]
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ dial sweep (SCALE.md §11 extension) — r7
+# ---------------------------------------------------------------------------
+
+
+def test_np_pq_encoder_matches_hof_expression(spark, ann_corpus):
+    """The sweep's Arrow/numpy encoder must produce bit-identical codes to
+    the HOF expression the gate queries compile, on the gate dial AND on
+    a high-resolution dial — same squared-distance arithmetic, same
+    first-minimum (lowest centroid id) tie rule."""
+    import pyspark.sql.functions as F
+
+    from sparkroach.queries.llm_ops2 import (
+        _pq_cb_lit,
+        _pq_codebook,
+        _pq_codes_hof_expr,
+    )
+
+    out, _ = ann_corpus
+    e = (
+        spark.read.parquet(os.path.join(out, "embeddings.parquet"))
+        .select("vec_id", "embedding")
+        .limit(200)
+    )
+    for m, k in ((8, 16), (16, 64)):
+        dsub = 64 // m
+        cb = stress._pq_codebook_for_test = _pq_codebook(m, k, dsub)
+        hof = e.select(
+            "vec_id",
+            F.expr(
+                _pq_codes_hof_expr("embedding", m, k, dsub, _pq_cb_lit(cb))
+            ).alias("codes"),
+        )
+        nps = e.select(
+            "vec_id", stress._np_pq_codes_udf(cb)("embedding").alias("codes")
+        )
+        diff = hof.join(nps.withColumnRenamed("codes", "codes2"), "vec_id")
+        n_bad = diff.where(F.col("codes") != F.col("codes2")).count()
+        assert n_bad == 0, (m, k)
+
+
+def test_pq_sweep_harness(spark, ann_corpus):
+    """Sweep shape invariants on the small corpus: per stage-1 config,
+    recall is monotone non-decreasing in shortlist depth for every dial
+    and bounded by that config's routing ceiling; wider multiprobe never
+    lowers the ceiling; candidate counts grow with probe width."""
+    out, _ = ann_corpus
+    rep = stress.run_pq_sweep(spark, out)
+    for s1, st in rep["stage1"].items():
+        assert 0.0 < st["recall_ceiling"] <= 1.0, s1
+        assert st["avg_candidates"] > 0, s1
+    mp = [rep["stage1"][f"label_mp@{p}"] for p in stress.PQ_SWEEP_NPROBES]
+    for a, b in zip(mp, mp[1:]):
+        assert b["recall_ceiling"] >= a["recall_ceiling"] - 1e-9
+        assert b["avg_candidates"] >= a["avg_candidates"]
+    for d in rep["dials"]:
+        assert d["bytes_per_vec"] == d["m"] * d["nbits"] // 8
+        for s1, by_s in d["recall_at_10"].items():
+            rs = [by_s[str(s)] for s in stress.PQ_SWEEP_SHORTLISTS]
+            assert rs == sorted(rs), (s1, d)  # monotone in shortlist
+            assert rs[-1] <= rep["stage1"][s1]["recall_ceiling"] + 1e-9
