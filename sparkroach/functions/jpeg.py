@@ -322,9 +322,16 @@ def _encode_block(bw, block, qtab, dc_codes, ac_codes, pred: int) -> int:
     return zz[0]
 
 
-def encode_jpeg(rgb, restart_interval: int = 0) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array (h, w multiples of 8) as a
-    baseline JFIF with no chroma subsampling.
+def encode_jpeg(
+    rgb, restart_interval: int = 0, subsampling: str = "444"
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline JFIF.
+
+    ``subsampling``: "444" (no chroma subsampling, dims multiples of 8 —
+    byte-identical to the pre-4:2:0 encoder) or "420" (YCbCr 4:2:0, the
+    baseline-JFIF default in the wild: Y at 2x2 sampling, Cb/Cr
+    box-averaged 2x2 — dims must be multiples of 16 so every MCU is
+    full; T.81 A.2.3 interleaved MCU order Y00 Y01 Y10 Y11 Cb Cr).
 
     ``restart_interval`` > 0 emits a DRI segment and an RSTm marker every
     that many MCUs (DC predictors reset, entropy stream byte-aligned) —
@@ -333,9 +340,30 @@ def encode_jpeg(rgb, restart_interval: int = 0) -> bytes:
 
     rgb = np.asarray(rgb, dtype="uint8")
     h, w, _ = rgb.shape
-    if h % 8 or w % 8:
-        raise ValueError("dimensions must be multiples of 8")
+    if subsampling == "444":
+        samps = [(1, 1), (1, 1), (1, 1)]
+    elif subsampling == "420":
+        samps = [(2, 2), (1, 1), (1, 1)]
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    max_sh = max(s[0] for s in samps)
+    max_sv = max(s[1] for s in samps)
+    if h % (8 * max_sv) or w % (8 * max_sh):
+        raise ValueError(
+            f"dimensions must be multiples of {8 * max_sh}x{8 * max_sv} "
+            f"for {subsampling}"
+        )
     planes = _rgb_to_ycbcr(rgb)
+    comp_planes = []
+    for ci, (sh, sv) in enumerate(samps):
+        p = planes[ci]
+        if (sh, sv) != (max_sh, max_sv):
+            fy, fx = max_sv // sv, max_sh // sh
+            # box-average downsample, then round — a chroma-constant
+            # region survives exactly (the gate-corpus property)
+            p = p.reshape(h // fy, fy, w // fx, fx).mean(axis=(1, 3))
+            p = np.clip(np.rint(p), 0, 255).astype("int64")
+        comp_planes.append(p)
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -350,10 +378,10 @@ def encode_jpeg(rgb, restart_interval: int = 0) -> bytes:
     for tid, tab in ((0, Q_LUMA), (1, Q_CHROMA)):
         zz = bytes(tab[ZIGZAG[i]] for i in range(64))
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz
-    # SOF0: baseline, 3 components, 1x1 sampling each
+    # SOF0: baseline, 3 components, per-mode sampling factors
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for cid, qid in ((1, 0), (2, 1), (3, 1)):
-        out += struct.pack(">BBB", cid, 0x11, qid)
+    for (cid, qid), (sh, sv) in zip(((1, 0), (2, 1), (3, 1)), samps):
+        out += struct.pack(">BBB", cid, (sh << 4) | sv, qid)
     # DHT: the four standard tables
     for cls, tid, bits, vals in (
         (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
@@ -381,18 +409,28 @@ def encode_jpeg(rgb, restart_interval: int = 0) -> bytes:
     bw = _BitWriter()
     preds = [0, 0, 0]
     mcu = 0
-    for by in range(h // 8):
-        for bx in range(w // 8):
+    for by in range(h // (8 * max_sv)):
+        for bx in range(w // (8 * max_sh)):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bw.restart((mcu // restart_interval - 1) % 8)
                 preds = [0, 0, 0]
             mcu += 1
-            for ci in range(3):  # interleaved MCU: Y, Cb, Cr (1x1 each)
+            # interleaved MCU: each component contributes sv x sh blocks
+            # in raster order (T.81 A.2.3) — for 4:4:4 this is the old
+            # Y, Cb, Cr order byte-for-byte
+            for ci in range(3):
+                sh, sv = samps[ci]
                 dc_codes, ac_codes, qtab = tables[ci]
-                block = planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                preds[ci] = _encode_block(
-                    bw, block, qtab, dc_codes, ac_codes, preds[ci]
-                )
+                for dy in range(sv):
+                    for dx in range(sh):
+                        py0 = (by * sv + dy) * 8
+                        px0 = (bx * sh + dx) * 8
+                        block = comp_planes[ci][
+                            py0 : py0 + 8, px0 : px0 + 8
+                        ]
+                        preds[ci] = _encode_block(
+                            bw, block, qtab, dc_codes, ac_codes, preds[ci]
+                        )
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -457,9 +495,12 @@ def decode_jpeg(payload: bytes) -> dict:
                 raise ValueError("only 8-bit baseline supported")
             for i in range(nc):
                 cid, samp, qid = struct.unpack_from(">BBB", seg, 6 + 3 * i)
-                if samp != 0x11:
-                    raise ValueError("subsampling unsupported")
-                comps.append({"id": cid, "q": qid})
+                sh, sv = samp >> 4, samp & 0x0F
+                if not (1 <= sh <= 2 and 1 <= sv <= 2):
+                    raise ValueError(
+                        f"sampling factor {sh}x{sv} unsupported (1-2 only)"
+                    )
+                comps.append({"id": cid, "q": qid, "sh": sh, "sv": sv})
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("non-baseline SOF unsupported")
         elif marker == 0xDD:  # DRI: MCU restart interval
@@ -492,14 +533,25 @@ def decode_jpeg(payload: bytes) -> dict:
         raise ValueError("missing EOI")
     br = _BitReader(payload[data_start:end])
 
-    bh, bw_ = h // 8, w // 8
-    if h % 8 or w % 8:
-        raise ValueError("non-multiple-of-8 dims unsupported")
-    planes = [np.zeros((h, w), dtype="float64") for _ in scan_order]
+    max_sh = max(c["sh"] for c in scan_order)
+    max_sv = max(c["sv"] for c in scan_order)
+    if h % (8 * max_sv) or w % (8 * max_sh):
+        raise ValueError(
+            f"dims not multiples of the {8 * max_sh}x{8 * max_sv} MCU "
+            "(partial MCUs unsupported)"
+        )
+    # each component decodes at its own resolution (4:2:0 chroma planes
+    # are quarter-size), then upsamples by sample replication
+    planes = [
+        np.zeros(
+            (h * c["sv"] // max_sv, w * c["sh"] // max_sh), dtype="float64"
+        )
+        for c in scan_order
+    ]
     preds = [0] * len(scan_order)
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw_):
+    for by in range(h // (8 * max_sv)):
+        for bx in range(w // (8 * max_sh)):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 br.sync_restart((mcu // restart_interval - 1) % 8)
                 preds = [0] * len(scan_order)
@@ -508,35 +560,55 @@ def decode_jpeg(payload: bytes) -> dict:
                 dc_tab = huff[(0, comp["dc"])]
                 ac_tab = huff[(1, comp["ac"])]
                 q = qtabs[comp["q"]]
-                zz = [0] * 64
-                cat = br.read_symbol(dc_tab)
-                diff = _extend(br.read_bits(cat), cat)
-                preds[ci] += diff
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = br.read_symbol(ac_tab)
-                    run, cat = rs >> 4, rs & 0x0F
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC index overflow")
-                    zz[k] = _extend(br.read_bits(cat), cat)
-                    k += 1
-                coef = np.zeros(64)
-                for i in range(64):
-                    coef[ZIGZAG[i]] = zz[i] * q[ZIGZAG[i]]
-                block = idct2(coef.reshape(8, 8)) + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                for dy in range(comp["sv"]):
+                    for dx in range(comp["sh"]):
+                        zz = [0] * 64
+                        cat = br.read_symbol(dc_tab)
+                        diff = _extend(br.read_bits(cat), cat)
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.read_symbol(ac_tab)
+                            run, cat = rs >> 4, rs & 0x0F
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(br.read_bits(cat), cat)
+                            k += 1
+                        coef = np.zeros(64)
+                        for i in range(64):
+                            coef[ZIGZAG[i]] = zz[i] * q[ZIGZAG[i]]
+                        block = idct2(coef.reshape(8, 8)) + 128.0
+                        py0 = (by * comp["sv"] + dy) * 8
+                        px0 = (bx * comp["sh"] + dx) * 8
+                        planes[ci][py0 : py0 + 8, px0 : px0 + 8] = block
 
-    y = planes[0]
-    if len(planes) == 3:
-        cb = planes[1] - 128.0
-        cr = planes[2] - 128.0
+    # native-resolution plane sums BEFORE upsampling/color conversion
+    # (integer-exact on the DC-exact gate corpora)
+    plane_sums = [
+        int(np.rint(np.clip(p, 0.0, 255.0)).astype("int64").sum())
+        for p in planes
+    ]
+    full = []
+    for ci, comp in enumerate(scan_order):
+        p = planes[ci]
+        if comp["sh"] != max_sh or comp["sv"] != max_sv:
+            p = np.repeat(
+                np.repeat(p, max_sv // comp["sv"], axis=0),
+                max_sh // comp["sh"],
+                axis=1,
+            )
+        full.append(p)
+    y = full[0]
+    if len(full) == 3:
+        cb = full[1] - 128.0
+        cr = full[2] - 128.0
         r = y + 1.402 * cr
         g = y - 0.344136 * cb - 0.714136 * cr
         b = y + 1.772 * cb
@@ -551,6 +623,7 @@ def decode_jpeg(payload: bytes) -> dict:
         "height": h,
         "n_components": len(scan_order),
         "pixel_sum": int(rgb.astype("int64").sum()),
+        "plane_sums": plane_sums,
         "rgb": rgb,
     }
 
@@ -585,6 +658,115 @@ def encode_doc_jpeg(doc_id: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# deterministic COLOR gate corpus: palette-chroma 4:2:0 (exact roundtrip)
+# ---------------------------------------------------------------------------
+# The gray corpus pins luma; this one pins the full color chain — RGB →
+# YCbCr → 2x2 chroma box-downsample → 4:2:0 MCUs → entropy → decode →
+# replication upsample → YCbCr⁻¹ — and is still integer-exact:
+#
+#   * each 16x16 tile is (pr+t, pg+t, pb+t): a palette base plus a per-
+#     tile gray offset t.  The luma row of the RGB→YCbCr matrix sums to
+#     1 and the chroma rows to 0, so Y = y_base + t varies per tile while
+#     Cb/Cr are CONSTANT across the whole image → the box downsample is
+#     exact and every chroma block is DC-only;
+#   * q_DC = 8 makes every constant block's DC roundtrip exact (the gray-
+#     corpus argument), so the decoded planes equal the encoder's integer
+#     planes;
+#   * the decoded RGB of a tile is Y+dr, Y+dg, Y+db where dr/dg/db are
+#     per-PALETTE integers — color_constants() derives them by replaying
+#     both conversion chains in the same float64 op order and REFUSES
+#     palette colors whose roundings sit near a .5 boundary (margin
+#     1e-3, vs float-noise ~1e-13) or whose tile range could clip.
+#
+# So pixel_sum / y_sum / chroma_sum are closed-form doc_id arithmetic a
+# SQL oracle mirrors — while the Spark side runs the real 4:2:0
+# bitstream (interleaved Y00 Y01 Y10 Y11 Cb Cr MCUs; odd doc_ids add a
+# DRI restart every MCU so RSTn resync is exercised in 4:2:0 too).
+
+# distinct hues; margins and tile ranges validated by color_constants
+COLOR_PALETTE = [
+    (120, 80, 80), (80, 120, 80), (80, 80, 120), (130, 110, 60),
+    (60, 110, 130), (110, 60, 120), (140, 90, 110), (70, 90, 140),
+]
+
+_COLOR_TILE_MAX = 63  # tile luma offsets range over 0..63
+
+_COLOR_CONSTS_CACHE: dict[tuple[int, int, int], dict] = {}
+
+
+def color_constants(pr: int, pg: int, pb: int) -> dict:
+    """Integer constants of one palette color: the encoded (y0, cb, cr)
+    and the decoded per-channel deltas (dr, dg, db), derived by replaying
+    the codec's own float64 conversion chains in identical op order.
+    Raises if any rounding margin is unsafe or any tile could clip."""
+    key = (pr, pg, pb)
+    if key in _COLOR_CONSTS_CACHE:
+        return _COLOR_CONSTS_CACHE[key]
+    import numpy as np
+
+    f = np.float64
+    r, g, b = f(pr), f(pg), f(pb)
+    y = f(0.299) * r + f(0.587) * g + f(0.114) * b
+    cb = f(128.0) - f(0.168736) * r - f(0.331264) * g + f(0.5) * b
+    cr = f(128.0) + f(0.5) * r - f(0.418688) * g - f(0.081312) * b
+
+    def margin(x) -> float:
+        return abs(float(x) - math.floor(float(x)) - 0.5)
+
+    y0, cb0, cr0 = (int(np.rint(v)) for v in (y, cb, cr))
+    # decode-side deltas, probing with an integer Y (same op order as
+    # decode_jpeg's r/g/b expressions)
+    cbc, crc = f(cb0) - f(128.0), f(cr0) - f(128.0)
+    probe = f(100.0)
+    drf = (probe + f(1.402) * crc) - probe
+    dgf = (probe - f(0.344136) * cbc - f(0.714136) * crc) - probe
+    dbf = (probe + f(1.772) * cbc) - probe
+    for v in (y, cb, cr, drf, dgf, dbf):
+        if margin(v) < 1e-3:
+            raise ValueError(
+                f"palette {key}: rounding margin {margin(v):.2e} unsafe"
+            )
+    dr, dg, db = (int(np.rint(v)) for v in (drf, dgf, dbf))
+    lo = y0 + min(dr, dg, db, 0)
+    hi = y0 + _COLOR_TILE_MAX + max(dr, dg, db, 0)
+    if lo < 0 or hi > 255:
+        raise ValueError(f"palette {key}: tile range [{lo},{hi}] clips")
+    out = {"y0": y0, "cb": cb0, "cr": cr0, "dr": dr, "dg": dg, "db": db}
+    _COLOR_CONSTS_CACHE[key] = out
+    return out
+
+
+def color_jpeg_params(doc_id: int) -> dict:
+    return {
+        "width": 16 * (1 + doc_id % 3),
+        "height": 16 * (1 + (doc_id // 3) % 3),
+        "palette": doc_id % len(COLOR_PALETTE),
+    }
+
+
+def color_tile_luma(doc_id: int, tx: int, ty: int) -> int:
+    return (doc_id * 31 + ty * 16 + tx * 5) % (_COLOR_TILE_MAX + 1)
+
+
+def encode_doc_color_jpeg(doc_id: int) -> bytes:
+    """The doc's deterministic 4:2:0 color JPEG: 16x16 palette+offset
+    tiles; odd doc_ids carry a DRI restart interval of 1 MCU."""
+    import numpy as np
+
+    p = color_jpeg_params(doc_id)
+    w, h = p["width"], p["height"]
+    pr, pg, pb = COLOR_PALETTE[p["palette"]]
+    img = np.zeros((h, w, 3), dtype="uint8")
+    for ty in range(h // 16):
+        for tx in range(w // 16):
+            t = color_tile_luma(doc_id, tx, ty)
+            img[ty * 16 : ty * 16 + 16, tx * 16 : tx * 16 + 16] = (
+                pr + t, pg + t, pb + t,
+            )
+    return encode_jpeg(img, restart_interval=doc_id % 2, subsampling="420")
+
+
+# ---------------------------------------------------------------------------
 # Spark stages (same mapInPandas plumbing as functions.media)
 # ---------------------------------------------------------------------------
 
@@ -615,6 +797,84 @@ def synthesize_jpeg_media(docs):
             )
 
     return docs.select("doc_id").mapInPandas(_encode, schema)
+
+
+def synthesize_color_jpeg_media(docs):
+    """(doc_id) → (media_id, payload) with REAL 4:2:0 color JFIF bytes."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), nullable=False),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _encode(batches):
+        from sparkroach.functions.jpeg import encode_doc_color_jpeg
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": [
+                        encode_doc_color_jpeg(int(i)) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_encode, schema)
+
+
+def color_jpeg_features(media):
+    """(media_id, payload) → decoded color features: full-res RGB pixel
+    sum plus the NATIVE-resolution plane sums (y_sum at full res,
+    chroma_sum = quarter-res Cb + Cr) — the columns that prove the
+    4:2:0 chroma planes decoded exactly, not merely that luma did."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_components", T.IntegerType()),
+            T.StructField("pixel_sum", T.LongType()),
+            T.StructField("y_sum", T.LongType()),
+            T.StructField("chroma_sum", T.LongType()),
+        ]
+    )
+
+    def _decode(batches):
+        from sparkroach.functions.jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_jpeg(bytes(payload))
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "width": d["width"],
+                        "height": d["height"],
+                        "n_components": d["n_components"],
+                        "pixel_sum": d["pixel_sum"],
+                        "y_sum": d["plane_sums"][0],
+                        "chroma_sum": d["plane_sums"][1]
+                        + d["plane_sums"][2],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_components",
+                    "pixel_sum", "y_sum", "chroma_sum",
+                ],
+            )
+
+    return media.mapInPandas(_decode, schema)
 
 
 def jpeg_features(media):

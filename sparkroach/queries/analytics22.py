@@ -294,6 +294,94 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal_jpeg_color_decode — round 7: YCbCr 4:2:0 COLOR through the lane
+# ---------------------------------------------------------------------------
+# The r5 codec was single-component in practice (gray corpus ⇒ constant-128
+# chroma); r7 adds the remaining half of baseline JFIF — 2x2 chroma
+# subsampling on the encoder (box average, interleaved Y00 Y01 Y10 Y11 Cb
+# Cr MCUs per T.81 A.2.3) and general sampling-factor support on the
+# decoder (per-component quarter-res planes, replication upsample).  The
+# gate corpus is palette-chroma tiles that keep the whole COLOR chain
+# integer-exact (functions/jpeg.py color-corpus docstring: luma
+# coefficients sum to 1 so tiles vary Y, chroma rows sum to 0 so Cb/Cr
+# are image-constant and survive the downsample; per-palette decode
+# deltas are validated to sit far from every rounding boundary).  Odd
+# doc_ids add a DRI restart every MCU, exercising RSTn resync in 4:2:0.
+
+
+def _color_jpeg_oracle() -> str:
+    from sparkroach.functions.jpeg import COLOR_PALETTE, color_constants
+
+    rows = ", ".join(
+        "({}, {y0}, {cb}, {cr}, {dr}, {dg}, {db})".format(
+            pi, **color_constants(*COLOR_PALETTE[pi])
+        )
+        for pi in range(len(COLOR_PALETTE))
+    )
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   16 * (1 + doc_id % 3) AS w,
+                   16 * (1 + (doc_id // 3) % 3) AS h,
+                   doc_id % {len(COLOR_PALETTE)} AS pi
+            FROM documents
+        ),
+        pal(pi, y0, cb, cr, dr, dg, db) AS (VALUES {rows}),
+        tiles AS (
+            SELECT p.doc_id, p.w, p.h,
+                   pal.cb, pal.cr, pal.dr, pal.dg, pal.db,
+                   SUM(pal.y0 + (p.doc_id * 31 + ty.v * 16 + tx.v * 5) % 64)
+                       AS ysum_tiles,
+                   CAST(COUNT(*) AS BIGINT) AS nt
+            FROM p JOIN pal USING (pi)
+            JOIN range(0, 3) tx(v) ON tx.v < p.w // 16
+            JOIN range(0, 3) ty(v) ON ty.v < p.h // 16
+            GROUP BY ALL
+        )
+        SELECT doc_id AS media_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               3 AS n_components,
+               CAST(256 * (3 * ysum_tiles + nt * (dr + dg + db))
+                    AS BIGINT) AS pixel_sum,
+               CAST(256 * ysum_tiles AS BIGINT) AS y_sum,
+               CAST((w // 2) * (h // 2) * (cb + cr) AS BIGINT) AS chroma_sum
+        FROM tiles
+        ORDER BY media_id
+    """
+
+
+@register(
+    "multimodal_jpeg_color_decode",
+    oracle=_color_jpeg_oracle(),
+    survey_ref="LLM ops: multimodal decode — YCbCr 4:2:0 COLOR baseline "
+    "JPEG (chroma subsampling encode + general sampling-factor decode), "
+    "closing the gray-scale-only gap the r6 verdict named",
+    description="encode a real 4:2:0 color JFIF per document (palette "
+    "chroma + per-tile luma, interleaved 6-block MCUs, DRI on odd docs) "
+    "and decode it with the general baseline decoder (per-component "
+    "native-res planes, replication upsample, YCbCr inverse); the "
+    "palette-chroma corpus keeps every output integer-exact so the SQL "
+    "oracle mirrors pixel_sum, the full-res y_sum AND the quarter-res "
+    "chroma_sum from doc_id arithmetic plus a 8-color constants table "
+    "derived from the codec's own float chains. Map-only mapInPandas "
+    "both ways",
+)
+def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach._shiplib import ensure_shipped
+    from sparkroach.functions.jpeg import (
+        color_jpeg_features,
+        synthesize_color_jpeg_media,
+    )
+
+    ensure_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    return color_jpeg_features(synthesize_color_jpeg_media(docs)).orderBy(
+        "media_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # multimodal_mjpeg_decode — round 6: REAL video decode (MJPEG in AVI)
 # ---------------------------------------------------------------------------
 # functions/avi.py is a from-scratch RIFF/AVI container writer+parser

@@ -2548,7 +2548,7 @@ def _recall_report_oracle() -> str:
         UNION ALL {method_row("int8_sq", 1, "hits_sq", "cost_full")}
         UNION ALL {method_row("pq_adc", 1, "hits_pq", "cost_full")}
         UNION ALL {method_row("ivfpq_adc", 1, "hits_ivfpq", "cost_km")}
-        UNION ALL {method_row("ivfpq_rerank", 1, "hits_rerank", "cost_km")}
+        UNION ALL {method_row("ivfpq_rerank", 2, "hits_rerank", "cost_mp2")}
         ORDER BY method, n_probes, q_id
     """
 
@@ -2669,10 +2669,14 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             report_row("ivfpq_adc", 1, ann_ivfpq_adc(spark, sf_dir), cost_km)
         )
         .unionByName(
-            # two-stage: same cluster-pruned candidate set (the 24
-            # exact rerank reads are a constant on top, not a scan)
+            # two-stage (r7 production dial): routes through the SAME
+            # multiprobe@2 probe set, so its candidate cost is mp2's
+            # (the 160 exact rerank reads are a constant on top)
             report_row(
-                "ivfpq_rerank", 1, ann_ivfpq_rerank(spark, sf_dir), cost_km
+                "ivfpq_rerank",
+                2,
+                ann_ivfpq_rerank(spark, sf_dir),
+                mp_cost(probes2),
             )
         )
         .orderBy("method", "n_probes", "q_id")

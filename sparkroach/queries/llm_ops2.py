@@ -384,18 +384,28 @@ def _pq_codebook(
 _PQ_CB = _pq_codebook()
 
 
-def _pq_dist_terms(vec: str, m: int, k: int, spark_side: bool) -> str:
+def _pq_dist_terms(
+    vec: str,
+    m: int,
+    k: int,
+    spark_side: bool,
+    cb: list | None = None,
+    dsub: int | None = None,
+) -> str:
     """Unrolled ||vec_sub − centroid||² with one fixed left-assoc order on
-    both engines (Spark element_at is 1-indexed; DuckDB [] is 1-indexed)."""
+    both engines (Spark element_at is 1-indexed; DuckDB [] is 1-indexed).
+    ``cb``/``dsub`` default to the gate-pinned codebook."""
+    cb = _PQ_CB if cb is None else cb
+    dsub = _PQ_DSUB if dsub is None else dsub
     terms = []
-    for j in range(_PQ_DSUB):
-        idx = m * _PQ_DSUB + j + 1
+    for j in range(dsub):
+        idx = m * dsub + j + 1
         el = (
             f"CAST(element_at({vec}, {idx}) AS DOUBLE)"
             if spark_side
             else f"{vec}[{idx}]::DOUBLE"
         )
-        c = repr(_PQ_CB[m][k][j])
+        c = repr(cb[m][k][j])
         terms.append(f"(({el} - {c}) * ({el} - {c}))")
     return " + ".join(terms)
 
@@ -834,22 +844,99 @@ def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # ann_ivfpq_rerank — two-stage retrieval: quantized shortlist, exact rerank
 # ---------------------------------------------------------------------------
+# Production dial, MEASURED at 100k vectors (r7 sweep, SCALE.md §11): the
+# r6-pinned dial (8-cell single-probe k-means routing, 8×4-bit codes,
+# 24-deep shortlist) measured recall@10 = 0.36 — and the sweep showed the
+# routing was the binding constraint (its dial-independent ceiling was
+# 0.76 while scanning 12.5% of the corpus).  The pinned configuration is
+# the measured optimum of the (routing × resolution × shortlist) grid:
+#
+#   * stage 1: fine-cell MULTIPROBE routing (per-label centroid means,
+#     top _RR_NPROBE=2 cells per query) — ceiling 0.9156 scanning 0.2%
+#     of the corpus, vs 0.7594 at 12.5% for coarse single-probe k-means;
+#   * codes: m=16 subvectors × 16 centroids (4-bit → 8 B/vector, 32×
+#     compression) — at the 160-deep shortlist this equals the 16×8-bit
+#     codebook's recall (both hit the 0.9156 routing ceiling) at half
+#     the bytes; higher nbits only buys recall at SHALLOWER shortlists
+#     (at 40 deep: 0.83 vs 0.72), a trade the sweep table records;
+#   * shortlist: _RERANK_SHORTLIST=160 (16× top-k) — recall@10 0.9156
+#     == the routing ceiling; per query that is 160 exact cosines on
+#     top of ~200 8-byte ADC probes.
+#
+# ann_pq_adc / ann_ivfpq_adc keep the original 8×16×8 codebook and
+# kmeans routing — they pin the ADC arithmetic parity; this operator
+# pins the production two-stage configuration.
 
-_RERANK_SHORTLIST = 24  # ADC shortlist size feeding the exact stage
+_RR_M, _RR_K, _RR_DSUB = 16, 16, 4  # 16 subvectors × 4-bit codes
+_RR_NPROBE = 2  # fine-cell multiprobe width (stage 1)
+_RERANK_SHORTLIST = 160  # ADC shortlist depth feeding the exact stage
+
+_RR_CB = _pq_codebook(_RR_M, _RR_K, _RR_DSUB)
+_RR_CB_LIT = _pq_cb_lit(_RR_CB)
 
 
 def _ivfpq_rerank_oracle() -> str:
-    """Stage 1 is ann_ivfpq_adc's chain verbatim (shortlist cut at
-    _RERANK_SHORTLIST instead of top-k); stage 2 rescanss ONLY the
-    shortlist rows with exact float cosine and re-ranks."""
-    from sparkroach.queries.llm_ops import _DOT_SQL, _NORM_SQL
+    """Stage 1 routes through the multiprobe probe CTE (the exact chain
+    ann_ivf_multiprobe gates, as a derived table), PQ-ADC with the
+    production 16×16×4 codebook shortlists probed members, stage 2
+    rescans ONLY shortlist rows with exact float cosine and re-ranks."""
+    from sparkroach.queries.llm_ops import (
+        _DOT_SQL,
+        _NORM_SQL,
+        _ivf_multiprobe_oracle,
+    )
 
-    base = _ivfpq_oracle()
-    # reuse the full CTE chain up to `scored`, swap the final cut
-    head, _tail = base.split("SELECT q_id, c_id, adc_dist, rank FROM (", 1)
+    probes_sql = _ivf_multiprobe_oracle(n_probes=_RR_NPROBE, select="probes")
+    dist_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, {k} AS k, "
+        f"{_pq_dist_terms('embedding', m, k, False, _RR_CB, _RR_DSUB)} AS d "
+        "FROM embeddings"
+        for m in range(_RR_M)
+        for k in range(_RR_K)
+    )
+    lut_rows = []
+    for m in range(_RR_M):
+        cells = ", ".join(
+            _pq_dist_terms("embedding", m, k, False, _RR_CB, _RR_DSUB)
+            for k in range(_RR_K)
+        )
+        lut_rows.append(f"[{cells}]")
+    lut = "[" + ", ".join(lut_rows) + "]"
+    score = (
+        "("
+        + " + ".join(
+            f"lut[{m + 1}][codes[{m + 1}] + 1]" for m in range(_RR_M)
+        )
+        + ")"
+    )
     return f"""
-        {head}
-        , shortlist AS (
+        WITH probes AS (SELECT * FROM ({probes_sql}) _p),
+        dists AS ({dist_rows}),
+        coded AS (
+            SELECT vec_id, m, k AS code FROM (
+                SELECT vec_id, m, k,
+                       row_number() OVER (PARTITION BY vec_id, m
+                                          ORDER BY d, k) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ),
+        codes AS (
+            SELECT vec_id, list(code ORDER BY m) AS codes
+            FROM coded GROUP BY vec_id
+        ),
+        q AS (
+            SELECT vec_id AS q_id, {lut} AS lut
+            FROM embeddings WHERE vec_id < {_PQ_N_QUERIES}
+        ),
+        scored AS (
+            SELECT q.q_id, mem.vec_id AS c_id, ROUND({score}, 6) AS adc_dist
+            FROM q
+            JOIN probes p ON p.q_id = q.q_id
+            JOIN (SELECT vec_id, label FROM embeddings) mem
+              ON mem.label = p.label AND mem.vec_id <> q.q_id
+            JOIN codes c ON c.vec_id = mem.vec_id
+        ),
+        shortlist AS (
             SELECT q_id, c_id FROM (
                 SELECT q_id, c_id,
                        row_number() OVER (PARTITION BY q_id
@@ -881,50 +968,52 @@ def _ivfpq_rerank_oracle() -> str:
 
 @register(
     "ann_ivfpq_rerank",
-    gated=False,  # r6 rotation candidate (window frozen this round)
     oracle=_ivfpq_rerank_oracle(),
     survey_ref="LLM ops: ANN — two-stage retrieval (the production "
-    "standard): IVF-PQ ADC shortlists cheap candidates, exact float "
-    "cosine reranks ONLY the shortlist — quantization error affects "
-    "WHICH candidates survive stage 1, never the final ordering",
-    description=f"stage 1 is the gate-proven IVF-PQ chain cut at a "
-    f"{_RERANK_SHORTLIST}-deep shortlist ({_RERANK_SHORTLIST} ADC "
-    "lookups per query × cluster members scanned as codes); stage 2 "
-    "touches the float vectors for shortlist rows only — per query "
-    f"that is {_RERANK_SHORTLIST} exact cosines instead of a corpus "
-    "scan.  At 100 TB the float vectors live in a separate store "
-    "accessed at shortlist rate (the FAISS refine / two-tower serving "
-    "layout); the quantized index alone fits in memory",
+    "standard): fine-cell multiprobe IVF routes, PQ-ADC shortlists the "
+    "probed members, exact float cosine reranks ONLY the shortlist — "
+    "quantization error affects WHICH candidates survive stage 1, never "
+    "the final ordering",
+    description="the measured production configuration (r7 dial sweep, "
+    f"SCALE.md §11 — recall@10 0.9156 at 100k vectors, equal to its "
+    f"routing ceiling, scanning 0.2% of the corpus): multiprobe "
+    f"routing over per-label centroid means (top {_RR_NPROBE} cells "
+    f"per query), {_RR_M}×{_RR_K} codebook (4-bit codes, 8 B/vector, "
+    f"32× compression), {_RERANK_SHORTLIST}-deep ADC shortlist "
+    f"({_RERANK_SHORTLIST // _PQ_TOP_K}× top-k), exact cosine on "
+    "shortlist rows only.  At 100 TB the float vectors live in a "
+    "separate store accessed at shortlist rate (the FAISS refine / "
+    "two-tower serving layout); the 8-byte-code index is "
+    "cell-partitioned and a query reads two cells",
 )
 def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sparkroach.queries.llm_ops import _DOT, _NORM, _ivf_kmeans_parts
+    from sparkroach.queries.llm_ops import _DOT, _NORM, _ivf_multiprobe_parts
 
     e = load(spark, sf_dir, "embeddings")
-    assign, _ = _ivf_kmeans_parts(spark, sf_dir)
+    probes, _ = _ivf_multiprobe_parts(spark, sf_dir, _RR_NPROBE)
     codes = e.select(
-        "vec_id", F.expr(_pq_codes_hof_expr("embedding")).alias("codes")
+        "vec_id",
+        F.expr(
+            _pq_codes_hof_expr("embedding", _RR_M, _RR_K, _RR_DSUB, _RR_CB_LIT)
+        ).alias("codes"),
     )
-    q = (
-        e.where(F.col("vec_id") < _PQ_N_QUERIES)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.expr(_pq_lut_hof_expr("embedding")).alias("lut"),
-        )
-        .join(
-            assign.select(F.col("vec_id").alias("q_id"), "cluster"), "q_id"
-        )
+    q = e.where(F.col("vec_id") < _PQ_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.expr(
+            _pq_lut_hof_expr("embedding", _RR_M, _RR_K, _RR_DSUB, _RR_CB_LIT)
+        ).alias("lut"),
     )
-    members = assign.select(F.col("vec_id").alias("c_id"), "cluster")
+    members = e.select(F.col("vec_id").alias("c_id"), "label")
     cand = (
-        F.broadcast(q)
-        .join(members, "cluster")
+        F.broadcast(q.join(probes, "q_id"))
+        .join(members, "label")
         .where(F.col("c_id") != F.col("q_id"))
         .join(codes.select(F.col("vec_id").alias("c_id"), "codes"), "c_id")
     )
     adc = F.expr(
         " + ".join(
             f"element_at(element_at(lut, {m + 1}), element_at(codes, {m + 1}) + 1)"
-            for m in range(_PQ_M)
+            for m in range(_RR_M)
         )
     )
     ws = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id"))

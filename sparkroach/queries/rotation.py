@@ -204,7 +204,13 @@ R7_PROMOTED: frozenset[str] = frozenset(
 
 # Queries registered during round 7 (novel execution paths — each needs
 # its own driver recording).
-R7_NEW: frozenset[str] = frozenset()
+R7_NEW: frozenset[str] = frozenset(
+    {
+        # YCbCr 4:2:0 color JPEG: subsampled-MCU entropy layout + general
+        # sampling-factor decode + chroma-plane exactness columns
+        "multimodal_jpeg_color_decode",
+    }
+)
 
 # Round-7 driver window: every formerly-delegated query, r7-new
 # registrations, and the rows-only chain gate.

@@ -103,12 +103,14 @@ def ephemeral_postgres():
 
 
 def psql(pg_info, sql: str, tuples: bool = False) -> str:
+    # SQL travels on STDIN (-f -), not argv: soak-scale multi-row INSERTs
+    # exceed Linux's 128 KiB per-argument limit (E2BIG) through -c
     args = [
         "psql", "-h", pg_info["sock"], "-U", "postgres", "-d", pg_info["db"],
-        "-v", "ON_ERROR_STOP=1", "-X", "-q",
+        "-v", "ON_ERROR_STOP=1", "-X", "-q", "-f", "-",
     ] + (["-tA", "-F", "\t"] if tuples else [])
     out = subprocess.run(
-        args + ["-c", sql], check=True, capture_output=True, text=True,
+        args, input=sql, check=True, capture_output=True, text=True,
         cwd="/tmp",
     )
     return out.stdout
@@ -185,13 +187,15 @@ def make_mirror(pg_info):
         if not rows:
             return
         names = [f.name for f in df.schema.fields]
-        values = ", ".join(
-            "(" + ", ".join(_lit(r[c]) for c in names) + ")" for r in rows
-        )
-        psql(
-            pg_info,
-            f"INSERT INTO {table} ({', '.join(names)}) VALUES {values}",
-        )
+        for lo in range(0, len(rows), 500):  # bounded statement size
+            values = ", ".join(
+                "(" + ", ".join(_lit(r[c]) for c in names) + ")"
+                for r in rows[lo : lo + 500]
+            )
+            psql(
+                pg_info,
+                f"INSERT INTO {table} ({', '.join(names)}) VALUES {values}",
+            )
 
     return jdbc.JdbcMirror(
         "jdbc:postgresql:unused",

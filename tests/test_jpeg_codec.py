@@ -151,3 +151,128 @@ def test_gate_matches_oracle(spark):
         "multimodal_jpeg_decode", q.fn(spark, SF_SMALL), q.oracle, SF_SMALL, con
     )
     assert res.ok, res.detail
+
+
+# ---------------------------------------------------------------------------
+# YCbCr 4:2:0 (r7) — chroma subsampling encode + general-sampling decode
+# ---------------------------------------------------------------------------
+
+
+def test_444_bitstream_unchanged_by_subsampling_param():
+    """subsampling='444' must be byte-identical to the pre-4:2:0 encoder
+    (the default path the gray/MJPEG gates pin)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    assert encode_jpeg(img) == encode_jpeg(img, subsampling="444")
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 5, 8, 17, 23])
+def test_color_tile_corpus_roundtrip_is_exact(doc_id):
+    from sparkroach.functions.jpeg import (
+        COLOR_PALETTE,
+        color_constants,
+        color_jpeg_params,
+        color_tile_luma,
+        encode_doc_color_jpeg,
+    )
+
+    p = color_jpeg_params(doc_id)
+    c = color_constants(*COLOR_PALETTE[p["palette"]])
+    d = decode_jpeg(encode_doc_color_jpeg(doc_id))
+    assert (d["width"], d["height"], d["n_components"]) == (
+        p["width"], p["height"], 3,
+    )
+    # every 16x16 tile decodes to exactly (Y+dr, Y+dg, Y+db)
+    for ty in range(p["height"] // 16):
+        for tx in range(p["width"] // 16):
+            y = c["y0"] + color_tile_luma(doc_id, tx, ty)
+            want = (y + c["dr"], y + c["dg"], y + c["db"])
+            tile = d["rgb"][
+                ty * 16 : ty * 16 + 16, tx * 16 : tx * 16 + 16, :
+            ]
+            assert (tile == want).all(), (doc_id, tx, ty, want)
+    # the native-res chroma plane sums are the constants exactly
+    n_chroma_px = (p["width"] // 2) * (p["height"] // 2)
+    assert d["plane_sums"][1] == c["cb"] * n_chroma_px
+    assert d["plane_sums"][2] == c["cr"] * n_chroma_px
+
+
+def test_420_bitstream_declares_subsampling():
+    from sparkroach.functions.jpeg import encode_doc_color_jpeg
+
+    b = encode_doc_color_jpeg(4)
+    i = b.find(b"\xff\xc0")
+    # SOF0 component 1 (Y) declares 2x2, components 2/3 declare 1x1
+    # FF C0 len(2) prec(1) h(2) w(2) nc(1) then (cid, samp, qid) triples
+    assert b[i + 11] == 0x22 and b[i + 14] == 0x11 and b[i + 17] == 0x11
+
+
+def test_420_general_image_roundtrip_within_bound():
+    """4:2:0 on noise: luma bound unchanged; chroma error additionally
+    carries the 2x2 averaging loss — still bounded."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg(img, subsampling="420"))
+    assert (d["width"], d["height"]) == (48, 32)
+    err = np.abs(d["rgb"].astype(int) - img.astype(int))
+    # noise chroma is LITERALLY averaged away by the 2x2 box — the
+    # worst case by construction; bounded, not tight
+    assert err.mean() < 48 and d["rgb"].shape == img.shape
+    # smooth image: subsampling loss stays tight
+    x = np.linspace(0, 255, 48)
+    y = np.linspace(0, 255, 32)
+    smooth = np.stack(
+        [
+            np.add.outer(y, x) / 2,
+            np.tile(x, (32, 1)),
+            np.tile(y[:, None], (1, 48)),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    d2 = decode_jpeg(encode_jpeg(smooth, subsampling="420"))
+    err2 = np.abs(d2["rgb"].astype(int) - smooth.astype(int))
+    assert err2.mean() < 6 and err2.max() < 32
+
+
+def test_420_restart_resync_is_exact_on_color_corpus():
+    from sparkroach.functions.jpeg import encode_doc_color_jpeg
+
+    # doc 5 is odd -> encoded WITH DRI=1 (restart every 6-block MCU);
+    # re-encoding its decode without restarts must agree exactly
+    d_rst = decode_jpeg(encode_doc_color_jpeg(5))
+    plain = encode_jpeg(d_rst["rgb"], subsampling="420")
+    assert (decode_jpeg(plain)["rgb"] == d_rst["rgb"]).all()
+
+
+def test_420_dimension_requirements():
+    img = np.zeros((24, 24, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_jpeg(img, subsampling="420")
+    with pytest.raises(ValueError, match="unsupported subsampling"):
+        encode_jpeg(np.zeros((16, 16, 3), dtype=np.uint8), subsampling="422")
+
+
+def test_color_palette_margins_validated():
+    """color_constants refuses unsafe palettes: near-.5 roundings and
+    tile-range clipping both raise; every shipped color validates."""
+    from sparkroach.functions.jpeg import COLOR_PALETTE, color_constants
+
+    for c in COLOR_PALETTE:  # every shipped color validates
+        color_constants(*c)
+    with pytest.raises(ValueError, match="margin"):
+        color_constants(60, 60, 63)  # cb lands exactly on a .5 boundary
+    with pytest.raises(ValueError, match="clips"):
+        color_constants(250, 250, 250)  # y0 + 63 tile offset exceeds 255
+
+
+def test_color_gate_matches_oracle(spark):
+    from sparkroach import oracle
+
+    q = QUERIES["multimodal_jpeg_color_decode"]
+    con = oracle._duck_connection(SF_SMALL)
+    res = oracle.compare(
+        "multimodal_jpeg_color_decode", q.fn(spark, SF_SMALL), q.oracle,
+        SF_SMALL, con,
+    )
+    assert res.ok, res.detail
+    assert res.spark_rows > 0
