@@ -212,9 +212,36 @@ R7_NEW: frozenset[str] = frozenset(
     }
 )
 
+# Already-green queries whose EXECUTION PATH changed during r7 — a green
+# history row no longer describes the shipped code, so each takes one of
+# the window's spare slots for a fresh recording:
+#   - multimodal_jpeg_decode / multimodal_mjpeg_decode: the baseline
+#     decoder was generalized to arbitrary 1-2 sampling factors (the old
+#     1x1-only path now runs through the general MCU loop) and the AVI
+#     parser gained declared-size validation;
+#   - events_value_ks_drift: the packed-prefix plan now carries the
+#     2^31 runtime overflow guard inside the numerator expression;
+#   - dedup_embedding_cosine: the int8 qdot ragged path now raises on
+#     dimension mismatch (UDF body changed);
+#   - ann_pq_adc / ann_ivfpq_adc: expression builders were parameterized
+#     (outputs byte-identical by construction — recording re-proves it);
+#   - ann_recall_report: the rerank method row re-routes through the
+#     re-pinned two-stage chain and multiprobe@2 cost attribution.
+R7_TOUCHED: frozenset[str] = frozenset(
+    {
+        "multimodal_jpeg_decode",
+        "multimodal_mjpeg_decode",
+        "events_value_ks_drift",
+        "dedup_embedding_cosine",
+        "ann_pq_adc",
+        "ann_ivfpq_adc",
+        "ann_recall_report",
+    }
+)
+
 # Round-7 driver window: every formerly-delegated query, r7-new
-# registrations, and the rows-only chain gate.
-R7_WINDOW: frozenset[str] = R7_PROMOTED | R7_NEW | ROWS_ONLY
+# registrations, r7-touched re-records, and the rows-only chain gate.
+R7_WINDOW: frozenset[str] = R7_PROMOTED | R7_NEW | R7_TOUCHED | ROWS_ONLY
 
 # The window applied this round.
 ACTIVE_WINDOW: frozenset[str] | None = R7_WINDOW
