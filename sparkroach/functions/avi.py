@@ -223,6 +223,54 @@ def encode_doc_mjpeg(doc_id: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# deterministic COLOR gate corpus: per-frame palette-chroma 4:2:0 MJPEG
+# ---------------------------------------------------------------------------
+# Composes the two r7 planes: the 4:2:0 color JPEG corpus (exact by the
+# functions/jpeg.py color-corpus argument — chroma constant per document,
+# luma varying per 16x16 tile) becomes the per-frame codec inside the
+# RIFF/AVI container, with a per-FRAME term in the luma formula so each
+# sampled frame's sums are distinct integers the oracle mirrors from
+# (doc_id, frame_idx) arithmetic.  Odd frames carry DRI=1 (RSTn resync
+# inside subsampled 6-block MCUs).
+
+
+def color_mjpeg_params(doc_id: int) -> dict:
+    from sparkroach.functions.jpeg import color_jpeg_params
+
+    return {**color_jpeg_params(doc_id), "n_frames": 2 + doc_id % 4}
+
+
+def color_frame_tile_luma(doc_id: int, frame: int, tx: int, ty: int) -> int:
+    return (doc_id * 31 + frame * 7 + ty * 16 + tx * 5) % 64
+
+
+def encode_doc_color_mjpeg(doc_id: int) -> bytes:
+    """The doc's deterministic COLOR MJPEG AVI: 2–5 exact-roundtrip
+    4:2:0 frames (palette chroma, per-frame tile luma); odd frames
+    carry a DRI restart interval."""
+    import numpy as np
+
+    from sparkroach.functions.jpeg import COLOR_PALETTE, encode_jpeg
+
+    p = color_mjpeg_params(doc_id)
+    w, h = p["width"], p["height"]
+    pr, pg, pb = COLOR_PALETTE[p["palette"]]
+    frames = []
+    for f in range(p["n_frames"]):
+        img = np.zeros((h, w, 3), dtype="uint8")
+        for ty in range(h // 16):
+            for tx in range(w // 16):
+                t = color_frame_tile_luma(doc_id, f, tx, ty)
+                img[ty * 16 : ty * 16 + 16, tx * 16 : tx * 16 + 16] = (
+                    pr + t, pg + t, pb + t,
+                )
+        frames.append(
+            encode_jpeg(img, restart_interval=f % 2, subsampling="420")
+        )
+    return encode_avi_mjpeg(frames, w, h, fps=10)
+
+
+# ---------------------------------------------------------------------------
 # Spark stages (same mapInPandas plumbing as functions.jpeg / media)
 # ---------------------------------------------------------------------------
 
@@ -303,6 +351,90 @@ def mjpeg_frame_features(media, stride: int = 2):
                 columns=[
                     "media_id", "frame_idx", "width", "height",
                     "n_frames", "pixel_sum",
+                ],
+            )
+
+    return media.mapInPandas(_decode, schema)
+
+
+def synthesize_color_mjpeg_media(docs):
+    """(doc_id) → (media_id, payload) with REAL color MJPEG-AVI bytes."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), nullable=False),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _encode(batches):
+        from sparkroach.functions.avi import encode_doc_color_mjpeg
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": [
+                        encode_doc_color_mjpeg(int(i)) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_encode, schema)
+
+
+def color_mjpeg_frame_features(media, stride: int = 2):
+    """(media_id, payload) → one row per SAMPLED frame: container
+    metadata + the decoded frame's exact pixel/plane sums (full-res RGB
+    and Y, quarter-res Cb+Cr — the columns proving the 4:2:0 chroma
+    decoded exactly inside the container).  Map-only, like
+    mjpeg_frame_features."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("pixel_sum", T.LongType()),
+            T.StructField("y_sum", T.LongType()),
+            T.StructField("chroma_sum", T.LongType()),
+        ]
+    )
+
+    def _decode(batches):
+        from sparkroach.functions.avi import parse_avi_mjpeg
+        from sparkroach.functions.jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                v = parse_avi_mjpeg(bytes(payload))
+                for fi in range(0, len(v["frames"]), stride):
+                    d = decode_jpeg(v["frames"][fi])
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": fi,
+                            "width": d["width"],
+                            "height": d["height"],
+                            "n_frames": v["n_frames"],
+                            "pixel_sum": d["pixel_sum"],
+                            "y_sum": d["plane_sums"][0],
+                            "chroma_sum": d["plane_sums"][1]
+                            + d["plane_sums"][2],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height",
+                    "n_frames", "pixel_sum", "y_sum", "chroma_sum",
                 ],
             )
 

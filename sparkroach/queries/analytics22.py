@@ -382,6 +382,98 @@ def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal_mjpeg_color_decode — round 7: COLOR video (4:2:0 MJPEG in AVI)
+# ---------------------------------------------------------------------------
+# Composes the two r7 planes: the RIFF/AVI container (r6) over 4:2:0
+# color frames (r7) with a per-FRAME term in the tile-luma formula, so
+# video decode stops being grayscale-only too.  Chroma is constant per
+# document (palette), luma varies per (frame, tile); odd frames carry
+# DRI=1 so RSTn resync is exercised inside subsampled 6-block MCUs.
+# Every 2nd frame is sampled (the frame-sample policy).
+
+
+def _color_mjpeg_oracle() -> str:
+    from sparkroach.functions.jpeg import COLOR_PALETTE, color_constants
+
+    rows = ", ".join(
+        "({}, {y0}, {cb}, {cr}, {dr}, {dg}, {db})".format(
+            pi, **color_constants(*COLOR_PALETTE[pi])
+        )
+        for pi in range(len(COLOR_PALETTE))
+    )
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   16 * (1 + doc_id % 3) AS w,
+                   16 * (1 + (doc_id // 3) % 3) AS h,
+                   doc_id % {len(COLOR_PALETTE)} AS pi,
+                   2 + doc_id % 4 AS nf
+            FROM documents
+        ),
+        pal(pi, y0, cb, cr, dr, dg, db) AS (VALUES {rows}),
+        fr AS (
+            SELECT p.*, f.v AS frame_idx
+            FROM p JOIN range(0, 16) f(v)
+              ON f.v < p.nf AND f.v % 2 = 0
+        ),
+        tiles AS (
+            SELECT fr.doc_id, fr.frame_idx, fr.w, fr.h, fr.nf,
+                   pal.cb, pal.cr, pal.dr, pal.dg, pal.db,
+                   SUM(pal.y0 + (fr.doc_id * 31 + fr.frame_idx * 7
+                                 + ty.v * 16 + tx.v * 5) % 64)
+                       AS ysum_tiles,
+                   CAST(COUNT(*) AS BIGINT) AS nt
+            FROM fr JOIN pal USING (pi)
+            JOIN range(0, 3) tx(v) ON tx.v < fr.w // 16
+            JOIN range(0, 3) ty(v) ON ty.v < fr.h // 16
+            GROUP BY ALL
+        )
+        SELECT doc_id AS media_id,
+               CAST(frame_idx AS INT) AS frame_idx,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(nf AS INT) AS n_frames,
+               CAST(256 * (3 * ysum_tiles + nt * (dr + dg + db))
+                    AS BIGINT) AS pixel_sum,
+               CAST(256 * ysum_tiles AS BIGINT) AS y_sum,
+               CAST((w // 2) * (h // 2) * (cb + cr) AS BIGINT) AS chroma_sum
+        FROM tiles
+        ORDER BY media_id, frame_idx
+    """
+
+
+@register(
+    "multimodal_mjpeg_color_decode",
+    oracle=_color_mjpeg_oracle(),
+    survey_ref="LLM ops: multimodal video decode — COLOR (YCbCr 4:2:0) "
+    "MJPEG frames inside the from-scratch RIFF/AVI container, with "
+    "every-2nd frame sampling; video decode stops being grayscale-only",
+    description="encode a real color MJPEG AVI per document (2-5 4:2:0 "
+    "frames, palette chroma + per-(frame,tile) luma, DRI on odd frames) "
+    "and decode sampled frames through the real container parser and "
+    "the general baseline decoder; the per-frame palette-chroma corpus "
+    "keeps pixel_sum, y_sum and quarter-res chroma_sum integer-exact "
+    "so the oracle mirrors (doc_id, frame_idx) arithmetic. Map-only "
+    "mapInPandas; at 100 TB payloads arrive via binaryFile partitioned "
+    "by file and output stays bounded by n_frames/stride",
+)
+def multimodal_mjpeg_color_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sparkroach._shiplib import ensure_shipped
+    from sparkroach.functions.avi import (
+        color_mjpeg_frame_features,
+        synthesize_color_mjpeg_media,
+    )
+
+    ensure_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    return color_mjpeg_frame_features(
+        synthesize_color_mjpeg_media(docs), stride=2
+    ).orderBy("media_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
 # multimodal_mjpeg_decode — round 6: REAL video decode (MJPEG in AVI)
 # ---------------------------------------------------------------------------
 # functions/avi.py is a from-scratch RIFF/AVI container writer+parser

@@ -209,6 +209,9 @@ R7_NEW: frozenset[str] = frozenset(
         # YCbCr 4:2:0 color JPEG: subsampled-MCU entropy layout + general
         # sampling-factor decode + chroma-plane exactness columns
         "multimodal_jpeg_color_decode",
+        # COLOR video: 4:2:0 frames inside the RIFF/AVI container with a
+        # per-frame luma term (container + subsampled codec composed)
+        "multimodal_mjpeg_color_decode",
     }
 )
 

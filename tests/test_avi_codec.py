@@ -115,3 +115,56 @@ def test_gate_matches_oracle(spark):
     )
     assert r.ok, r.detail
     assert r.spark_rows > 0
+
+
+# ---------------------------------------------------------------------------
+# COLOR MJPEG (r7): 4:2:0 frames inside the container
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("doc_id", [0, 5, 11])
+def test_color_container_roundtrip_is_exact(doc_id):
+    from sparkroach.functions.avi import (
+        color_frame_tile_luma,
+        color_mjpeg_params,
+        encode_doc_color_mjpeg,
+    )
+    from sparkroach.functions.jpeg import (
+        COLOR_PALETTE,
+        color_constants,
+        decode_jpeg,
+    )
+
+    p = color_mjpeg_params(doc_id)
+    c = color_constants(*COLOR_PALETTE[p["palette"]])
+    v = parse_avi_mjpeg(encode_doc_color_mjpeg(doc_id))
+    assert (v["n_frames"], v["width"], v["height"], v["handler"]) == (
+        p["n_frames"], p["width"], p["height"], "MJPG",
+    )
+    assert len(v["frames"]) == p["n_frames"]
+    for fi, frame in enumerate(v["frames"]):
+        d = decode_jpeg(frame)
+        assert d["n_components"] == 3
+        want_y = sum(
+            256 * (c["y0"] + color_frame_tile_luma(doc_id, fi, tx, ty))
+            for ty in range(p["height"] // 16)
+            for tx in range(p["width"] // 16)
+        )
+        assert d["plane_sums"][0] == want_y, (doc_id, fi)
+        n_ch = (p["width"] // 2) * (p["height"] // 2)
+        assert d["plane_sums"][1] == c["cb"] * n_ch
+        assert d["plane_sums"][2] == c["cr"] * n_ch
+
+
+def test_color_gate_matches_oracle(spark):
+    from sparkroach.oracle import compare
+
+    q = QUERIES["multimodal_mjpeg_color_decode"]
+    r = compare(
+        "multimodal_mjpeg_color_decode",
+        q.fn(spark, SF_SMALL),
+        q.oracle,
+        SF_SMALL,
+    )
+    assert r.ok, r.detail
+    assert r.spark_rows > 0
