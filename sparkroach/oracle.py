@@ -191,6 +191,13 @@ def run_all(
 ) -> list[CompareResult]:
     from sparkroach.queries import QUERIES
 
+    if names:
+        unknown = sorted(set(names) - set(QUERIES))
+        if unknown:
+            # fail loudly: a typo'd name silently "passing" by absence
+            # is exactly the wrong failure mode for a verification tool
+            raise KeyError(f"not in the registry: {unknown}")
+
     con = _duck_connection(sf_dir)
     results = []
     for name, q in QUERIES.items():
