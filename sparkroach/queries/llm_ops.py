@@ -1673,9 +1673,22 @@ def _emb_int8_qdot():
             and lens_a.iloc[0] >= 0
             and lens_b.iloc[0] >= 0
         ):
-            # uniform lengths (the normal case): one batch-wide reshape
+            # uniform lengths (the normal case): one batch-wide reshape.
+            # A cross-column length mismatch raises EXPLICITLY — numpy
+            # would silently broadcast a length-1 side and opaquely
+            # error on the rest, never a trustworthy score
+            if (
+                lens_a.iloc[0] != lens_b.iloc[0]
+                and lens_a.iloc[0] > 0
+                and lens_b.iloc[0] > 0
+            ):
+                raise ValueError(
+                    f"int8 qdot: dimension mismatch {lens_a.iloc[0]} != "
+                    f"{lens_b.iloc[0]} — refusing to truncate"
+                )
             joined = b"".join(a)
-            if not joined:  # all-empty vectors: dot is 0 by definition
+            if not joined or not b"".join(b):
+                # an all-empty column: every dot is 0 by definition
                 return pd.Series(np.zeros(len(a), dtype=np.int64))
             A = np.frombuffer(joined, dtype=np.int8).reshape(len(a), -1)
             B = np.frombuffer(b"".join(b), dtype=np.int8).reshape(len(b), -1)

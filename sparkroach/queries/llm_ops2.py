@@ -1018,7 +1018,10 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ws = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id"))
     shortlist = (
-        cand.select("q_id", "c_id", adc.alias("adc"))
+        # round BEFORE ranking, matching the oracle's ROUND(adc_dist, 6):
+        # near-ties at the shortlist cut must break on (rounded, c_id)
+        # identically in both engines
+        cand.select("q_id", "c_id", F.round(adc, 6).alias("adc"))
         .select("q_id", "c_id", F.row_number().over(ws).alias("rn"))
         .where(F.col("rn") <= _RERANK_SHORTLIST)
         .select("q_id", "c_id")

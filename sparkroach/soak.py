@@ -148,7 +148,11 @@ def pg_text(v) -> str:
         return str(int(v))
     if isinstance(v, datetime.datetime):
         s = v.isoformat(sep=" ")
-        return s[:-3] if "." in s and s.endswith("000") else s
+        if "." in s:
+            # postgres trims ALL trailing zeros of fractional seconds
+            # (.120000 renders as .12, .000000 as no fraction at all)
+            s = s.rstrip("0").rstrip(".")
+        return s
     return str(v)
 
 
@@ -364,14 +368,25 @@ def verify_mirror_equals_store(pg_info, db) -> dict:
 def run_soak(
     spark, n_blocks: int = 2048, batch: int = 64, n_txns: int = 10
 ) -> dict:
-    from sparkroach.chain.ingest import ChainDB
-
     report: dict = {
         "n_blocks": n_blocks,
         "batch": batch,
         "payset_per_block": n_txns,
     }
     base = tempfile.mkdtemp(prefix="sparkroach_soak_")
+    try:
+        return _run_soak_in(spark, base, report, n_blocks, batch, n_txns)
+    finally:
+        # the feed + COW store + checkpoint are the disk footprint —
+        # reclaim them on failure too, not just on the success path
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _run_soak_in(
+    spark, base: str, report: dict, n_blocks: int, batch: int, n_txns: int
+) -> dict:
+    from sparkroach.chain.ingest import ChainDB
+
     feed = os.path.join(base, "feed")
     ckpt = os.path.join(base, "ckpt")
     t0 = time.time()
@@ -442,7 +457,6 @@ def run_soak(
             [r for r in range(n_blocks) if r % BOX_CREATE_EVERY == 1]
         )
         report["boxes_live_at_end"] = expected_live
-    shutil.rmtree(base, ignore_errors=True)
     return report
 
 

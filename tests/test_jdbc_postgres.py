@@ -22,7 +22,6 @@ from __future__ import annotations
 import datetime
 import json
 import os
-import shutil
 import subprocess
 import tempfile
 import time
@@ -30,150 +29,48 @@ from decimal import Decimal
 
 import pytest
 
+from sparkroach import soak
 from sparkroach.chain.schemas import TABLE_KEYS, TABLE_SCHEMAS
-from sparkroach.queries.chain_demo import ADDR_A, GENESIS, _blocks
 from sparkroach.sinks import jdbc
+from sparkroach.queries.chain_demo import ADDR_A, GENESIS, _blocks
 
-_PG_BINS = ("initdb", "pg_ctl", "psql")
-
-
-def _have_postgres() -> bool:
-    if any(shutil.which(b) is None for b in _PG_BINS):
-        return False
-    try:
-        subprocess.run(["id", "postgres"], check=True, capture_output=True, cwd="/tmp")
-    except (OSError, subprocess.CalledProcessError):
-        return False
-    return True
-
-
-pytestmark = pytest.mark.skipif(
-    not _have_postgres(), reason="postgres binaries/user not available"
-)
-
-
-def _su(cmd: str) -> subprocess.CompletedProcess:
-    return subprocess.run(
-        ["su", "postgres", "-s", "/bin/bash", "-c", cmd],
-        check=True,
-        capture_output=True,
-        text=True,
-        cwd="/tmp",
-    )
-
-
-@pytest.fixture(scope="module")
-def pg():
-    base = tempfile.mkdtemp(prefix="sparkroach_pg_")
-    os.chmod(base, 0o777)
-    shutil.chown(base, user="postgres")
-    data = os.path.join(base, "data")
-    try:
-        _su(f"initdb -D {data} -A trust")
-        _su(
-            f"pg_ctl -D {data} -o '-k {base} -c listen_addresses=' "
-            f"-l {base}/log -w start"
-        )
-        _su(f"createdb -h {base} sparkroach_test")
-    except subprocess.CalledProcessError as e:  # pragma: no cover - env-dependent
-        shutil.rmtree(base, ignore_errors=True)
-        pytest.skip(f"could not start ephemeral postgres: {e.stderr[-500:]}")
-    yield {"sock": base, "db": "sparkroach_test"}
-    try:
-        _su(f"pg_ctl -D {data} -w -m immediate stop")
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+# The ephemeral-postgres lifecycle, the psql/-tA transport, SQL-literal
+# rendering, -tA text expectations and the typed-staging bulk mover all
+# live in sparkroach/soak.py (the streaming-soak harness ships them as
+# product wiring since r7); this module consumes that one implementation
+# instead of keeping a drifting copy.
+_psql = soak.psql
+_query = soak.pg_query
+_lit = soak._lit
+_pg_text = soak.pg_text
+_su = soak._su
 
 
 def _psql_args(pg_info) -> list[str]:
+    """Raw psql argv for tests that drive their OWN interactive sessions
+    (the write-skew provocation, the \\copy mover)."""
     return [
         "psql", "-h", pg_info["sock"], "-U", "postgres", "-d", pg_info["db"],
         "-v", "ON_ERROR_STOP=1", "-X", "-q",
     ]
 
-
-def _psql(pg_info, sql: str, tuples: bool = False) -> str:
-    args = _psql_args(pg_info) + (["-tA", "-F", "\t"] if tuples else [])
-    out = subprocess.run(
-        args + ["-c", sql], check=True, capture_output=True, text=True, cwd="/tmp"
-    )
-    return out.stdout
+pytestmark = pytest.mark.skipif(
+    not soak.have_postgres(), reason="postgres binaries/user not available"
+)
 
 
-def _query(pg_info, sql: str) -> list[list[str]]:
-    raw = _psql(pg_info, sql, tuples=True)
-    return [line.split("\t") for line in raw.splitlines() if line]
-
-
-def _lit(v) -> str:
-    """One SQL literal; untyped string constants coerce to jsonb/bytea as
-    the target column requires."""
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return "TRUE" if v else "FALSE"
-    if isinstance(v, (bytes, bytearray)):
-        return "'\\x" + bytes(v).hex() + "'::bytea"
-    if isinstance(v, (int, Decimal)):
-        return str(v)
-    if isinstance(v, datetime.datetime):
-        return "'" + v.isoformat(sep=" ") + "'"
-    return "'" + str(v).replace("'", "''") + "'"
-
-
-def _pg_text(v) -> str:
-    """Expected psql -tA rendering of a store value (non-jsonb columns)."""
-    if v is None:
-        return ""
-    if isinstance(v, bool):
-        return "t" if v else "f"
-    if isinstance(v, (bytes, bytearray)):
-        return "\\x" + bytes(v).hex()
-    if isinstance(v, Decimal):
-        return str(int(v))
-    if isinstance(v, datetime.datetime):
-        s = v.isoformat(sep=" ")
-        return s[:-3] if "." in s and s.endswith("000") else s
-    return str(v)
-
-
-def _bulk_write_via_psql(pg_info):
-    """The injected bulk mover: typed CREATE on overwrite (staging columns
-    mirror the TARGET table's DDL so jsonb/bytea columns merge without
-    casts — exactly how a production staging table would be declared),
-    then one multi-row INSERT — the unit-scale stand-in for COPY."""
-
-    def bulk(table: str, df, mode: str) -> None:
-        if mode == "overwrite":
-            base = table[: -len("_staging")] if table.endswith("_staging") else table
-            typed = dict(
-                col.split(" ", 1) for col in jdbc.column_ddl(base)
-            ) if base in TABLE_SCHEMAS else {}
-            cols = []
-            for f in df.schema.fields:
-                pg_t = typed.get(f.name) or jdbc._TYPE_MAP[f.dataType.simpleString()]
-                cols.append(f"{f.name} {pg_t}")
-            _psql(pg_info, f"DROP TABLE IF EXISTS {table}")
-            _psql(pg_info, f"CREATE TABLE {table} ({', '.join(cols)})")
-        rows = df.collect()
-        if not rows:
-            return
-        names = [f.name for f in df.schema.fields]
-        values = ", ".join(
-            "(" + ", ".join(_lit(r[c]) for c in names) + ")" for r in rows
-        )
-        _psql(pg_info, f"INSERT INTO {table} ({', '.join(names)}) VALUES {values}")
-
-    return bulk
+@pytest.fixture(scope="module")
+def pg():
+    try:
+        with soak.ephemeral_postgres() as pg_info:
+            yield pg_info
+    except subprocess.CalledProcessError as e:  # pragma: no cover - env
+        pytest.skip(f"could not start ephemeral postgres: {e.stderr[-500:]}")
 
 
 @pytest.fixture(scope="module")
 def mirror(pg):
-    return jdbc.JdbcMirror(
-        "jdbc:postgresql:unused",
-        execute=lambda sql: _psql(pg, sql),
-        bulk_write=_bulk_write_via_psql(pg),
-    )
+    return soak.make_mirror(pg)
 
 
 @pytest.fixture(scope="module")

@@ -195,7 +195,7 @@ def test_np_pq_encoder_matches_hof_expression(spark, ann_corpus):
     )
     for m, k in ((8, 16), (16, 64)):
         dsub = 64 // m
-        cb = stress._pq_codebook_for_test = _pq_codebook(m, k, dsub)
+        cb = _pq_codebook(m, k, dsub)
         hof = e.select(
             "vec_id",
             F.expr(
