@@ -212,6 +212,10 @@ R7_NEW: frozenset[str] = frozenset(
         # COLOR video: 4:2:0 frames inside the RIFF/AVI container with a
         # per-frame luma term (container + subsampled codec composed)
         "multimodal_mjpeg_color_decode",
+        # real regex PII detection+redaction over doc_id-injected spans
+        "pii_scrub_report",
+        # new-batch-vs-stored-index incremental dedup (capped index side)
+        "dedup_incremental_new_docs",
     }
 )
 
