@@ -142,7 +142,8 @@ def pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.lit(" host 10."), (F.col("doc_id") % 256).cast("string"),
             F.lit("."),
-            ((F.col("doc_id") / 7).cast("long") % 256).cast("string"),
+            # integer floor division (div) — the oracle's // exactly
+            (F.expr("doc_id div 7") % 256).cast("string"),
             F.lit("."), (F.col("doc_id") % 100).cast("string"),
         ),
     ).otherwise(F.lit(""))
