@@ -320,7 +320,9 @@ _SCALAR_BNLJ_OK = {
     "ann_cosine_topk", "ann_int8_quantized", "ann_ivf_kmeans",
     "bm25_top_docs",  # crossJoin against the 1-row (N, total_len) stats
     "ann_ivf_multiprobe", "ann_ivfpq_adc", "ann_pq_adc", "ann_recall_report",
-    "ann_ivfpq_rerank",  # inherits ivfpq's broadcast-centroid assign stage
+    # r7 dial: inherits multiprobe's bounded centroid-ranking crossJoin
+    # (queries x nlist-bounded centroid table, the ann_ivf_multiprobe shape)
+    "ann_ivfpq_rerank",
     "bpe_second_merge",  # crossJoin against the 1-row learned merge
     "chain_end_to_end", "domain_mix_weights", "events_funnel_conversion",
     "events_gap_fill", "hist_quantile_sketch", "hll_distinct_sketch",
@@ -590,3 +592,37 @@ def test_cbo_stats_reorder_joins(spark):
     finally:
         for t in tables:
             spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
+
+
+# ---------------------------------------------------------------------------
+# round-7 additions
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_is_map_only_before_sort(spark):
+    """The PII scrub must be one scan + projected regex work — no join,
+    no aggregation exchange; the only exchange is the output ordering.
+    At 100 TB this is the per-row pre-tokenization pass and any shuffle
+    here would be pure waste."""
+    import re
+
+    plan = _plan(spark, "pii_scrub_report")
+    assert "Join" not in plan
+    scans = [
+        line for line in plan.splitlines()
+        if re.match(r"\(\d+\) Scan parquet", line.strip())
+    ]
+    assert len(scans) == 1
+
+
+def test_incremental_dedup_joins_are_hash_equi_joins(spark):
+    """Batch-vs-index candidate generation must pair through band-key
+    EQUI-joins (hash-partitioned), never a nested-loop or cartesian —
+    the whole point of the stored index is that the old corpus is only
+    ever touched through its band keys."""
+    plan = _plan(spark, "dedup_incremental_new_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
