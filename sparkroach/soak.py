@@ -366,20 +366,73 @@ def verify_mirror_equals_store(pg_info, db) -> dict:
 
 
 def run_soak(
-    spark, n_blocks: int = 2048, batch: int = 64, n_txns: int = 10
+    spark,
+    n_blocks: int = 2048,
+    batch: int = 64,
+    n_txns: int = 10,
+    with_mirror: bool = True,
 ) -> dict:
     report: dict = {
         "n_blocks": n_blocks,
         "batch": batch,
         "payset_per_block": n_txns,
+        "mirror": with_mirror,
     }
     base = tempfile.mkdtemp(prefix="sparkroach_soak_")
     try:
-        return _run_soak_in(spark, base, report, n_blocks, batch, n_txns)
+        if with_mirror:
+            return _run_soak_in(spark, base, report, n_blocks, batch, n_txns)
+        return _run_soak_bare(spark, base, report, n_blocks, batch, n_txns)
     finally:
         # the feed + COW store + checkpoint are the disk footprint —
         # reclaim them on failure too, not just on the success path
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _run_soak_bare(
+    spark, base: str, report: dict, n_blocks: int, batch: int, n_txns: int
+) -> dict:
+    """The no-mirror control: the identical streaming run (same feed,
+    same kill/restart protocol) with the store as the only sink —
+    isolates the psql-transport cost from the engine's own streaming
+    ceiling (SCALE.md §13)."""
+    from sparkroach.chain.ingest import ChainDB
+
+    feed = os.path.join(base, "feed")
+    ckpt = os.path.join(base, "ckpt")
+    t0 = time.time()
+    write_feed(spark, feed, n_blocks, batch, n_txns)
+    report["feed_write_wall_s"] = round(time.time() - t0, 2)
+    db = ChainDB(spark, os.path.join(base, "chain"), n_buckets=8)
+    db.load_genesis(
+        [{"addr": b"\x01" * 32, "microalgos": 10**12}], genesis_hash=GENESIS
+    )
+    kill_at = n_blocks // 3
+    wall_a, _ = _run_stream(
+        spark, db, None, feed, ckpt, kill_at_round=kill_at
+    )
+    rounds_a = db.next_round()
+    report["phase_a"] = {
+        "wall_s": wall_a,
+        "rounds_ingested": rounds_a,
+        "blocks_per_s": round(rounds_a / wall_a, 2),
+        "killed_at_round": kill_at,
+    }
+    t0 = time.time()
+    wall_b, first_new = _run_stream(spark, db, None, feed, ckpt)
+    rounds_b = db.next_round() - rounds_a
+    report["phase_b"] = {
+        "wall_s": wall_b,
+        "recovery_to_first_new_round_s": first_new,
+        "rounds_ingested": rounds_b,
+        "blocks_per_s": round(rounds_b / wall_b, 2),
+    }
+    assert db.next_round() == n_blocks, (db.next_round(), n_blocks)
+    report["table_rows"] = {
+        t: db.store.read(t).count()
+        for t in ("block_header", "txn", "txn_participation", "app_box")
+    }
+    return report
 
 
 def _run_soak_in(
@@ -467,9 +520,14 @@ def main() -> None:
     ap.add_argument("--blocks", type=int, default=2048)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--payset", type=int, default=10)
+    ap.add_argument(
+        "--no-mirror", action="store_true",
+        help="no-mirror control run: same feed/kill/restart, store-only "
+        "sink — isolates the psql transport cost from the engine ceiling",
+    )
     args = ap.parse_args()
 
-    if not have_postgres():
+    if not args.no_mirror and not have_postgres():
         raise SystemExit(
             "postgres server binaries / postgres user unavailable — the "
             "soak needs the real database (probed, never faked)"
@@ -478,7 +536,17 @@ def main() -> None:
 
     spark = get_spark("sparkroach-soak")
     try:
-        print(json.dumps(run_soak(spark, args.blocks, args.batch, args.payset)))
+        print(
+            json.dumps(
+                run_soak(
+                    spark,
+                    args.blocks,
+                    args.batch,
+                    args.payset,
+                    with_mirror=not args.no_mirror,
+                )
+            )
+        )
     finally:
         spark.stop()
 
