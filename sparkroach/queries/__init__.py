@@ -36,6 +36,7 @@ from sparkroach.queries import analytics20  # noqa: E402,F401
 from sparkroach.queries import analytics21  # noqa: E402,F401
 from sparkroach.queries import analytics22  # noqa: E402,F401
 from sparkroach.queries import analytics23  # noqa: E402,F401
+from sparkroach.queries import analytics24  # noqa: E402,F401
 from sparkroach.queries import llm_ops  # noqa: E402,F401
 from sparkroach.queries import llm_ops2  # noqa: E402,F401
 from sparkroach.queries import llm_ops3  # noqa: E402,F401
@@ -43,6 +44,7 @@ from sparkroach.queries import llm_ops4  # noqa: E402,F401
 from sparkroach.queries import llm_ops5  # noqa: E402,F401
 from sparkroach.queries import llm_ops6  # noqa: E402,F401
 from sparkroach.queries import llm_ops7  # noqa: E402,F401
+from sparkroach.queries import llm_ops8  # noqa: E402,F401
 from sparkroach.queries import sketches  # noqa: E402,F401
 from sparkroach.queries import chain_demo  # noqa: E402,F401
 from sparkroach.streaming import dedup as _streaming_dedup  # noqa: E402,F401

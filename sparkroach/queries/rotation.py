@@ -216,6 +216,17 @@ R7_NEW: frozenset[str] = frozenset(
         "pii_scrub_report",
         # new-batch-vs-stored-index incremental dedup (capped index side)
         "dedup_incremental_new_docs",
+        # from-scratch Avro OCF source/sink behind the Python DataSource
+        # API (strings + null unions + both codecs + metadata schema
+        # inference / array<float> + multi-block framing)
+        "documents_avro_roundtrip",
+        "embeddings_avro_roundtrip",
+        # WARC 1.0 (Common Crawl layout) export + file-parallel re-ingest
+        # through the generic binary-file sink and binaryFile source
+        "documents_warc_ingest",
+        # MOSS winnowing: window-min k-gram fingerprints, capped
+        # fingerprint equi-join (partial-overlap detection plane)
+        "winnowing_match_pairs",
     }
 )
 
