@@ -87,9 +87,13 @@ def _th32(col) -> F.Column:
                         AS BIGINT) AS n_null_alt
             FROM md
         )
+        SELECT 'avro_bzip2' AS format, * FROM s
+        UNION ALL
         SELECT 'avro_deflate' AS format, * FROM s
         UNION ALL
         SELECT 'avro_null' AS format, * FROM s
+        UNION ALL
+        SELECT 'avro_xz' AS format, * FROM s
         ORDER BY format
     """,
     survey_ref="source formats: Avro Object Container Files — from-scratch "
@@ -98,8 +102,10 @@ def _th32(col) -> F.Column:
     "Avro' gap with a real read/write surface",
     description="Avro round-trip gate: documents + a genuinely-null column "
     "(nullif(lang,'en') exercises the ['null',T] union branch indices) "
-    "written through df.write.format('sparkroach_avro') under BOTH "
-    "container codecs and read back WITHOUT an explicit schema — the read "
+    "written through df.write.format('sparkroach_avro') under all FOUR "
+    "stdlib-expressible container codecs (null/deflate/bzip2/xz — 4 of "
+    "the spec's 6; snappy/zstandard rejected loudly) and read back "
+    "WITHOUT an explicit schema — the read "
     "schema comes from the first file's OCF metadata (a bounded header "
     "read, never a data scan).  Checksums (row count, id/char sums, "
     "distinct langs, md5-prefix text sum, null count) must match the "
@@ -132,8 +138,8 @@ def documents_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(fmt).alias("format"), "*")
 
     try:
-        outs = []
-        for codec in ("deflate", "null"):
+        out = None
+        for codec in ("bzip2", "deflate", "null", "xz"):
             path = os.path.join(root, f"docs_{codec}")
             (
                 d.write.format("sparkroach_avro")
@@ -142,9 +148,9 @@ def documents_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .save(path)
             )
             back = spark.read.format("sparkroach_avro").load(path)
-            outs.append(checksums(back, f"avro_{codec}"))
-        out = outs[0].unionByName(outs[1]).orderBy("format")
-        return out.localCheckpoint()
+            cs = checksums(back, f"avro_{codec}")
+            out = cs if out is None else out.unionByName(cs)
+        return out.orderBy("format").localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

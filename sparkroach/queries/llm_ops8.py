@@ -126,7 +126,10 @@ _TH32_GM = " + ".join(
 )
 def winnowing_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    fps = winnow_fingerprints(d)
+    # the fingerprint stage feeds three consumers (frequency census +
+    # both join sides): checkpoint so the explode+window work runs ONCE
+    # (the same pay-once discipline as the LSH band stage)
+    fps = winnow_fingerprints(d).localCheckpoint()
     keep = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("df"))

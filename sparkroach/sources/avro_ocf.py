@@ -23,9 +23,11 @@ bounded — see ``_SPARK_TO_AVRO``):
   the optional negative-count + byte-size form accepted on read);
 - 2-branch ``["null", T]`` unions — the Avro idiom for nullable
   columns (written with branch index 0/1 exactly per spec);
-- container codecs ``null`` and ``deflate`` (RFC 1951 raw deflate —
-  the spec explicitly notes the *absence* of zlib headers, hence
-  ``zlib.compressobj(wbits=-15)``);
+- container codecs ``null``, ``deflate`` (RFC 1951 raw deflate — the
+  spec explicitly notes the *absence* of zlib headers, hence
+  ``zlib.compressobj(wbits=-15)``), ``bzip2`` and ``xz`` — four of the
+  spec's six; ``snappy`` and ``zstandard`` have no stdlib
+  implementation and are rejected loudly, never silently mis-decoded;
 - multi-block files: the writer cuts a block every
   ``block_records`` rows so even small corpora exercise the
   count/size/sync framing; readers verify the 16-byte sync marker on
@@ -67,8 +69,10 @@ from __future__ import annotations
 def _build_avro():
     """Factory: self-contained Avro OCF codec + DataSource (see module
     docstring's pickling note)."""
+    import bz2
     import io
     import json
+    import lzma
     import os
     import struct
     import uuid
@@ -98,6 +102,25 @@ def _build_avro():
 
     MAGIC = b"Obj\x01"
     INT64_MIN, INT64_MAX = -(1 << 63), (1 << 63) - 1
+
+    def _deflate(data: bytes) -> bytes:
+        co = zlib.compressobj(9, zlib.DEFLATED, -15)  # raw: no zlib header
+        return co.compress(data) + co.flush()
+
+    # the 4 of the spec's 6 codecs the stdlib can express; snappy and
+    # zstandard are rejected at validation time, never silently wrong
+    CODEC_C = {
+        "null": lambda d: d,
+        "deflate": _deflate,
+        "bzip2": bz2.compress,
+        "xz": lzma.compress,
+    }
+    CODEC_D = {
+        "null": lambda d: d,
+        "deflate": lambda d: zlib.decompress(d, -15),
+        "bzip2": bz2.decompress,
+        "xz": lzma.decompress,
+    }
 
     # ---- binary encoding (Avro spec "Binary Encoding") -----------------
 
@@ -275,7 +298,7 @@ def _build_avro():
         block_records: int = 1000,
     ) -> bytes:
         """Encode records (dicts) into one OCF byte string."""
-        if codec not in ("null", "deflate"):
+        if codec not in CODEC_C:
             raise ValueError(f"avro: unsupported codec {codec!r}")
         schema = json.loads(schema_json)
         sync = sync_marker(schema_json, codec)
@@ -292,10 +315,7 @@ def _build_avro():
         def flush(buf: bytearray, n: int) -> None:
             if not n:
                 return
-            data = bytes(buf)
-            if codec == "deflate":
-                co = zlib.compressobj(9, zlib.DEFLATED, -15)
-                data = co.compress(data) + co.flush()
+            data = CODEC_C[codec](bytes(buf))
             enc_long(n, out)
             enc_long(len(data), out)
             out.extend(data)
@@ -321,7 +341,7 @@ def _build_avro():
             raise ValueError("avro: missing avro.schema metadata")
         schema = json.loads(meta["avro.schema"].decode("utf-8"))
         codec = meta.get("avro.codec", b"null").decode("utf-8")
-        if codec not in ("null", "deflate"):
+        if codec not in CODEC_D:
             raise ValueError(f"avro: unsupported codec {codec!r}")
         sync = cur.take(16)
         return schema, codec, sync, cur
@@ -335,9 +355,7 @@ def _build_avro():
             size = cur.long()
             if count < 0 or size < 0:
                 raise ValueError("avro: negative block count/size")
-            block = cur.take(size)
-            if codec == "deflate":
-                block = zlib.decompress(block, -15)
+            block = CODEC_D[codec](cur.take(size))
             bcur = Cursor(block)
             for _ in range(count):
                 records.append(dec_datum(schema, bcur))
@@ -471,7 +489,7 @@ def _build_avro():
             if not self.path:
                 raise ValueError("sparkroach_avro requires a path")
             self.codec = options.get("codec", "deflate")
-            if self.codec not in ("null", "deflate"):
+            if self.codec not in CODEC_C:
                 raise ValueError(f"avro: unsupported codec {self.codec!r}")
             self.block_records = int(options.get("block_records", "1000"))
             self.schema_json = spark_to_avro_schema(schema)

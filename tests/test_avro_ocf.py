@@ -116,7 +116,7 @@ def test_magic_and_metadata_layout():
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "bzip2", "xz"])
 def test_roundtrip_multiblock(codec):
     recs = [_mk(i) for i in range(-5, 2500)]
     data = write_ocf(_SJ, recs, codec=codec, block_records=700)

@@ -626,3 +626,34 @@ def test_incremental_dedup_joins_are_hash_equi_joins(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_winnowing_fps_window_is_per_doc_partitioned(spark):
+    """Winnowing's window-min selection must run inside per-document
+    partitions (hashpartitioning on doc_id) — a single-partition window
+    here would serialize the whole corpus through one task at 100 TB."""
+    from sparkroach.queries.llm_ops8 import winnow_fingerprints
+    from sparkroach.tables import load
+
+    df = winnow_fingerprints(load(spark, SF_SMALL, "documents"))
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(doc_id" in plan
+
+
+def test_winnowing_pairs_plan_is_bounded_and_pays_fps_once(spark):
+    """The pair stage must (a) pair only through fingerprint EQUI-joins
+    (never nested-loop/cartesian — the frequency cap exists so buckets
+    are joinable), (b) end in TakeOrderedAndProject (bounded report, no
+    global sort), and (c) reuse the checkpointed fingerprint stage
+    instead of re-deriving the explode+window work per consumer (three
+    consumers: census + both join sides)."""
+    plan = _plan(spark, "winnowing_match_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Scan parquet" not in plan  # all sides read the checkpoint
