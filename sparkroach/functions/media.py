@@ -16,9 +16,13 @@ REAL container round-trips that need nothing beyond the Python stdlib:
 
 Baseline JPEG got its own from-scratch codec in round 5
 (``functions/jpeg.py`` — real DCT/quant/Huffman bitstream, exact on its
-tile corpus).  MP4 remains honestly stubbed: the dispatcher raises
-``NotImplementedError`` rather than faking a decode (container parsing
-without a video codec is not meaningful).
+tile corpus); the AVI and MP4 containers followed in r6/r7
+(``functions/avi.py``, ``functions/mp4.py`` — Motion-JPEG decodes for
+real in both).  This module's dispatcher still raises
+``NotImplementedError`` for containers it does not own rather than
+faking a decode; H.264/H.265 sample decode stays stubbed repo-wide
+(motion compensation is the line — the MP4 metadata probe works on
+such files without decoding).
 
 The synthetic corpus is derived deterministically from ``doc_id`` alone, so
 a SQL oracle can mirror every decoded feature as integer arithmetic — but
@@ -226,12 +230,15 @@ def decode_payload(container: str, payload: bytes) -> dict:
         return decode_bmp(payload)
     raise NotImplementedError(
         f"no stdlib decoder for container {container!r} here — baseline "
-        "JPEG has its own from-scratch codec (functions/jpeg.py, r5) and "
+        "JPEG has its own from-scratch codec (functions/jpeg.py, r5), "
         "MJPEG-in-AVI video decodes for real through functions/avi.py "
-        "(r6: RIFF container parse + per-frame JPEG decode); plain "
-        "MP4/H.264 stays stubbed because a container parse without a "
-        "motion-compensated codec decodes nothing — the real video lane "
-        "is multimodal_mjpeg_decode"
+        "(r6: RIFF container parse + per-frame JPEG decode), and the "
+        "MP4/ISO BMFF container is real through functions/mp4.py (r7: "
+        "box-tree parse + sample-table slicing; Motion-JPEG samples "
+        "fully decode, multimodal_mp4_decode).  H.264/H.265 SAMPLE "
+        "decode stays stubbed: motion compensation is the line — but "
+        "the decode-free metadata probe (multimodal_mp4_probe) still "
+        "works on such files"
     )
 
 
@@ -316,7 +323,7 @@ def decode_real_features(media: DataFrame) -> DataFrame:
 # "video": a multi-frame container (concatenated P6 frames) + frame sampling
 # ---------------------------------------------------------------------------
 
-# A real video codec (MP4/H.264) needs libraries this environment lacks —
+# Real video containers live in functions/avi.py and functions/mp4.py —
 # but the frame-sampling OPERATOR (the brief's multimodal list: decode /
 # feature-extract / resize / frame-sample) doesn't care what the frames
 # are encoded as.  A concatenated-P6 sequence is a legitimate multi-frame

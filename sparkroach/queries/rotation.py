@@ -227,6 +227,11 @@ R7_NEW: frozenset[str] = frozenset(
         # MOSS winnowing: window-min k-gram fingerprints, capped
         # fingerprint equi-join (partial-overlap detection plane)
         "winnowing_match_pairs",
+        # ISO BMFF (MP4): decode-free metadata probe over an 'avc1'
+        # track, and REAL Motion-JPEG-in-MP4 frame decode ('jpeg'
+        # sample entries through the general stsc/stco chunk map)
+        "multimodal_mp4_probe",
+        "multimodal_mp4_decode",
     }
 )
 

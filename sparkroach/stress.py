@@ -809,6 +809,160 @@ def run_pq_sweep(spark, sf_dir: str) -> dict:
     return out
 
 
+def run_winnow(spark, sf_dir: str) -> dict:
+    """Winnowing plane at stress scale (SCALE.md §14).
+
+    What must hold at 100k docs (and, by the same mechanics, at 100×):
+
+    - the fingerprint census is linear in tokens and the window runs
+      per-doc (no global sort);
+    - the FP_MAX_DOCS boilerplate cap absorbs the template flood — the
+      25% one-template corpus would otherwise create fingerprint
+      buckets of ~25k docs and an O(bucket²) pair explosion;
+    - the cap's DELIBERATE cost is measured, not hidden: organic
+      clusters larger than the cap lose their common fingerprints too,
+      so per-size recovery is reported (small clusters ≈ full recovery,
+      over-cap clusters degrade — the scale path for those is the CC
+      transitive closure of the MinHash plane, not winnowing).
+    """
+    import pyspark.sql.functions as F
+
+    from sparkroach.queries.llm_ops8 import (
+        FP_MAX_DOCS,
+        MIN_SHARED,
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+    from sparkroach.tables import load
+
+    out: dict = {
+        "sf_dir": sf_dir,
+        "params": {
+            "k": WINNOW_K,
+            "w": WINNOW_W,
+            "fp_max_docs": FP_MAX_DOCS,
+            "min_shared": MIN_SHARED,
+        },
+    }
+    docs = load(spark, sf_dir, "documents")
+
+    t0 = time.time()
+    fps = winnow_fingerprints(docs).localCheckpoint()
+    n_fps = fps.count()
+    out["fingerprint_stage"] = {
+        "wall_s": round(time.time() - t0, 2),
+        "doc_fp_rows": n_fps,
+        "fps_per_doc": round(n_fps / docs.count(), 2),
+        "skew": _partition_skew(fps),
+    }
+
+    df_census = fps.groupBy("fp").agg(F.count("*").alias("df"))
+    cen = df_census.agg(
+        F.count("*").alias("n_distinct_fp"),
+        F.max("df").alias("max_df"),
+        F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("singletons"),
+        F.sum(
+            F.when(F.col("df") > FP_MAX_DOCS, F.col("df")).otherwise(0)
+        ).alias("rows_dropped_by_cap"),
+        F.sum(
+            F.when(F.col("df") > FP_MAX_DOCS, 1).otherwise(0)
+        ).alias("fps_dropped_by_cap"),
+    ).collect()[0]
+    out["fp_census"] = {
+        "n_distinct_fp": cen.n_distinct_fp,
+        "max_df": cen.max_df,
+        "singleton_frac": round(cen.singletons / cen.n_distinct_fp, 4),
+        "fps_dropped_by_cap": cen.fps_dropped_by_cap,
+        "doc_fp_rows_dropped_by_cap": cen.rows_dropped_by_cap,
+    }
+
+    # the pair stage WITHOUT the report limit — the stress question is
+    # the join's size behavior, not the top-k presentation
+    t0 = time.time()
+    keep = df_census.filter(
+        (F.col("df") >= 2) & (F.col("df") <= FP_MAX_DOCS)
+    ).select("fp")
+    a = fps.join(keep, "fp").alias("a")
+    pairs = (
+        a.join(fps.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= MIN_SHARED)
+        .localCheckpoint()
+    )
+    n_pairs = pairs.count()
+    out["pair_stage"] = {
+        "wall_s": round(time.time() - t0, 2),
+        "n_pairs": n_pairs,
+    }
+
+    # planted-truth read: precision (reported pairs that really are
+    # same-cluster near-dups; template docs all descend from ONE template
+    # so cluster -1 x -1 pairs are true positives too), and per-cluster-
+    # size recovery of duplicate docs (>=1 same-cluster pair found)
+    truth = spark.read.parquet(os.path.join(sf_dir, "ground_truth.parquet"))
+    ta = truth.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("planted_cluster").alias("cl_a"),
+    )
+    tb = truth.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("planted_cluster").alias("cl_b"),
+    )
+    scored = pairs.join(ta, "doc_a").join(tb, "doc_b")
+    prec = scored.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("cl_a") == F.col("cl_b")).cast("long")).alias("same"),
+    ).collect()[0]
+    out["precision"] = {
+        "pairs": prec.n,
+        "same_cluster": prec.same,
+        "rate": round(prec.same / prec.n, 4) if prec.n else None,
+    }
+
+    cl_sizes = truth.where(F.col("planted_cluster") >= 0).groupBy(
+        "planted_cluster"
+    ).agg(F.count("*").alias("cl_size"))
+    dup_docs = truth.where(
+        F.col("kind").isin("exact_dup", "near_dup")
+    ).join(cl_sizes, "planted_cluster")
+    hit_pairs = scored.where(F.col("cl_a") == F.col("cl_b"))
+    hits = (
+        hit_pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(hit_pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    rec = (
+        dup_docs.join(hits, "doc_id", "left")
+        .withColumn(
+            "bucket",
+            F.when(F.col("cl_size") <= FP_MAX_DOCS, "cluster<=cap")
+            .otherwise("cluster>cap"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("recovered"),
+        )
+        .collect()
+    )
+    out["dup_doc_recovery_by_cluster_size"] = {
+        r.bucket: {
+            "n": r.n,
+            "recovered": r.recovered,
+            "rate": round(r.recovered / r.n, 4) if r.n else None,
+        }
+        for r in rec
+    }
+    return out
+
+
 def main() -> None:
     import argparse
 
@@ -826,6 +980,12 @@ def main() -> None:
         "--pq-sweep", action="store_true",
         help="run the PQ dial sweep (codebook resolution × shortlist "
         "depth × trained/deterministic codebooks) on the ANN corpus",
+    )
+    ap.add_argument(
+        "--winnow", action="store_true",
+        help="run the winnowing-fingerprint plane stress (census, "
+        "boilerplate-cap behavior, pair precision, per-cluster-size "
+        "recovery) on the dedup corpus",
     )
     ap.add_argument(
         "--n-vecs", type=int, default=None,
@@ -856,6 +1016,8 @@ def main() -> None:
         t0 = time.time()
         if args.pq_sweep:
             report.update(run_pq_sweep(spark, args.out))
+        elif args.winnow:
+            report.update(run_winnow(spark, args.out))
         else:
             runner = run_ann if args.ann else run
             report.update(runner(spark, args.out, verify=args.verify))
