@@ -232,6 +232,99 @@ def embeddings_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# documents_avro_schema_evolution — mixed writer generations, one reader
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "documents_avro_schema_evolution",
+    oracle=f"""
+        WITH md AS (
+            SELECT doc_id, md5(text) AS m, lang,
+                   CASE WHEN doc_id % 2 = 1 THEN source END AS source2,
+                   CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars2
+            FROM documents
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(SUM({_th32_sql('m')}) AS BIGINT) AS text_hash_sum,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(CASE WHEN source2 IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_source,
+               CAST(SUM(CAST(n_chars2 AS DOUBLE)) AS DOUBLE)
+                   AS sum_n_chars_new
+        FROM md
+    """,
+    survey_ref="source formats: Avro SCHEMA RESOLUTION (spec 'Schema "
+    "Resolution') — one directory holding two writer-schema GENERATIONS "
+    "read under a single declared reader schema: absent fields resolve "
+    "to null, the int->double numeric promotion widens, mismatches "
+    "raise; the evolution contract the format exists for",
+    description="half the corpus (even doc_ids) is written as a 3-field "
+    "generation-1 Avro schema and the other half as the full 5-field "
+    "generation-2 schema, into the SAME directory; the read declares one "
+    "explicit reader schema in which generation-1's missing columns are "
+    "nullable AND n_chars is widened long->double (a spec promotion, "
+    "exact for these magnitudes).  Checksums pin that gen-1 rows "
+    "resolve to null, gen-2 rows keep values, and the promotion "
+    "converts rather than corrupts — per-FILE resolution, since each "
+    "OCF carries its own writer schema",
+)
+def documents_avro_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from sparkroach.sources.avro_ocf import register_avro_source
+
+    register_avro_source(spark)
+    d = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="sparkroach_avro_evo_")
+    reader_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("source", T.StringType(), True),
+            # written as long by generation 2: spec promotion on read
+            T.StructField("n_chars", T.DoubleType(), True),
+        ]
+    )
+    try:
+        path = os.path.join(root, "docs_evo")
+        gen1 = d.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "text", "lang"
+        )
+        gen2 = d.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        for gen in (gen1, gen2):
+            gen.write.format("sparkroach_avro").mode("append").save(path)
+        back = (
+            spark.read.format("sparkroach_avro")
+            .schema(reader_schema)
+            .load(path)
+        )
+        out = back.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.sum(_th32("text")).cast("long").alias("text_hash_sum"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum(F.when(F.col("source").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_source"),
+            F.sum("n_chars").cast("double").alias("sum_n_chars_new"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # documents_warc_ingest — Common-Crawl-layout WARC shards, file-parallel
 # ---------------------------------------------------------------------------
 

@@ -221,6 +221,9 @@ R7_NEW: frozenset[str] = frozenset(
         # inference / array<float> + multi-block framing)
         "documents_avro_roundtrip",
         "embeddings_avro_roundtrip",
+        # spec Schema Resolution: mixed writer generations, one reader
+        # schema, missing->null + numeric promotion
+        "documents_avro_schema_evolution",
         # WARC 1.0 (Common Crawl layout) export + file-parallel re-ingest
         # through the generic binary-file sink and binaryFile source
         "documents_warc_ingest",
@@ -232,6 +235,12 @@ R7_NEW: frozenset[str] = frozenset(
         # sample entries through the general stsc/stco chunk map)
         "multimodal_mp4_probe",
         "multimodal_mp4_decode",
+        # WARC->WET content extraction: boilerplate-block removal + tag
+        # strip, pinned lossless (md5(extracted) == md5(original))
+        "html_text_extraction",
+        # fastText-shaped keep/drop: hashing-trick linear scorer with an
+        # integer cross-multiplied decision
+        "quality_linear_classifier",
     }
 )
 

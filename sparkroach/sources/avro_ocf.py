@@ -31,7 +31,14 @@ bounded — see ``_SPARK_TO_AVRO``):
 - multi-block files: the writer cuts a block every
   ``block_records`` rows so even small corpora exercise the
   count/size/sync framing; readers verify the 16-byte sync marker on
-  EVERY block boundary and fail loudly on drift.
+  EVERY block boundary and fail loudly on drift;
+- spec **Schema Resolution** on read: each file resolves its own
+  writer schema against the reader schema — fields the file lacks
+  become null (nullable reader fields only), the numeric promotion
+  lattice (int→long→float→double, float→double) widens, and any other
+  mismatch raises — so one directory can hold mixed schema
+  GENERATIONS and still read under one declared schema (the Avro
+  evolution contract; gated by ``documents_avro_schema_evolution``).
 
 Unsupported Avro features raise ``ValueError`` at schema-mapping time
 (maps, fixed, enums, multi-branch unions, logical types) — never a
@@ -456,22 +463,74 @@ def _build_avro():
         def __init__(self, file_path: str):
             self.file_path = file_path
 
+# spec "Schema Resolution" numeric promotion lattice (reader may widen)
+    _PROMOTIONS = {
+        (IntegerType, LongType),
+        (IntegerType, FloatType),
+        (IntegerType, DoubleType),
+        (LongType, FloatType),
+        (LongType, DoubleType),
+        (FloatType, DoubleType),
+    }
+
+    def resolve_field(writer_avro, want: StructField):
+        """Spec schema resolution for one reader field against one file's
+        writer schema: exact type, a spec numeric promotion, or — when
+        the writer lacks the field entirely — null for a nullable reader
+        field.  Returns a per-value converter; raises on anything that
+        would otherwise decode silently wrong."""
+        if writer_avro is None:  # field absent in this file's generation
+            if not want.nullable:
+                raise ValueError(
+                    f"avro: file lacks non-nullable reader field "
+                    f"{want.name!r}"
+                )
+            return lambda rec: None
+        got_dt, _got_null = _avro_field_to_spark(writer_avro)
+        name = want.name
+        if got_dt == want.dataType:
+            return lambda rec: rec[name]
+        pair = (type(got_dt), type(want.dataType))
+        if pair in _PROMOTIONS:
+            conv = (
+                float
+                if isinstance(want.dataType, (FloatType, DoubleType))
+                else int
+            )
+            return lambda rec: (
+                None if rec[name] is None else conv(rec[name])
+            )
+        raise ValueError(
+            f"avro: reader field {name!r} wants "
+            f"{want.dataType.simpleString()} but the file wrote "
+            f"{got_dt.simpleString()} (not a spec promotion)"
+        )
+
     class AvroBatchReader(DataSourceReader):
         def __init__(self, options, schema: StructType):
             self.path = options.get("path")
             if not self.path:
                 raise ValueError("sparkroach_avro requires a path")
-            self.names = [f.name for f in schema.fields]
+            self.fields = list(schema.fields)
 
         def partitions(self) -> Sequence[InputPartition]:
             return [FilePartition(p) for p in _list_avro(self.path)]
 
         def read(self, partition) -> Iterator[tuple]:
             with open(partition.file_path, "rb") as f:
-                _, records = read_ocf(f.read())
-            names = self.names
+                schema, records = read_ocf(f.read())
+            # per-FILE resolution: every file carries its own writer
+            # schema, so mixed generations in one directory read under
+            # one reader schema (the Avro evolution contract)
+            writer_types = {
+                fld["name"]: fld["type"] for fld in schema["fields"]
+            }
+            getters = [
+                resolve_field(writer_types.get(f.name), f)
+                for f in self.fields
+            ]
             for rec in records:
-                yield tuple(rec.get(n) for n in names)
+                yield tuple(g(rec) for g in getters)
 
     @dataclass
     class AvroCommit(WriterCommitMessage):
@@ -563,6 +622,7 @@ def _build_avro():
         sync_marker,
         enc_long,
         Cursor,
+        resolve_field,
     )
 
 
@@ -576,6 +636,7 @@ def _build_avro():
     sync_marker,
     _enc_long,
     _Cursor,
+    resolve_field,
 ) = _build_avro()
 
 

@@ -307,3 +307,68 @@ def test_datasource_abort_leaves_no_visible_files(spark, tmp_path):
         n for n in os.listdir(path) if n.endswith(".avro")
     ] if os.path.exists(path) else []
     assert visible == []
+
+
+# ---------------------------------------------------------------------------
+# spec Schema Resolution (reader vs per-file writer schemas)
+# ---------------------------------------------------------------------------
+
+
+def test_resolve_field_rules():
+    from pyspark.sql import types as T
+
+    from sparkroach.sources.avro_ocf import resolve_field
+
+    # missing + nullable → constant null
+    g = resolve_field(None, T.StructField("x", T.LongType(), True))
+    assert g({"y": 1}) is None
+    # missing + non-nullable → loud
+    with pytest.raises(ValueError, match="non-nullable"):
+        resolve_field(None, T.StructField("x", T.LongType(), False))
+    # exact match passes through
+    g = resolve_field("long", T.StructField("x", T.LongType(), True))
+    assert g({"x": 7}) == 7
+    # promotions convert (and keep null as null)
+    g = resolve_field("int", T.StructField("x", T.DoubleType(), True))
+    assert g({"x": 3}) == 3.0 and isinstance(g({"x": 3}), float)
+    g = resolve_field(["null", "long"], T.StructField("x", T.DoubleType(), True))
+    assert g({"x": None}) is None
+    # narrowing / unrelated types are loud, not silent
+    with pytest.raises(ValueError, match="not a spec promotion"):
+        resolve_field("double", T.StructField("x", T.LongType(), True))
+    with pytest.raises(ValueError, match="not a spec promotion"):
+        resolve_field("string", T.StructField("x", T.LongType(), True))
+
+
+def test_mixed_generations_read_under_one_schema(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from sparkroach.sources.avro_ocf import register_avro_source
+
+    register_avro_source(spark)
+    path = str(tmp_path / "evo")
+    gen1 = spark.range(5).select(F.col("id"), F.lit("a").alias("tag"))
+    gen2 = spark.range(5, 9).select(
+        F.col("id"),
+        F.lit("b").alias("tag"),
+        (F.col("id") * 10).cast("int").alias("extra"),
+    )
+    gen1.write.format("sparkroach_avro").mode("append").save(path)
+    gen2.write.format("sparkroach_avro").mode("append").save(path)
+    reader = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("tag", T.StringType(), True),
+            # gen1 lacks it (→ null); gen2 wrote int (→ promoted)
+            T.StructField("extra", T.DoubleType(), True),
+        ]
+    )
+    back = spark.read.format("sparkroach_avro").schema(reader).load(path)
+    rows = {r.id: (r.tag, r.extra) for r in back.collect()}
+    assert rows[0] == ("a", None) and rows[8] == ("b", 80.0)
+    assert len(rows) == 9
+    # a reader schema the files cannot satisfy fails loudly at read time
+    bad = T.StructType([T.StructField("tag", T.LongType(), True)])
+    with pytest.raises(Exception, match="not a spec promotion"):
+        spark.read.format("sparkroach_avro").schema(bad).load(path).collect()
