@@ -963,6 +963,148 @@ def run_winnow(spark, sf_dir: str) -> dict:
     return out
 
 
+def run_formats(spark, sf_dir: str) -> dict:
+    """Format-lane throughput at stress scale (SCALE.md §15): write the
+    100k-doc corpus through each source/sink lane, read it back with a
+    content checksum, and report wall + bytes.  The point is an HONEST
+    cost statement for the Python-DataSource lanes (Avro/WARC) next to
+    native parquet — the interchange formats are not the hot analytic
+    path, and the measurement shows what the per-file Python decode
+    actually costs at corpus scale."""
+    import pyspark.sql.functions as F
+
+    from sparkroach._shiplib import ensure_shipped
+    from sparkroach.sources.avro_ocf import register_avro_source
+    from sparkroach.sources.binfiles import register_binfiles_sink
+    from sparkroach.tables import load
+
+    ensure_shipped(spark)
+    register_avro_source(spark)
+    register_binfiles_sink(spark)
+    docs = load(spark, sf_dir, "documents").localCheckpoint()
+    n_docs = docs.count()
+    out: dict = {"sf_dir": sf_dir, "n_docs": n_docs, "lanes": {}}
+    scratch = os.path.join(sf_dir, "_formats")
+
+    def dir_bytes(p: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p)
+            if not f.startswith(".")
+        )
+
+    def checksum(df) -> int:
+        return df.agg(
+            F.sum(
+                F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast(
+                    "long"
+                )
+            )
+        ).collect()[0][0]
+
+    expected = checksum(docs)
+
+    def lane(name: str, write_fn, read_fn) -> None:
+        path = os.path.join(scratch, name)
+        t0 = time.time()
+        write_fn(path)
+        w = time.time() - t0
+        t0 = time.time()
+        got = checksum(read_fn(path))
+        r = time.time() - t0
+        if got != expected:
+            raise AssertionError(f"{name}: checksum mismatch after roundtrip")
+        out["lanes"][name] = {
+            "write_s": round(w, 2),
+            "read_s": round(r, 2),
+            "bytes": dir_bytes(path),
+            "write_rows_per_s": round(n_docs / w),
+            "read_rows_per_s": round(n_docs / r),
+        }
+
+    try:
+        lane(
+            "parquet",
+            lambda p: docs.write.parquet(p),
+            lambda p: spark.read.parquet(p),
+        )
+        for codec in ("deflate", "null"):
+            lane(
+                f"avro_{codec}",
+                lambda p, c=codec: (
+                    docs.write.format("sparkroach_avro")
+                    .option("codec", c)
+                    .mode("append")
+                    .save(p)
+                ),
+                lambda p: spark.read.format("sparkroach_avro").load(p),
+            )
+
+        n_files = 32  # one ~3k-doc .warc.gz per task — the CC shape
+
+        def warc_write(p: str) -> None:
+            import pandas as pd
+
+            def to_warc(pdf):
+                from sparkroach.functions.warc import build_warc_gz
+
+                pdf = pdf.sort_values("doc_id")
+                fid = int(pdf["file_id"].iloc[0])
+                return pd.DataFrame(
+                    {
+                        "filename": [f"docs-{fid:05d}.warc.gz"],
+                        "content": [
+                            build_warc_gz(
+                                zip(
+                                    pdf["doc_id"],
+                                    pdf["source"],
+                                    pdf["lang"],
+                                    pdf["text"],
+                                )
+                            )
+                        ],
+                    }
+                )
+
+            (
+                docs.select("doc_id", "source", "lang", "text")
+                .withColumn("file_id", F.pmod("doc_id", F.lit(n_files)))
+                .groupBy("file_id")
+                .applyInPandas(to_warc, "filename string, content binary")
+                .write.format("sparkroach_binfiles")
+                .mode("append")
+                .save(p)
+            )
+
+        def warc_read(p: str):
+            import pandas as pd
+
+            def parse(batches):
+                from sparkroach.functions.warc import parse_warc_gz
+
+                for pdf in batches:
+                    texts = []
+                    for content in pdf["content"]:
+                        texts.extend(
+                            r["payload"].decode("utf-8")
+                            for r in parse_warc_gz(bytes(content))
+                        )
+                    yield pd.DataFrame({"text": texts})
+
+            return (
+                spark.read.format("binaryFile")
+                .option("pathGlobFilter", "*.warc.gz")
+                .load(p)
+                .select("content")
+                .mapInPandas(parse, "text string")
+            )
+
+        lane("warc_gz", warc_write, warc_read)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     import argparse
 
@@ -980,6 +1122,11 @@ def main() -> None:
         "--pq-sweep", action="store_true",
         help="run the PQ dial sweep (codebook resolution × shortlist "
         "depth × trained/deterministic codebooks) on the ANN corpus",
+    )
+    ap.add_argument(
+        "--formats", action="store_true",
+        help="measure format-lane roundtrip throughput (parquet vs "
+        "Avro vs WARC) on the stress corpus",
     )
     ap.add_argument(
         "--winnow", action="store_true",
@@ -1018,6 +1165,8 @@ def main() -> None:
             report.update(run_pq_sweep(spark, args.out))
         elif args.winnow:
             report.update(run_winnow(spark, args.out))
+        elif args.formats:
+            report.update(run_formats(spark, args.out))
         else:
             runner = run_ann if args.ann else run
             report.update(runner(spark, args.out, verify=args.verify))
