@@ -46,6 +46,7 @@ from sparkroach.queries import llm_ops6  # noqa: E402,F401
 from sparkroach.queries import llm_ops7  # noqa: E402,F401
 from sparkroach.queries import llm_ops8  # noqa: E402,F401
 from sparkroach.queries import llm_ops9  # noqa: E402,F401
+from sparkroach.queries import llm_ops10  # noqa: E402,F401
 from sparkroach.queries import sketches  # noqa: E402,F401
 from sparkroach.queries import chain_demo  # noqa: E402,F401
 from sparkroach.streaming import dedup as _streaming_dedup  # noqa: E402,F401

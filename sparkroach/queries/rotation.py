@@ -241,6 +241,19 @@ R7_NEW: frozenset[str] = frozenset(
         # fastText-shaped keep/drop: hashing-trick linear scorer with an
         # integer cross-multiplied decision
         "quality_linear_classifier",
+        # --- late wave 3 (fills the window to exactly 50) ---
+        # WebDataset tar shards: strict stdlib-tarfile codec through the
+        # binary-file sink + file-parallel binaryFile re-ingest
+        "documents_tar_webdataset_ingest",
+        # crawl-frontier URL canonicalization + cluster histogram
+        "url_canonical_dedup",
+        # count-based n-gram LM filter with a real train/score split
+        "lm_bigram_coverage_score",
+        # Unicode NFC: arrow unicodedata lane vs DuckDB nfc_normalize
+        "text_nfc_normalize_report",
+        # image near-dup: real JPEG decode → integer aHash → banded
+        # Hamming pairs (perceptual dedup over the multimodal plane)
+        "multimodal_image_ahash_pairs",
     }
 )
 
