@@ -291,13 +291,27 @@ R7_WINDOW: frozenset[str] = R7_PROMOTED | R7_NEW | R7_TOUCHED | ROWS_ONLY
 # The window applied this round.
 ACTIVE_WINDOW: frozenset[str] | None = R7_WINDOW
 
-# Active delegation set: EMPTY since round 7 — the whole r6 delegation
-# set was promoted into the driver window (R7_PROMOTED above), so every
-# registered query either has (or is pinned to get) a hard driver
-# recording.  The mechanism stays: a future round with more new queries
-# than free slots re-populates this dict.
+# Active delegation set.  It was EMPTY at the r7 promotion (the whole
+# r6 backlog went into the window); the two entries below are queries
+# REGISTERED AFTER the window filled to 50 — first in line for the R8
+# window (they are exactly the "future round with more new queries than
+# free slots" case the mechanism was retained for).  Both are
+# local-oracle green at all three SFs.
 # name -> (driver-proven twin, one-line justification)
-DELEGATED: dict[str, tuple[str, str]] = {}
+DELEGATED: dict[str, tuple[str, str]] = {
+    "robots_disallow_filter": (
+        "dedup_keep_best",
+        "broadcast candidate join + one window argmax per key — the "
+        "recorded keep-best plan family; RFC 9309 longest-match is the "
+        "ordering expression, not new machinery.  R8-window candidate",
+    ),
+    "embedding_power_iteration_pc1": (
+        "pagerank_dup_graph",
+        "fixed-iteration loop of grouped aggregations with a broadcast "
+        "per-iteration state vector — the recorded pagerank plan family, "
+        "applied to the Gram matrix-vector product.  R8-window candidate",
+    ),
+}
 
 # HISTORICAL — the r5/r6 delegation set, kept for the ledger (these 24
 # ran r5–r6 under local-oracle-only verification with the named

@@ -963,6 +963,365 @@ def run_winnow(spark, sf_dir: str) -> dict:
     return out
 
 
+def run_ahash(spark, n: int) -> dict:
+    """Image-dedup plane at stress scale (SCALE.md §16).
+
+    The gate (multimodal_image_ahash_pairs) proves correctness of the
+    64-bit integer aHash on the tile-exact corpus; the stress question
+    is the plane's behavior at 100k images through a REAL lossy codec,
+    and the measured value of each named dial:
+
+    - decode+hash is map-only and linear (measured wall);
+    - the band-bucket join survives a 10k-identical-image flood only
+      because of the bucket cap (the LSH cap trade, measured: flood
+      recovery degrades by design, organic groups recover);
+    - perceptual robustness: near-dups are NOT byte-identical — each
+      group member perturbs a 2x2 pixel patch and every block carries
+      a gradient texture, so the whole image goes through genuine DCT
+      quantization noise;
+    - HASH RICHNESS is measured, not asserted: the same corpus is
+      hashed three ways — a8 (the gate's 64-bit integer aHash), a16
+      (256-bit grid-16 aHash, the 'wider hash' dial), ph (64-bit DCT
+      pHash) — and each variant reports its threshold ceiling, capped
+      recall/precision, and the two-band split-escalation route.
+
+    Corpus: FLOOD identical images (one template), then groups of
+    GROUP images — md5-derived tile patterns + per-group gradient, all
+    dims multiples of 16 so every variant hashes the same pixels.
+    Ground truth is group membership.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from sparkroach.queries.llm_ops10 import _AHASH_CAP
+
+    FLOOD = min(10_000, n // 10)
+    GROUP = 5
+    VARIANTS = {"a8": (4, 8), "a16": (16, 32), "ph": (4, 8)}  # bands, T
+    out: dict = {
+        "n_images": n,
+        "params": {
+            "flood": FLOOD,
+            "group": GROUP,
+            "cap": _AHASH_CAP,
+            "variants": {
+                k: {"bands": b, "hamming_t": t}
+                for k, (b, t) in VARIANTS.items()
+            },
+        },
+    }
+
+    all_cols = [
+        f"{v}{k}" for v, (nb, _) in VARIANTS.items() for k in range(nb)
+    ]
+
+    def synth_and_hash(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from sparkroach.functions.ahash import (
+            ahash_bands_grid,
+            phash_bands,
+        )
+        from sparkroach.functions.jpeg import decode_jpeg, encode_jpeg
+
+        def tile_v(g: int, tx: int, ty: int) -> int:
+            return hashlib.md5(f"{g},{tx},{ty}".encode()).digest()[0]
+
+        for pdf in batches:
+            rows = {"media_id": [], "group_id": []}
+            for c in all_cols:
+                rows[c] = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i < FLOOD:
+                    g, m = -1, i
+                    w = h = 16
+                    base = 999_999_937  # one template pattern
+                else:
+                    g = (i - FLOOD) // GROUP
+                    m = (i - FLOOD) % GROUP
+                    w = 16 * (1 + g % 2)
+                    h = 16 * (1 + (g // 2) % 2)
+                    base = g
+                img = np.zeros((h, w, 3), np.uint8)
+                for ty in range(h // 8):
+                    for tx in range(w // 8):
+                        img[
+                            ty * 8 : ty * 8 + 8, tx * 8 : tx * 8 + 8, :
+                        ] = tile_v(base, tx, ty)
+                # per-group gradient texture: without it the tile-
+                # constant corpus yields low-entropy hashes, and every
+                # block becomes genuinely lossy under quantization
+                gd = hashlib.md5(f"grad,{base}".encode()).digest()
+                ax, ay = gd[0] % 5 + 1, gd[1] % 5 + 1
+                ys, xs = np.mgrid[0:h, 0:w]
+                grad = ((xs * ax + ys * ay) // 4) % 33
+                img = np.uint8(
+                    np.clip(
+                        img.astype(np.int64) + grad[..., None], 0, 255
+                    )
+                )
+                if g >= 0 and m > 0:
+                    # 2x2 pixel patch perturbation per member
+                    px = (m * 5) % (w - 2)
+                    py = (m * 3) % (h - 2)
+                    patch = img[py : py + 2, px : px + 2, :].astype(
+                        np.int64
+                    )
+                    img[py : py + 2, px : px + 2, :] = np.uint8(
+                        np.clip(patch + 80, 0, 255)
+                    )
+                rgb = decode_jpeg(encode_jpeg(img))["rgb"]
+                hs = {
+                    "a8": ahash_bands_grid(rgb, 8),
+                    "a16": ahash_bands_grid(rgb, 16),
+                    "ph": phash_bands(rgb),
+                }
+                rows["media_id"].append(i)
+                rows["group_id"].append(g)
+                for v, bands in hs.items():
+                    for k, bv in enumerate(bands):
+                        rows[f"{v}{k}"].append(bv)
+            yield pd.DataFrame(rows)
+
+    schema = "media_id long, group_id long, " + ", ".join(
+        f"{c} long" for c in all_cols
+    )
+    t0 = time.time()
+    hx = (
+        spark.range(n)
+        .repartition(64)
+        .mapInPandas(synth_and_hash, schema)
+        .localCheckpoint()
+    )
+    n_hashed = hx.count()
+    out["hash_stage"] = {
+        "wall_s": round(time.time() - t0, 2),
+        "images": n_hashed,
+        "skew": _partition_skew(hx),
+    }
+
+    def eval_variant(prefix: str, n_bands: int, t_ham: int) -> dict:
+        res: dict = {}
+        cols = [f"{prefix}{k}" for k in range(n_bands)]
+        ha = hx.select(
+            F.col("media_id").alias("media_a"),
+            F.col("group_id").alias("g_a"),
+            *[F.col(c).alias(f"xa_{k}") for k, c in enumerate(cols)],
+        )
+        hb = hx.select(
+            F.col("media_id").alias("media_b"),
+            F.col("group_id").alias("g_b"),
+            *[F.col(c).alias(f"xb_{k}") for k, c in enumerate(cols)],
+        )
+        hamming = sum(
+            F.bit_count(F.expr(f"xa_{k} ^ xb_{k}"))
+            for k in range(n_bands)
+        )
+
+        # threshold ceiling: true same-group pairs within t after codec
+        org = hx.where(F.col("group_id") >= 0)
+        tp = (
+            org.alias("x")
+            .join(org.alias("y"), "group_id")
+            .where(F.col("x.media_id") < F.col("y.media_id"))
+            .select(
+                *[
+                    F.col(f"x.{c}").alias(f"xa_{k}")
+                    for k, c in enumerate(cols)
+                ],
+                *[
+                    F.col(f"y.{c}").alias(f"xb_{k}")
+                    for k, c in enumerate(cols)
+                ],
+            )
+            .withColumn("hamming", hamming)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("hamming") <= t_ham).cast("long")).alias(
+                    "within"
+                ),
+            )
+            .collect()[0]
+        )
+        res["threshold_ceiling"] = (
+            round(tp.within / tp.n, 4) if tp.n else None
+        )
+
+        bands = hx.select(
+            "media_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("band_idx"),
+                            F.col(c).alias("band_val"),
+                        )
+                        for k, c in enumerate(cols)
+                    ]
+                )
+            ).alias("bv"),
+        ).select("media_id", "bv.band_idx", "bv.band_val")
+
+        cen = (
+            bands.groupBy("band_idx", "band_val")
+            .agg(F.count("*").alias("sz"))
+            .agg(
+                F.count("*").alias("n_buckets"),
+                F.max("sz").alias("max_bucket"),
+            )
+            .collect()[0]
+        )
+        res["band_census"] = {
+            "n_buckets": cen.n_buckets,
+            "max_bucket": cen.max_bucket,
+        }
+
+        rk = Window.partitionBy("band_idx", "band_val").orderBy(
+            "media_id"
+        )
+        ranked = bands.withColumn(
+            "rk", F.row_number().over(rk)
+        ).localCheckpoint()
+
+        def score(cand, label: str, wall: float) -> None:
+            pairs = (
+                cand.join(ha, "media_a")
+                .join(hb, "media_b")
+                .withColumn("hamming", hamming)
+                .where(F.col("hamming") <= t_ham)
+                .localCheckpoint()
+            )
+            n_pairs = pairs.count()
+            prec = pairs.agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("g_a") == F.col("g_b")).cast("long")).alias(
+                    "same"
+                ),
+            ).collect()[0]
+            hit = pairs.where(F.col("g_a") == F.col("g_b"))
+            hits = (
+                hit.select(F.col("media_a").alias("media_id"))
+                .unionAll(hit.select(F.col("media_b").alias("media_id")))
+                .distinct()
+                .withColumn("hit", F.lit(1))
+            )
+            rec = (
+                hx.select("media_id", "group_id")
+                .join(hits, "media_id", "left")
+                .withColumn(
+                    "bucket",
+                    F.when(F.col("group_id") < 0, "flood").otherwise(
+                        "organic"
+                    ),
+                )
+                .groupBy("bucket")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias(
+                        "recovered"
+                    ),
+                )
+                .collect()
+            )
+            res[label] = {
+                "wall_s": round(time.time() - wall, 2),
+                "n_verified_pairs": n_pairs,
+                "precision": (
+                    round(prec.same / prec.n, 4) if prec.n else None
+                ),
+                "doc_recovery": {
+                    r.bucket: (
+                        round(r.recovered / r.n, 4) if r.n else None
+                    )
+                    for r in rec
+                },
+            }
+
+        # capped single-band candidates (the gate's plan)
+        t0 = time.time()
+        base_capped = ranked.where(F.col("rk") <= _AHASH_CAP)
+        ab = base_capped.select(
+            "band_idx", "band_val", F.col("media_id").alias("media_a")
+        )
+        bb = base_capped.select(
+            "band_idx", "band_val", F.col("media_id").alias("media_b")
+        )
+        base_cand = (
+            ab.join(bb, ["band_idx", "band_val"])
+            .where(F.col("media_a") < F.col("media_b"))
+            .select("media_a", "media_b")
+            .distinct()
+        )
+        score(base_cand, "capped", t0)
+
+        # split escalation: over-cap single-band buckets re-key on
+        # (band_i, band_j) pairs, cap re-applied per joint bucket
+        t0 = time.time()
+        sizes = bands.groupBy("band_idx", "band_val").agg(
+            F.count("*").alias("sz")
+        )
+        hot = (
+            bands.join(sizes, ["band_idx", "band_val"])
+            .where(F.col("sz") > _AHASH_CAP)
+            .select("media_id", "band_idx", "band_val")
+            .join(hx.select("media_id", *cols), "media_id")
+        )
+        two = hot.select(
+            "media_id",
+            "band_idx",
+            "band_val",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.col(c).alias("vj"),
+                        )
+                        for j, c in enumerate(cols)
+                    ]
+                )
+            ).alias("s"),
+        ).where(F.col("s.j") != F.col("band_idx")).select(
+            "media_id",
+            "band_idx",
+            "band_val",
+            F.col("s.j").alias("j"),
+            F.col("s.vj").alias("vj"),
+        )
+        rk2 = Window.partitionBy(
+            "band_idx", "band_val", "j", "vj"
+        ).orderBy("media_id")
+        two_capped = two.withColumn(
+            "rk", F.row_number().over(rk2)
+        ).where(F.col("rk") <= _AHASH_CAP)
+        a2 = two_capped.select(
+            "band_idx", "band_val", "j", "vj",
+            F.col("media_id").alias("media_a"),
+        )
+        b2 = two_capped.select(
+            "band_idx", "band_val", "j", "vj",
+            F.col("media_id").alias("media_b"),
+        )
+        esc_cand = (
+            base_cand.unionAll(
+                a2.join(b2, ["band_idx", "band_val", "j", "vj"])
+                .where(F.col("media_a") < F.col("media_b"))
+                .select("media_a", "media_b")
+            )
+            .distinct()
+        )
+        score(esc_cand, "split_escalation", t0)
+        return res
+
+    for v, (nb, t_ham) in VARIANTS.items():
+        out[v] = eval_variant(v, nb, t_ham)
+    return out
+
+
 def run_formats(spark, sf_dir: str) -> dict:
     """Format-lane throughput at stress scale (SCALE.md §15): write the
     100k-doc corpus through each source/sink lane, read it back with a
@@ -1135,6 +1494,13 @@ def main() -> None:
         "recovery) on the dedup corpus",
     )
     ap.add_argument(
+        "--ahash", action="store_true",
+        help="run the image-dedup (aHash) plane stress: synthesize+"
+        "encode+decode+hash n images through the real JPEG codec, "
+        "band-bucket census under a 10%% identical-image flood, capped "
+        "pair join, perceptual recall on perturbed near-dups",
+    )
+    ap.add_argument(
         "--n-vecs", type=int, default=None,
         help="vector count (default: dedup plane min(n,50k); ANN plane n)",
     )
@@ -1153,15 +1519,17 @@ def main() -> None:
     n_vecs = args.n_vecs
     if n_vecs is None and (args.ann or args.pq_sweep):
         n_vecs = args.n
-    report: dict = {
-        "synth": synthesize(
+    report: dict = {}
+    if not args.ahash:  # the aHash plane synthesizes its own images
+        report["synth"] = synthesize(
             args.out, args.n, args.seed, n_vecs=n_vecs, uniform_frac=uniform
         )
-    }
     spark = get_spark("sparkroach-stress")
     try:
         t0 = time.time()
-        if args.pq_sweep:
+        if args.ahash:
+            report.update(run_ahash(spark, args.n))
+        elif args.pq_sweep:
             report.update(run_pq_sweep(spark, args.out))
         elif args.winnow:
             report.update(run_winnow(spark, args.out))
