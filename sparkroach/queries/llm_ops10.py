@@ -138,6 +138,8 @@ def documents_tar_webdataset_ingest(
         )
 
     def parse(batches):
+        import os as _os
+
         import pandas as pd
 
         from sparkroach.functions.wds import parse_tar_shard
@@ -149,11 +151,13 @@ def documents_tar_webdataset_ingest(
                 "source": [],
                 "text": [],
                 "n_members": [],
+                "shard": [],
             }
-            for content in pdf["content"]:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                base = _os.path.basename(path)
                 for s in parse_tar_shard(bytes(content)):
                     for k in rows:
-                        rows[k].append(s[k])
+                        rows[k].append(s[k] if k != "shard" else base)
             yield pd.DataFrame(rows)
 
     try:
@@ -175,15 +179,16 @@ def documents_tar_webdataset_ingest(
         parsed = raw.select("path", "content").mapInPandas(
             parse,
             "doc_id long, lang string, source string, text string, "
-            "n_members int",
+            "n_members int, shard string",
         )
         out = parsed.agg(
             F.count("*").cast("long").alias("n_samples"),
             F.sum("n_members").cast("long").alias("n_members"),
             F.sum("doc_id").cast("long").alias("sum_doc_id"),
-            F.countDistinct(F.pmod("doc_id", F.lit(N_TAR_SHARDS)))
-            .cast("long")
-            .alias("n_shards"),
+            # real distinct FILES seen by the parse (not doc_id % N,
+            # which would be circular): the sink must have landed all
+            # N_TAR_SHARDS files for the oracle's count to match
+            F.countDistinct("shard").cast("long").alias("n_shards"),
             F.sum(F.length("text")).cast("long").alias("sum_payload_bytes"),
             F.sum(_th32("text")).cast("long").alias("text_hash_sum"),
             F.sum(_th32("lang")).cast("long").alias("lang_hash_sum"),
@@ -227,7 +232,12 @@ def _canon_url_sql(raw: str, dialect: str) -> str:
     """
     u = f"split_part({raw}, '#', 1)"
     base = f"split_part({u}, '?', 1)"
-    q = f"split_part({u}, '?', 2)"
+    # everything after the FIRST '?' (split_part would silently drop a
+    # second '?' and the query tail with it — instr keeps the whole query)
+    q = (
+        f"CASE WHEN instr({u}, '?') = 0 THEN '' "
+        f"ELSE substring({u}, instr({u}, '?') + 1) END"
+    )
     scheme = f"lower(split_part({base}, '://', 1))"
     rest = f"split_part({base}, '://', 2)"
     hostport = f"split_part({rest}, '/', 1)"

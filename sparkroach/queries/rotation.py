@@ -431,6 +431,17 @@ R6_DELEGATED: dict[str, tuple[str, str]] = {
 }
 
 
+# -- Round-8 window plan (for the next builder session) ---------------------
+# The R7 window is full (50/50).  First in line for R8:
+#   1. the two DELEGATED R8 candidates above (robots_disallow_filter,
+#      embedding_power_iteration_pc1) — both local-oracle green at three
+#      SFs since r7;
+#   2. any query whose execution path changes during r8 (R8_TOUCHED);
+#   3. new r8 registrations.
+# Everything else in the registry is driver-green from r1–r7 recordings;
+# long-green r1–r3 entries are the natural donors if slots run short.
+
+
 def apply_rotation(queries: dict) -> None:
     """Override per-call ``gated=`` flags with the pinned window.
 

@@ -1459,6 +1459,64 @@ def run_formats(spark, sf_dir: str) -> dict:
             )
 
         lane("warc_gz", warc_write, warc_read)
+
+        def wds_write(p: str) -> None:
+            import pandas as pd
+
+            def to_tar(pdf):
+                from sparkroach.functions.wds import build_tar_shard
+
+                pdf = pdf.sort_values("doc_id")
+                fid = int(pdf["file_id"].iloc[0])
+                return pd.DataFrame(
+                    {
+                        "filename": [f"shard-{fid:05d}.tar"],
+                        "content": [
+                            build_tar_shard(
+                                zip(
+                                    pdf["doc_id"],
+                                    pdf["lang"],
+                                    pdf["source"],
+                                    pdf["text"],
+                                )
+                            )
+                        ],
+                    }
+                )
+
+            (
+                docs.select("doc_id", "lang", "source", "text")
+                .withColumn("file_id", F.pmod("doc_id", F.lit(n_files)))
+                .groupBy("file_id")
+                .applyInPandas(to_tar, "filename string, content binary")
+                .write.format("sparkroach_binfiles")
+                .mode("append")
+                .save(p)
+            )
+
+        def wds_read(p: str):
+            import pandas as pd
+
+            def parse(batches):
+                from sparkroach.functions.wds import parse_tar_shard
+
+                for pdf in batches:
+                    texts = []
+                    for content in pdf["content"]:
+                        texts.extend(
+                            s["text"] for s in parse_tar_shard(bytes(content))
+                        )
+                    yield pd.DataFrame({"text": texts})
+
+            return (
+                spark.read.format("binaryFile")
+                .option("pathGlobFilter", "*.tar")
+                .load(p)
+                .select("content")
+                .mapInPandas(parse, "text string")
+            )
+
+        lane("wds_tar", wds_write, wds_read)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return out

@@ -184,6 +184,9 @@ _URL_CASES = [
     ),
     ("http://a.com/p?utm_source=x&utm_medium=y", "http://a.com/p"),
     ("http://a.com/", "http://a.com/"),
+    # a second '?' belongs to the query VALUE, not a new query — the
+    # instr-based split keeps the whole tail (split_part would drop it)
+    ("http://a.com/p?b=2?tail&a=1", "http://a.com/p?a=1&b=2?tail"),
 ]
 
 
@@ -281,3 +284,17 @@ def test_ahash_pair_plan_no_cartesian(spark):
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lm_score_plan_is_equi_join(spark):
+    """The train→score stage must be an equi-join on the bigram key
+    (broadcast or SMJ — either scales), never a nested loop."""
+    from sparkroach.queries.llm_ops10 import lm_bigram_coverage_score
+
+    plan = lm_bigram_coverage_score(spark, SF_SMALL)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
