@@ -48,6 +48,7 @@ from sparkroach.queries import llm_ops8  # noqa: E402,F401
 from sparkroach.queries import llm_ops9  # noqa: E402,F401
 from sparkroach.queries import llm_ops10  # noqa: E402,F401
 from sparkroach.queries import llm_ops11  # noqa: E402,F401
+from sparkroach.queries import llm_ops12  # noqa: E402,F401
 from sparkroach.queries import sketches  # noqa: E402,F401
 from sparkroach.queries import chain_demo  # noqa: E402,F401
 from sparkroach.streaming import dedup as _streaming_dedup  # noqa: E402,F401

@@ -311,6 +311,38 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "per-iteration state vector — the recorded pagerank plan family, "
         "applied to the Gram matrix-vector product.  R8-window candidate",
     ),
+    "dup_span_cut_list": (
+        "dup_span_coverage",
+        "identical window/dup-hash/cover stages (r5-recorded); the "
+        "increment — gaps-and-islands span extraction — is unit-pinned "
+        "on a controlled corpus.  R8-window candidate",
+    ),
+    "phrase_query_positions": (
+        "bm25_top_docs",
+        "posting-list retrieval plan family (r6-recorded); positions "
+        "replace term frequencies and the adjacency self-join replaces "
+        "the score aggregation.  R8-window candidate",
+    ),
+    "dedup_cluster_bcubed": (
+        "docs_grouping_sets",
+        "multi-key grouped-count plan family (r5-recorded); the B-cubed "
+        "integer-quantized arithmetic is unit-pinned against a "
+        "hand-computed contingency.  R8-window candidate",
+    ),
+    "dsir_importance_weights": (
+        "lm_bigram_coverage_score",
+        "train/score-split hashed-n-gram plan family (in the R7 "
+        "window); integer ratio weights + broadcast weight table are "
+        "the increment, unit-pinned for monotonicity.  R8-window "
+        "candidate",
+    ),
+    "shard_rendezvous_assign": (
+        "dedup_keep_best",
+        "window-argmax-per-key plan family (r5-recorded) over a "
+        "generated candidate set; the minimal-movement property is "
+        "unit-pinned against a direct hash re-derivation.  R8-window "
+        "candidate",
+    ),
 }
 
 # HISTORICAL — the r5/r6 delegation set, kept for the ledger (these 24

@@ -963,6 +963,114 @@ def run_winnow(spark, sf_dir: str) -> dict:
     return out
 
 
+def run_spans(spark, sf_dir: str) -> dict:
+    """Span-cut-list plane at stress scale (SCALE.md §17).
+
+    What must hold at 100k docs (and, by the same mechanics, at 100×):
+
+    - the window/dup-hash/cover stages are the dup_span_coverage plan
+      already measured in §10 (grouped agg + equi-join; the position
+      explode is bounded by dup windows only);
+    - the INCREMENT — gaps-and-islands span extraction — is a window
+      partitioned BY DOC over that doc's covered positions (bounded by
+      document length, never corpus size): no global sort anywhere;
+    - correctness at scale is checked against the planted ground truth:
+      every exact-duplicate doc must be wholly covered by ONE maximal
+      span; true singleton docs (organic cluster size 1) must get no
+      spans at all (a 16-word random collision is the only false path);
+      the template flood yields high-but-partial coverage in few spans
+      per doc (each mutation punches a ≤31-word hole).
+    """
+    import pyspark.sql.functions as F
+
+    from sparkroach.queries.llm_ops12 import (
+        CUT_SPAN_WORDS,
+        dup_span_cut_list,
+    )
+    from sparkroach.tables import load
+
+    out: dict = {"sf_dir": sf_dir, "params": {"span_words": CUT_SPAN_WORDS}}
+
+    t0 = time.time()
+    spans = dup_span_cut_list(spark, sf_dir).localCheckpoint()
+    n_rows = spans.count()
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    agg = spans.agg(
+        F.countDistinct("doc_id").alias("docs_with_spans"),
+        F.expr("percentile(span_len, 0.5)").alias("p50_len"),
+        F.max("span_len").alias("max_len"),
+        F.sum("span_len").alias("covered_words"),
+    ).collect()[0]
+    out["cut_list"] = {
+        "wall_s": round(time.time() - t0, 2),
+        "n_docs": n_docs,
+        "span_rows": n_rows,
+        "docs_with_spans": agg["docs_with_spans"],
+        "p50_span_len": float(agg["p50_len"]),
+        "max_span_len": int(agg["max_len"]),
+        "covered_words": int(agg["covered_words"]),
+        "skew": _partition_skew(spans),
+    }
+
+    truth = spark.read.parquet(os.path.join(sf_dir, "ground_truth.parquet"))
+    csize = truth.groupBy("planted_cluster").agg(
+        F.count("*").alias("cluster_size")
+    )
+    t2 = truth.join(csize, "planted_cluster")
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("span_len").alias("cov"),
+        F.max("span_len").alias("max_span"),
+        F.first("n_words").alias("n_words"),
+    )
+    j = t2.join(per_doc, "doc_id", "left").localCheckpoint()
+
+    # exact duplicates: the whole text exists elsewhere → one span == doc
+    ex = j.where(F.col("kind") == "exact_dup")
+    ex_row = ex.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("n_spans") == 1)
+                & (F.col("max_span") == F.col("n_words")),
+                1,
+            ).otherwise(0)
+        ).alias("full"),
+    ).collect()[0]
+    # true singletons: organic cluster of size 1 → no spans expected
+    sing = j.where(
+        (F.col("kind") == "base") & (F.col("cluster_size") == 1)
+    )
+    s_row = sing.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("n_spans").isNotNull(), 1).otherwise(0)).alias(
+            "with_spans"
+        ),
+    ).collect()[0]
+    # template flood: high partial coverage, few spans
+    tm = j.where(F.col("kind") == "template")
+    t_row = tm.agg(
+        F.count("*").alias("n"),
+        F.avg(F.col("cov") / F.col("n_words")).alias("mean_cover"),
+        F.avg("n_spans").alias("mean_spans"),
+    ).collect()[0]
+    out["truth"] = {
+        "exact_dup_docs": ex_row["n"],
+        "exact_dup_single_full_span_frac": round(
+            ex_row["full"] / max(ex_row["n"], 1), 4
+        ),
+        "singleton_docs": s_row["n"],
+        "singleton_false_span_frac": round(
+            (s_row["with_spans"] or 0) / max(s_row["n"], 1), 6
+        ),
+        "template_docs": t_row["n"],
+        "template_mean_cover_frac": round(t_row["mean_cover"] or 0.0, 4),
+        "template_mean_spans_per_doc": round(t_row["mean_spans"] or 0.0, 2),
+    }
+    return out
+
+
 def run_ahash(spark, n: int) -> dict:
     """Image-dedup plane at stress scale (SCALE.md §16).
 
@@ -1552,6 +1660,12 @@ def main() -> None:
         "recovery) on the dedup corpus",
     )
     ap.add_argument(
+        "--spans", action="store_true",
+        help="run the span-cut-list plane stress (dup_span_cut_list at "
+        "scale, islands extraction validated against the planted "
+        "ground truth) on the dedup corpus",
+    )
+    ap.add_argument(
         "--ahash", action="store_true",
         help="run the image-dedup (aHash) plane stress: synthesize+"
         "encode+decode+hash n images through the real JPEG codec, "
@@ -1591,6 +1705,8 @@ def main() -> None:
             report.update(run_pq_sweep(spark, args.out))
         elif args.winnow:
             report.update(run_winnow(spark, args.out))
+        elif args.spans:
+            report.update(run_spans(spark, args.out))
         elif args.formats:
             report.update(run_formats(spark, args.out))
         else:
