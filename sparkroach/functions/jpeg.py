@@ -148,6 +148,8 @@ def idct2(coef):
 
 def build_huffman_codes(bits, vals):
     """symbol -> (code, length) canonical assignment."""
+    if sum(bits) > len(vals):
+        raise ValueError("huffman table: fewer values than BITS counts")
     codes = {}
     code = 0
     k = 0
@@ -475,11 +477,17 @@ def decode_jpeg(payload: bytes) -> dict:
             raise ValueError(
                 f"unexpected standalone marker 0x{marker:02x} in header"
             )
+        if pos + 2 > len(payload):
+            raise ValueError("truncated segment length field")
         seg_len = struct.unpack_from(">H", payload, pos)[0]
+        if seg_len < 2 or pos + seg_len > len(payload):
+            raise ValueError("segment length exceeds payload")
         seg = payload[pos + 2 : pos + seg_len]
         if marker == 0xDB:  # DQT (possibly several tables)
             p = 0
             while p < len(seg):
+                if p + 65 > len(seg):
+                    raise ValueError("truncated DQT table")
                 pq, tq = seg[p] >> 4, seg[p] & 0x0F
                 if pq != 0:
                     raise ValueError("16-bit quant tables unsupported")
@@ -490,7 +498,11 @@ def decode_jpeg(payload: bytes) -> dict:
                 qtabs[tq] = nat
                 p += 65
         elif marker == 0xC0:  # SOF0 baseline
+            if len(seg) < 6:
+                raise ValueError("truncated SOF0 header")
             precision, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("truncated SOF0 component list")
             if precision != 8:
                 raise ValueError("only 8-bit baseline supported")
             for i in range(nc):
@@ -504,21 +516,37 @@ def decode_jpeg(payload: bytes) -> dict:
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("non-baseline SOF unsupported")
         elif marker == 0xDD:  # DRI: MCU restart interval
+            if len(seg) < 2:
+                raise ValueError("truncated DRI segment")
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xC4:  # DHT (possibly several tables)
             p = 0
             while p < len(seg):
+                if p + 17 > len(seg):
+                    raise ValueError("truncated DHT header")
                 cls, tid = seg[p] >> 4, seg[p] & 0x0F
                 bits = list(seg[p + 1 : p + 17])
                 n = sum(bits)
+                if p + 17 + n > len(seg):
+                    raise ValueError("truncated DHT value list")
                 vals = list(seg[p + 17 : p + 17 + n])
                 huff[(cls, tid)] = build_huffman_decoder(bits, vals)
                 p += 17 + n
         elif marker == 0xDA:  # SOS
+            if not seg:
+                raise ValueError("empty SOS segment")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns:
+                raise ValueError("truncated SOS component list")
             for i in range(ns):
                 cid, tids = struct.unpack_from(">BB", seg, 1 + 2 * i)
-                comp = next(c for c in comps if c["id"] == cid)
+                comp = next(
+                    (c for c in comps if c["id"] == cid), None
+                )
+                if comp is None:
+                    raise ValueError(
+                        f"SOS references unknown component {cid}"
+                    )
                 scan_order.append(
                     {**comp, "dc": tids >> 4, "ac": tids & 0x0F}
                 )
@@ -532,6 +560,19 @@ def decode_jpeg(payload: bytes) -> dict:
     if end < 0:
         raise ValueError("missing EOI")
     br = _BitReader(payload[data_start:end])
+
+    # every table a scan component references must have been defined —
+    # fail cleanly here instead of KeyError deep in the MCU loop
+    for comp in scan_order:
+        if (0, comp["dc"]) not in huff or (1, comp["ac"]) not in huff:
+            raise ValueError(
+                f"scan references undefined Huffman table "
+                f"(dc={comp['dc']}, ac={comp['ac']})"
+            )
+        if comp["q"] not in qtabs:
+            raise ValueError(
+                f"scan references undefined quant table {comp['q']}"
+            )
 
     max_sh = max(c["sh"] for c in scan_order)
     max_sv = max(c["sv"] for c in scan_order)

@@ -71,17 +71,22 @@ def parse_tar_shard(blob: bytes) -> list[dict]:
     except tarfile.TarError as e:  # clean-failure contract
         raise ValueError(f"not a tar archive: {e}") from e
     by_key: dict[str, dict[str, bytes]] = {}
-    with tf:
-        for m in tf.getmembers():
-            if not m.isfile():
-                raise ValueError(f"non-file member {m.name!r}")
-            stem, dot, ext = m.name.rpartition(".")
-            if not dot or ext not in ("txt", "json"):
-                raise ValueError(f"unknown member extension {m.name!r}")
-            slot = by_key.setdefault(stem, {})
-            if ext in slot:
-                raise ValueError(f"duplicate member {m.name!r}")
-            slot[ext] = tf.extractfile(m).read()
+    try:
+        with tf:
+            # getmembers/extractfile read lazily — header corruption can
+            # surface here, not just at open(); same clean-failure contract
+            for m in tf.getmembers():
+                if not m.isfile():
+                    raise ValueError(f"non-file member {m.name!r}")
+                stem, dot, ext = m.name.rpartition(".")
+                if not dot or ext not in ("txt", "json"):
+                    raise ValueError(f"unknown member extension {m.name!r}")
+                slot = by_key.setdefault(stem, {})
+                if ext in slot:
+                    raise ValueError(f"duplicate member {m.name!r}")
+                slot[ext] = tf.extractfile(m).read()
+    except tarfile.TarError as e:
+        raise ValueError(f"corrupt tar archive: {e}") from e
     out: list[dict] = []
     for stem in sorted(by_key):
         slot = by_key[stem]
@@ -90,6 +95,15 @@ def parse_tar_shard(blob: bytes) -> list[dict]:
                 f"sample {stem!r} missing members: has {sorted(slot)}"
             )
         meta = json.loads(slot["json"].decode("utf-8"))
+        if not isinstance(meta, dict) or not {
+            "doc_id",
+            "lang",
+            "source",
+        } <= meta.keys():
+            raise ValueError(
+                f"sample {stem!r} metadata is not a "
+                "{doc_id, lang, source} object"
+            )
         if int(meta["doc_id"]) != int(stem):
             raise ValueError(
                 f"sample {stem!r} metadata doc_id {meta['doc_id']} "

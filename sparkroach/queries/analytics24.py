@@ -454,3 +454,129 @@ def documents_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# documents_pdf_text_ingest — single-page-per-doc PDF shards, structural
+# parse + text extraction (functions/pdf.py — from-scratch ISO 32000-1
+# classic-xref subset)
+# ---------------------------------------------------------------------------
+
+N_PDF_FILES = 8
+
+
+@register(
+    "documents_pdf_text_ingest",
+    # R8-window candidate: registered gated=False, DELEGATED to
+    # documents_warc_ingest (identical lane shape: applyInPandas shard
+    # build → binfiles sink → binaryFile → mapInPandas strict parse →
+    # checksum aggregate); the PDF codec itself is pinned by
+    # tests/test_pdf.py (hypothesis roundtrips + strict-failure matrix).
+    gated=False,
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, md5(text) AS tm, strlen(text) AS clen,
+                   doc_id % {N_PDF_FILES} AS fid
+            FROM documents
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pages,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(SUM(clen) AS BIGINT) AS sum_text_bytes,
+               CAST(COUNT(DISTINCT fid) AS BIGINT) AS n_pdf_files,
+               CAST(SUM({_th32_sql('tm')}) AS BIGINT) AS text_hash_sum
+        FROM w
+    """,
+    survey_ref="source formats: PDF text ingest — from-scratch ISO "
+    "32000-1 classic-xref subset (objects, cross-reference table, page "
+    "tree, uncompressed content streams), exported through the generic "
+    "binary-file sink and re-ingested file-parallel via binaryFile + a "
+    "strict mapInPandas extractor",
+    description=f"PDF round-trip gate: documents sharded into "
+    f"{N_PDF_FILES} real .pdf files (one page per document; "
+    "applyInPandas builds each shard's bytes, the sparkroach_binfiles "
+    "sink lands them two-phase), read back with binaryFile and parsed "
+    "STRICTLY — startxref → xref table with per-object offset "
+    "validation (each offset must land on its own 'N 0 obj' header), "
+    "page tree /Count-vs-/Kids agreement, /Length-vs-endstream "
+    "agreement, single-Tj content grammar, escape-complete string "
+    "decode.  Checksums over extracted text and byte totals must match "
+    "the oracle's parquet-derived values — a one-byte xref error breaks "
+    "every downstream offset, which is exactly what the gate detects.  "
+    "Parse is file-parallel with no shuffle before the final aggregate "
+    "(the document-corpus shape: millions of independent PDFs at "
+    "100 TB, one per task)",
+)
+def documents_pdf_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from sparkroach._shiplib import ensure_shipped
+    from sparkroach.sources.binfiles import register_binfiles_sink
+
+    ensure_shipped(spark)
+    register_binfiles_sink(spark)
+    d = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="sparkroach_pdf_")
+
+    def to_pdf(pdf):
+        import pandas as pd
+
+        from sparkroach.functions.pdf import build_pdf
+
+        pdf = pdf.sort_values("doc_id")
+        fid = int(pdf["file_id"].iloc[0])
+        blob = build_pdf(zip(pdf["doc_id"], pdf["text"]))
+        return pd.DataFrame(
+            {"filename": [f"docs-{fid:05d}.pdf"], "content": [blob]}
+        )
+
+    def parse(batches):
+        import os as _os
+
+        import pandas as pd
+
+        from sparkroach.functions.pdf import parse_pdf_text
+
+        for pdf in batches:
+            rows: dict = {"doc_id": [], "text": [], "pdf_file": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                base = _os.path.basename(path)
+                for page in parse_pdf_text(bytes(content)):
+                    rows["doc_id"].append(page["doc_id"])
+                    rows["text"].append(page["text"])
+                    rows["pdf_file"].append(base)
+            yield pd.DataFrame(rows)
+
+    try:
+        pdf_dir = os.path.join(root, "pdf")
+        staged = (
+            d.select("doc_id", "text")
+            .withColumn("file_id", F.pmod("doc_id", F.lit(N_PDF_FILES)))
+            .groupBy("file_id")
+            .applyInPandas(to_pdf, "filename string, content binary")
+        )
+        staged.write.format("sparkroach_binfiles").mode("append").save(
+            pdf_dir
+        )
+        raw = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.pdf")
+            .load(pdf_dir)
+        )
+        parsed = raw.select("path", "content").mapInPandas(
+            parse, "doc_id long, text string, pdf_file string"
+        )
+        out = parsed.agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            # octet_length: BYTE count, matching the oracle's strlen
+            F.sum(F.octet_length("text")).cast("long").alias(
+                "sum_text_bytes"
+            ),
+            F.countDistinct("pdf_file").cast("long").alias("n_pdf_files"),
+            F.sum(_th32("text")).cast("long").alias("text_hash_sum"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -336,6 +336,34 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "the increment, unit-pinned for monotonicity.  R8-window "
         "candidate",
     ),
+    "quality_rater_kappa": (
+        "docs_grouping_sets",
+        "grouped-count contingency + integer-quantized ratio (the "
+        "recorded multi-key count plan family); kappa's identity/sign "
+        "behavior is unit-pinned on controlled raters.  R8-window "
+        "candidate",
+    ),
+    "source_budget_apportion": (
+        "dedup_keep_best",
+        "grouped counts + one window rank over a source-cardinality-"
+        "bounded table (the recorded window-argmax plan family); "
+        "Σ quota == B is unit-pinned for adversarial remainders.  "
+        "R8-window candidate",
+    ),
+    "tokenizer_fertility_report": (
+        "temperature_mix_weights",
+        "per-key grouped integer sums + final-step divisions (the "
+        "recorded mix-weights plan family, in the R7 window); the "
+        "piece regex is the one the recorded token_count_bpe_regex "
+        "oracle proves cross-engine.  R8-window candidate",
+    ),
+    "documents_pdf_text_ingest": (
+        "documents_warc_ingest",
+        "identical lane shape (in the R7 window): applyInPandas shard "
+        "build → binfiles sink → binaryFile → strict mapInPandas parse "
+        "→ checksum aggregate; the PDF codec itself is pinned by "
+        "tests/test_pdf.py.  R8-window candidate",
+    ),
     "shard_rendezvous_assign": (
         "dedup_keep_best",
         "window-argmax-per-key plan family (r5-recorded) over a "

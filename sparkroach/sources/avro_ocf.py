@@ -338,6 +338,45 @@ def _build_avro():
         flush(buf, n)
         return bytes(out)
 
+    _PRIMITIVES = frozenset(
+        ("null", "boolean", "int", "long", "float", "double",
+         "string", "bytes")
+    )
+
+    def _validate_schema(s) -> None:
+        """Reject structurally invalid schema JSON with a clean error —
+        a corrupt metadata blob must never KeyError inside dec_datum."""
+        if isinstance(s, str):
+            if s not in _PRIMITIVES:
+                raise ValueError(f"avro: unknown schema type {s!r}")
+            return
+        if isinstance(s, list):
+            for branch in s:
+                _validate_schema(branch)
+            return
+        if not isinstance(s, dict) or "type" not in s:
+            raise ValueError("avro: schema node is not a typed object")
+        t = s["type"]
+        if t == "array":
+            if "items" not in s:
+                raise ValueError("avro: array schema without items")
+            _validate_schema(s["items"])
+            return
+        if t == "record":
+            fields = s.get("fields")
+            if not isinstance(fields, list):
+                raise ValueError("avro: record schema without fields")
+            for f in fields:
+                if (
+                    not isinstance(f, dict)
+                    or not isinstance(f.get("name"), str)
+                    or "type" not in f
+                ):
+                    raise ValueError("avro: malformed record field")
+                _validate_schema(f["type"])
+            return
+        _validate_schema(t)  # dict-wrapped primitive / union
+
     def read_ocf_header(data: bytes):
         """Parse magic + metadata; return (schema, codec, sync, cursor)."""
         cur = Cursor(data)
@@ -347,6 +386,7 @@ def _build_avro():
         if "avro.schema" not in meta:
             raise ValueError("avro: missing avro.schema metadata")
         schema = json.loads(meta["avro.schema"].decode("utf-8"))
+        _validate_schema(schema)
         codec = meta.get("avro.codec", b"null").decode("utf-8")
         if codec not in CODEC_D:
             raise ValueError(f"avro: unsupported codec {codec!r}")
