@@ -37,6 +37,7 @@ from sparkroach.queries import analytics21  # noqa: E402,F401
 from sparkroach.queries import analytics22  # noqa: E402,F401
 from sparkroach.queries import analytics23  # noqa: E402,F401
 from sparkroach.queries import analytics24  # noqa: E402,F401
+from sparkroach.queries import analytics25  # noqa: E402,F401
 from sparkroach.queries import llm_ops  # noqa: E402,F401
 from sparkroach.queries import llm_ops2  # noqa: E402,F401
 from sparkroach.queries import llm_ops3  # noqa: E402,F401
@@ -50,6 +51,7 @@ from sparkroach.queries import llm_ops10  # noqa: E402,F401
 from sparkroach.queries import llm_ops11  # noqa: E402,F401
 from sparkroach.queries import llm_ops12  # noqa: E402,F401
 from sparkroach.queries import llm_ops13  # noqa: E402,F401
+from sparkroach.queries import llm_ops14  # noqa: E402,F401
 from sparkroach.queries import sketches  # noqa: E402,F401
 from sparkroach.queries import chain_demo  # noqa: E402,F401
 from sparkroach.streaming import dedup as _streaming_dedup  # noqa: E402,F401

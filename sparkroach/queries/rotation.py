@@ -371,6 +371,42 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "unit-pinned against a direct hash re-derivation.  R8-window "
         "candidate",
     ),
+    "part_pareto_frontier": (
+        "sessions_concurrency_peak",
+        "distributed-prefix plan family (range partition + local window "
+        "+ broadcast per-partition offsets, in the R7 window) with max "
+        "in place of sum; skyline semantics unit-pinned against a "
+        "brute-force domination check.  R8-window candidate",
+    ),
+    "customer_record_linkage": (
+        "docs_sorted_neighborhood_pairs",
+        "blocked candidate-pair generation + per-pair scalar scoring + "
+        "grouped census (the recorded bounded-pair plan family); "
+        "Fellegi–Sunter band thresholds unit-pinned on controlled "
+        "record pairs.  R8-window candidate",
+    ),
+    "mmr_diversified_topk": (
+        "ann_cosine_topk",
+        "broadcast-query scored scan + TakeOrderedAndProject shortlist "
+        "(the recorded exact-ANN plan family); the greedy MMR step runs "
+        "on the bounded shortlist and its redundancy suppression is "
+        "unit-pinned on a planted near-duplicate pool.  R8-window "
+        "candidate",
+    ),
+    "substring_denylist_scan": (
+        "denylist_scrub_report",
+        "broadcast-lexicon map-only policy scan + census (promoted to "
+        "the R7 window); the increment — the substring occurrence "
+        "identity — is unit-pinned on literal strings.  R8-window "
+        "candidate",
+    ),
+    "epoch_shuffle_order": (
+        "shard_rendezvous_assign",
+        "closed-form integer hash placement + census agg (itself a "
+        "delegated R8 candidate whose twin chain roots at the recorded "
+        "dedup_keep_best); the Feistel bijection is unit-pinned over a "
+        "full dense id domain.  R8-window candidate",
+    ),
 }
 
 # HISTORICAL — the r5/r6 delegation set, kept for the ledger (these 24

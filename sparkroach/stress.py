@@ -1630,6 +1630,160 @@ def run_formats(spark, sf_dir: str) -> dict:
     return out
 
 
+def run_linkage(spark, n: int, out_dir: str) -> dict:
+    """Record-linkage plane at stress scale (SCALE.md §18).
+
+    The gate (customer_record_linkage) proves the Fellegi–Sunter
+    arithmetic at test SFs; the stress question is the BLOCKING dial —
+    the one knob that decides whether the plane survives 100 TB:
+
+    - COARSE pass: the gate's own nation-only blocking (25 blocks) run
+      through the registered operator on a synthesized corpus.  Pair
+      volume grows (n/25)² per block — the measured wall makes the
+      quadratic cost a number, which is why coarse runs at a capped
+      corpus size (documented below) rather than hiding the blow-up;
+    - FINE pass: (nation, balance-bucket) blocking — 5,000 blocks —
+      at the full corpus size.  Pair volume drops ~200×; the cost is
+      measured recall: true pairs whose balance jitter crosses a
+      bucket boundary (and the nation-corrupted ones, as before) no
+      longer co-block;
+    - band quality vs planted ground truth (same custkey): match-band
+      precision, match recall, clerical-review (possible-band) volume,
+      and blocking recall separately from scoring recall — the
+      decomposition a production linkage report needs.
+
+    Corpus: custkey 0..n-1, names encode the key (so prefix collisions
+    happen exactly between keys differing in the last digit, ~10% of a
+    block — the realistic clerical-review load), balances deterministic
+    2-decimal pseudo-randoms, the dirty twin derived with the gate's
+    residue rules (%7 name truncation, %11 segment swap, %13 nation
+    corruption, %5 balance jitter).
+    """
+    import pyspark.sql.functions as F
+
+    from sparkroach.queries.analytics25 import (
+        _T_MATCH,
+        _T_POSSIBLE,
+        customer_record_linkage,
+    )
+
+    out: dict = {"n": n}
+    segs = "ARRAY('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY','HOUSEHOLD')"
+
+    def synth_customers(m: int):
+        return spark.range(m).selectExpr(
+            "id AS c_custkey",
+            "concat('Customer#', lpad(CAST(id AS STRING), 12, '0')) AS c_name",
+            "CAST(id % 25 AS INT) AS c_nationkey",
+            "CAST((id * 7919) % 1000000 AS DOUBLE) / 100.0 AS c_acctbal",
+            f"element_at({segs}, CAST(id % 5 AS INT) + 1) AS c_mktsegment",
+        )
+
+    def dirty_of(c):
+        return c.selectExpr(
+            "c_custkey AS d_custkey",
+            "CASE WHEN c_custkey % 7 = 0 "
+            "THEN substr(c_name, 1, length(c_name) - 1) "
+            "ELSE c_name END AS d_name",
+            "CASE WHEN c_custkey % 13 = 0 "
+            "THEN CAST((c_nationkey + 1) % 25 AS INT) "
+            "ELSE c_nationkey END AS d_nation",
+            "CASE WHEN c_custkey % 11 = 0 THEN 'SWAPPED' "
+            "ELSE c_mktsegment END AS d_seg",
+            "CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1.0 "
+            "ELSE c_acctbal END AS d_bal",
+        )
+
+    score_sql = (
+        f"(CASE WHEN c_name = d_name THEN 40 "
+        f"WHEN substr(c_name, 1, length(c_name) - 1) "
+        f"= substr(d_name, 1, length(c_name) - 1) THEN 18 ELSE -25 END) "
+        f"+ (CASE WHEN c_mktsegment = d_seg THEN 8 ELSE -12 END) "
+        f"+ (CASE WHEN abs(c_acctbal - d_bal) <= 0.5 THEN 10 ELSE -15 END)"
+    )
+
+    def band_quality(pairs) -> dict:
+        banded = pairs.selectExpr(
+            f"CASE WHEN {score_sql} >= {_T_MATCH} THEN 'match' "
+            f"WHEN {score_sql} >= {_T_POSSIBLE} THEN 'possible' "
+            f"ELSE 'non_match' END AS band",
+            "CAST(c_custkey = d_custkey AS INT) AS is_true",
+        )
+        rows = {
+            r["band"]: r
+            for r in banded.groupBy("band")
+            .agg(
+                F.count("*").alias("n_pairs"),
+                F.sum("is_true").alias("n_true"),
+            )
+            .collect()
+        }
+        g = lambda b, k: int(rows[b][k]) if b in rows else 0  # noqa: E731
+        n_match, t_match = g("match", "n_pairs"), g("match", "n_true")
+        return {
+            "pairs": sum(g(b, "n_pairs") for b in rows),
+            "match_pairs": n_match,
+            "match_true": t_match,
+            "match_precision": round(t_match / n_match, 4) if n_match else None,
+            "possible_pairs": g("possible", "n_pairs"),
+            "possible_true": g("possible", "n_true"),
+            "non_match_true": g("non_match", "n_true"),
+            "coblocked_true": sum(g(b, "n_true") for b in rows),
+        }
+
+    # -- coarse pass: the registered operator on a capped corpus --------
+    coarse_n = min(n, 20_000)
+    coarse_dir = os.path.join(out_dir, "linkage_coarse")
+    os.makedirs(coarse_dir, exist_ok=True)
+    synth_customers(coarse_n).coalesce(4).write.mode("overwrite").parquet(
+        os.path.join(coarse_dir, "customer.parquet")
+    )
+    t0 = time.time()
+    gate_rows = {
+        r["band"]: r for r in customer_record_linkage(spark, coarse_dir).collect()
+    }
+    coarse_wall = round(time.time() - t0, 2)
+    c = synth_customers(coarse_n)
+    cq = band_quality(c.join(dirty_of(c), c["c_nationkey"] == F.col("d_nation")))
+    cq.update(
+        {
+            "wall_s": coarse_wall,
+            "corpus": coarse_n,
+            "blocks": 25,
+            "gate_bands": {
+                b: [int(r["n_pairs"]), int(r["n_true_pairs"])]
+                for b, r in gate_rows.items()
+            },
+        }
+    )
+    out["coarse_nation_only"] = cq
+
+    # -- fine pass: (nation, balance-bucket) blocking at full n ---------
+    c = synth_customers(n)
+    d = dirty_of(c)
+    cb = c.withColumn("blk", F.expr("CAST(c_acctbal / 50.0 AS INT)"))
+    db = d.withColumn("blk", F.expr("CAST(d_bal / 50.0 AS INT)"))
+    t0 = time.time()
+    fine_pairs = cb.join(
+        db,
+        (cb["c_nationkey"] == db["d_nation"]) & (cb["blk"] == db["blk"]),
+    )
+    fq = band_quality(fine_pairs)
+    fq.update(
+        {
+            "wall_s": round(time.time() - t0, 2),
+            "corpus": n,
+            "blocks": 25 * 200,
+            # true pairs lost ONLY to the finer key (bucket-crossing
+            # jitter), beyond the nation corruption both passes share
+            "true_pairs_total": n,
+        }
+    )
+    out["fine_nation_balance"] = fq
+    shutil.rmtree(coarse_dir, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     import argparse
 
@@ -1673,6 +1827,13 @@ def main() -> None:
         "pair join, perceptual recall on perturbed near-dups",
     )
     ap.add_argument(
+        "--linkage", action="store_true",
+        help="run the record-linkage plane stress: coarse (nation-only, "
+        "the gate's blocking, capped corpus) vs fine (nation+balance-"
+        "bucket, full corpus) blocking with band precision/recall vs "
+        "planted ground truth",
+    )
+    ap.add_argument(
         "--n-vecs", type=int, default=None,
         help="vector count (default: dedup plane min(n,50k); ANN plane n)",
     )
@@ -1692,7 +1853,7 @@ def main() -> None:
     if n_vecs is None and (args.ann or args.pq_sweep):
         n_vecs = args.n
     report: dict = {}
-    if not args.ahash:  # the aHash plane synthesizes its own images
+    if not (args.ahash or args.linkage):  # these synthesize their own corpora
         report["synth"] = synthesize(
             args.out, args.n, args.seed, n_vecs=n_vecs, uniform_frac=uniform
         )
@@ -1701,6 +1862,9 @@ def main() -> None:
         t0 = time.time()
         if args.ahash:
             report.update(run_ahash(spark, args.n))
+        elif args.linkage:
+            os.makedirs(args.out, exist_ok=True)
+            report.update(run_linkage(spark, args.n, args.out))
         elif args.pq_sweep:
             report.update(run_pq_sweep(spark, args.out))
         elif args.winnow:
