@@ -407,6 +407,22 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "dedup_keep_best); the Feistel bijection is unit-pinned over a "
         "full dense id domain.  R8-window candidate",
     ),
+    "arrow_ipc_roundtrip": (
+        "documents_avro_roundtrip",
+        "write-format → read-format → checksum lane through the same "
+        "Python DataSource extension point and two-phase tmp+rename "
+        "commit (in the R7 window); the Arrow RecordBatch passthrough "
+        "is the increment, pinned by tests/test_arrow_ipc.py including "
+        "abort-leaves-nothing.  R8-window candidate",
+    ),
+    "documents_sqlite_ingest": (
+        "documents_warc_ingest",
+        "identical lane shape (in the R7 window): applyInPandas shard "
+        "build → binfiles sink → binaryFile → strict mapInPandas parse "
+        "→ checksum aggregate; the stdlib-sqlite3 codec's strict-"
+        "failure behavior is pinned in tests/test_sqlite_lane.py.  "
+        "R8-window candidate",
+    ),
 }
 
 # HISTORICAL — the r5/r6 delegation set, kept for the ledger (these 24
