@@ -1625,6 +1625,84 @@ def run_formats(spark, sf_dir: str) -> dict:
             )
 
         lane("wds_tar", wds_write, wds_read)
+
+        from sparkroach.sources.arrow_ipc import register_arrow_source
+
+        register_arrow_source(spark)
+        for comp, lname in ((None, "arrow_ipc"), ("zstd", "arrow_ipc_zstd")):
+            lane(
+                lname,
+                lambda p, c=comp: (
+                    docs.write.format("sparkroach_arrow")
+                    .option("compression", c or "")
+                    .mode("append")
+                    .save(p)
+                ),
+                lambda p: spark.read.format("sparkroach_arrow").load(p),
+            )
+
+        def sqlite_write(p: str) -> None:
+            import pandas as pd
+
+            def to_sqlite(pdf):
+                from sparkroach.functions.sqlite_shard import (
+                    build_sqlite_shard,
+                )
+
+                pdf = pdf.sort_values("doc_id")
+                fid = int(pdf["file_id"].iloc[0])
+                return pd.DataFrame(
+                    {
+                        "filename": [f"docs-{fid:05d}.sqlite"],
+                        "content": [
+                            build_sqlite_shard(
+                                zip(
+                                    pdf["doc_id"],
+                                    pdf["lang"],
+                                    pdf["source"],
+                                    pdf["text"],
+                                    pdf["n_chars"],
+                                )
+                            )
+                        ],
+                    }
+                )
+
+            (
+                docs.select("doc_id", "lang", "source", "text", "n_chars")
+                .withColumn("file_id", F.pmod("doc_id", F.lit(n_files)))
+                .groupBy("file_id")
+                .applyInPandas(to_sqlite, "filename string, content binary")
+                .write.format("sparkroach_binfiles")
+                .mode("append")
+                .save(p)
+            )
+
+        def sqlite_read(p: str):
+            import pandas as pd
+
+            def parse(batches):
+                from sparkroach.functions.sqlite_shard import (
+                    parse_sqlite_shard,
+                )
+
+                for pdf in batches:
+                    texts = []
+                    for content in pdf["content"]:
+                        texts.extend(
+                            r[3] for r in parse_sqlite_shard(bytes(content))
+                        )
+                    yield pd.DataFrame({"text": texts})
+
+            return (
+                spark.read.format("binaryFile")
+                .option("pathGlobFilter", "*.sqlite")
+                .load(p)
+                .select("content")
+                .mapInPandas(parse, "text string")
+            )
+
+        lane("sqlite", sqlite_write, sqlite_read)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return out
