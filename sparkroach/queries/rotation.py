@@ -423,6 +423,20 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "failure behavior is pinned in tests/test_sqlite_lane.py.  "
         "R8-window candidate",
     ),
+    "mojibake_repair_report": (
+        "text_nfc_normalize_report",
+        "inject-transform-verify lane through an arrow-batched "
+        "stdlib-codec UDF (in the R7 window); the double-encoding "
+        "repair decision table is unit-pinned in "
+        "tests/test_llm_ops15.py.  R8-window candidate",
+    ),
+    "script_mix_report": (
+        "pii_scrub_report",
+        "deterministic injection + RE2-portable regex detection census "
+        "(in the R7 window); the code-point-range semantics are pinned "
+        "on literal strings in tests/test_llm_ops15.py.  R8-window "
+        "candidate",
+    ),
 }
 
 # HISTORICAL — the r5/r6 delegation set, kept for the ledger (these 24
