@@ -284,3 +284,89 @@ def documents_sqlite_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# events_small_file_compaction
+# ---------------------------------------------------------------------------
+
+_COMPACT_SMALL = 64  # deliberately-fragmented input layout
+_COMPACT_TARGET = 4  # compacted output files
+
+_COMPACT_ORACLE = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM({_th32_sql("md5(CAST(event_id AS VARCHAR) || ':' ||"
+                              " event_type)")}) AS BIGINT) AS content_hash,
+           CAST({_COMPACT_SMALL} AS BIGINT) AS files_before,
+           CAST({_COMPACT_TARGET} AS BIGINT) AS files_after
+    FROM events
+"""
+
+
+@register(
+    "events_small_file_compaction",
+    # R8-window candidate: registered gated=False, DELEGATED to
+    # documents_shard_export (controlled-fan-out file write + re-read
+    # verification lane, r6 gate); the compaction invariants (row/value
+    # preservation, exact file counts from a real directory listing)
+    # are what the oracle pins.
+    gated=False,
+    oracle=_COMPACT_ORACLE,
+    survey_ref="§2D physical layout — small-file compaction (the "
+    "lakehouse maintenance pass): rewrite a fragmented table region "
+    "into target-count files with proven content preservation",
+    description=f"events written deliberately fragmented "
+    f"({_COMPACT_SMALL} parquet files via repartition), then compacted "
+    f"to {_COMPACT_TARGET} files (repartition — a full shuffle; "
+    "coalesce would skip the shuffle but skews file sizes when input "
+    "partitions are uneven, the documented trade).  files_before/after "
+    "are counted from the REAL directory listings, and the content "
+    "hash (md5 over event_id:event_type) proves the rewrite lost and "
+    "duplicated nothing.  At 100 TB this is the per-partition OPTIMIZE "
+    "pass: cost is one shuffle of the compacted region only, never the "
+    "table",
+)
+def events_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    root = tempfile.mkdtemp(prefix="sparkroach_compact_")
+
+    def parquet_files(p: str) -> int:
+        return sum(
+            1
+            for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+
+    try:
+        frag = os.path.join(root, "fragmented")
+        ev.repartition(_COMPACT_SMALL).write.parquet(frag)
+        files_before = parquet_files(frag)
+        compacted = os.path.join(root, "compacted")
+        spark.read.parquet(frag).repartition(_COMPACT_TARGET).write.parquet(
+            compacted
+        )
+        files_after = parquet_files(compacted)
+        back = spark.read.parquet(compacted)
+        out = back.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+            F.sum(
+                _th32(
+                    F.concat_ws(
+                        ":", F.col("event_id").cast("string"), "event_type"
+                    )
+                )
+            )
+            .cast("long")
+            .alias("content_hash"),
+            F.lit(int(files_before)).cast("long").alias("files_before"),
+            F.lit(int(files_after)).cast("long").alias("files_after"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

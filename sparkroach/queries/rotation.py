@@ -437,6 +437,19 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "on literal strings in tests/test_llm_ops15.py.  R8-window "
         "candidate",
     ),
+    "bpe_encode_apply": (
+        "bpe_second_merge",
+        "the recorded iterate-and-apply BPE plan family (r6 gate); the "
+        "increment — boundary-safe multi-merge application via "
+        "delimiter doubling — is unit-pinned on adversarial symbol "
+        "sequences in tests/test_llm_ops16.py.  R8-window candidate",
+    ),
+    "events_small_file_compaction": (
+        "documents_shard_export",
+        "controlled-fan-out file write + re-read verification lane (r6 "
+        "gate); compaction's row/value preservation and real-directory "
+        "file counts are what the oracle pins.  R8-window candidate",
+    ),
 }
 
 # HISTORICAL — the r5/r6 delegation set, kept for the ledger (these 24
