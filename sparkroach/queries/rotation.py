@@ -401,11 +401,11 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "candidate",
     ),
     "epoch_shuffle_order": (
-        "shard_rendezvous_assign",
-        "closed-form integer hash placement + census agg (itself a "
-        "delegated R8 candidate whose twin chain roots at the recorded "
-        "dedup_keep_best); the Feistel bijection is unit-pinned over a "
-        "full dense id domain.  R8-window candidate",
+        "doc_fingerprint",
+        "closed-form per-row integer hashing, map-only over the corpus "
+        "(r1-recorded); the census aggregate that PROVES the bijection "
+        "is the increment, unit-pinned over a full dense id domain in "
+        "tests/test_llm_ops14.py.  R8-window candidate",
     ),
     "arrow_ipc_roundtrip": (
         "documents_avro_roundtrip",

@@ -340,6 +340,12 @@ _SCALAR_BNLJ_OK = {
     # 8-row x 8-row broadcast pair join over the top-8 user bitmaps:
     # build side bounded by the TOP_USERS constant, never by data size
     "user_activity_bitmap_pairs",
+    # r7 wave 8+: 1-row scalar cross joins
+    "bpe_encode_apply",  # 1-row stats x 1-row top-pieces string
+    "epoch_shuffle_order",  # 1-row census x 1-row head8 string
+    "mmr_diversified_topk",  # corpus x 1-row broadcast query vector
+    # source-cardinality table x 1-row total, then x 1-row leftover
+    "source_budget_apportion",
 }
 
 
