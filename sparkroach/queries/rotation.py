@@ -571,14 +571,24 @@ R6_DELEGATED: dict[str, tuple[str, str]] = {
 
 
 # -- Round-8 window plan (for the next builder session) ---------------------
-# The R7 window is full (50/50).  First in line for R8:
-#   1. the two DELEGATED R8 candidates above (robots_disallow_filter,
-#      embedding_power_iteration_pc1) — both local-oracle green at three
-#      SFs since r7;
-#   2. any query whose execution path changes during r8 (R8_TOUCHED);
-#   3. new r8 registrations.
-# Everything else in the registry is driver-green from r1–r7 recordings;
-# long-green r1–r3 entries are the natural donors if slots run short.
+# The R7 window is full (50/50).  First in line for R8, in registration
+# order (ALL entries of DELEGATED above — every one local-oracle green at
+# three SFs when registered):
+#   wave 4-7 (second session): robots_disallow_filter,
+#     embedding_power_iteration_pc1, dup_span_cut_list,
+#     phrase_query_positions, dedup_cluster_bcubed,
+#     dsir_importance_weights, quality_rater_kappa,
+#     source_budget_apportion, tokenizer_fertility_report,
+#     documents_pdf_text_ingest, shard_rendezvous_assign;
+#   wave 8-10 (third session): part_pareto_frontier,
+#     customer_record_linkage, mmr_diversified_topk,
+#     substring_denylist_scan, epoch_shuffle_order, arrow_ipc_roundtrip,
+#     documents_sqlite_ingest, mojibake_repair_report, script_mix_report,
+#     bpe_encode_apply, events_small_file_compaction.
+# That is 22 candidates; with R8_TOUCHED re-records and r8-new
+# registrations the window may overflow — long-green r1–r3 entries are
+# the natural donors if slots run short (see COVERAGE.md's rotation
+# ledger for the multiply-green set).
 
 
 def apply_rotation(queries: dict) -> None:
