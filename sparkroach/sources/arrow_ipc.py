@@ -143,19 +143,30 @@ def _build_arrow_ipc():
         def read(self, partition) -> Iterator:
             import pyarrow as pa
 
-            with pa.memory_map(partition.file_path, "r") as src:
-                reader = pa.ipc.open_file(src)
-                got = arrow_to_spark_schema(reader.schema)
-                if got != self.schema:
-                    raise ValueError(
-                        "sparkroach_arrow: file schema drift in "
-                        f"{partition.file_path!r}: file has {got}, read "
-                        f"expects {self.schema} (this lane is strict — "
-                        "mixed generations belong to the Avro lane's "
-                        "schema resolution)"
-                    )
-                for i in range(reader.num_record_batches):
-                    yield reader.get_batch(i)
+            # clean-failure contract (shared with every codec lane):
+            # malformed input raises ValueError, never pyarrow's mixed
+            # OSError/ArrowException zoo
+            try:
+                with pa.memory_map(partition.file_path, "r") as src:
+                    reader = pa.ipc.open_file(src)
+                    got = arrow_to_spark_schema(reader.schema)
+                    if got != self.schema:
+                        raise ValueError(
+                            "sparkroach_arrow: file schema drift in "
+                            f"{partition.file_path!r}: file has {got}, "
+                            f"read expects {self.schema} (this lane is "
+                            "strict — mixed generations belong to the "
+                            "Avro lane's schema resolution)"
+                        )
+                    for i in range(reader.num_record_batches):
+                        yield reader.get_batch(i)
+            except ValueError:
+                raise
+            except (OSError, pa.lib.ArrowException) as exc:
+                raise ValueError(
+                    f"sparkroach_arrow: malformed IPC file "
+                    f"{partition.file_path!r}: {exc}"
+                ) from exc
 
     @dataclass
     class ArrowCommit(WriterCommitMessage):
@@ -247,6 +258,22 @@ def _build_arrow_ipc():
 
 
 ArrowIpcDataSource, arrow_to_spark_schema = _build_arrow_ipc()
+
+
+def read_ipc_bytes(data: bytes) -> list:
+    """Codec-level parse surface (used by the fuzz battery): decode Arrow
+    IPC file bytes into RecordBatches, raising ValueError on ANY
+    malformation — the same clean-failure contract the DataSource
+    reader enforces per file."""
+    import pyarrow as pa
+
+    try:
+        r = pa.ipc.open_file(pa.BufferReader(data))
+        return [r.get_batch(i) for i in range(r.num_record_batches)]
+    except ValueError:
+        raise
+    except (OSError, pa.lib.ArrowException) as exc:
+        raise ValueError(f"arrow ipc: malformed: {exc}") from exc
 
 
 def register_arrow_source(spark) -> None:

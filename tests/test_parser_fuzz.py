@@ -146,3 +146,39 @@ def test_fuzz_avro_ocf_read():
         return list(read_ocf(b))
 
     _run_battery(parse, valid, (ValueError,), "read_ocf")
+
+
+def test_fuzz_sqlite_shard_parse():
+    from sparkroach.functions.sqlite_shard import (
+        build_sqlite_shard,
+        parse_sqlite_shard,
+    )
+
+    valid = build_sqlite_shard(
+        [(i, "en", "web", f"text {i}", 7) for i in range(20)]
+    )
+    _run_battery(
+        lambda b: list(parse_sqlite_shard(b)),
+        valid,
+        (ValueError,),
+        "parse_sqlite_shard",
+    )
+
+
+def test_fuzz_arrow_ipc_read():
+    import pyarrow as pa
+
+    from sparkroach.sources.arrow_ipc import read_ipc_bytes
+
+    sink = pa.BufferOutputStream()
+    batch = pa.record_batch(
+        {
+            "id": pa.array(range(50), type=pa.int64()),
+            "txt": pa.array([f"row {i}" for i in range(50)]),
+        }
+    )
+    w = pa.ipc.new_file(sink, batch.schema)
+    w.write_batch(batch)
+    w.close()
+    valid = sink.getvalue().to_pybytes()
+    _run_battery(read_ipc_bytes, valid, (ValueError,), "read_ipc_bytes")
