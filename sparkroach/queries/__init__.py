@@ -39,6 +39,7 @@ from sparkroach.queries import analytics23  # noqa: E402,F401
 from sparkroach.queries import analytics24  # noqa: E402,F401
 from sparkroach.queries import analytics25  # noqa: E402,F401
 from sparkroach.queries import analytics26  # noqa: E402,F401
+from sparkroach.queries import analytics27  # noqa: E402,F401
 from sparkroach.queries import llm_ops  # noqa: E402,F401
 from sparkroach.queries import llm_ops2  # noqa: E402,F401
 from sparkroach.queries import llm_ops3  # noqa: E402,F401

@@ -1,0 +1,130 @@
+"""Round-7 late wave 11: ``orders_benford_audit`` — Benford's-law
+first-digit audit (R8-window candidate), the classic synthetic-data /
+fraud screen a data-quality suite runs over monetary columns.
+
+Exactness discipline: the first significant digit is extracted from the
+INTEGER cents representation (``CAST(round(x·100) AS BIGINT)`` then the
+first character of the integer's decimal string) — never from a
+double→string cast, whose formatting (scientific-notation thresholds,
+trailing zeros) differs between engines, and never via ``log10`` digit
+arithmetic, whose last-ulp behavior near powers of ten does too.  The
+Benford expectations ship as 12-decimal DECIMAL literals (identical
+text in both engines); each digit's deviation is one arithmetic
+expression over exact integers and those literals, carried at the
+product's exact scale (DECIMAL(28,12) — nothing ever rounds) — output is 9 rows ordered by digit with NO
+cross-row float summation, so there is no summation-order hazard at
+all.
+
+TPC-H-ish totals are range-uniform, not Benford — the audit correctly
+reports large deviations, which is what an audit is for; the gate pins
+the ARITHMETIC, not a pass/fail verdict.
+
+Reference parity: none — §2C analytic breadth / DQ per the brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkroach.queries.registry import register
+from sparkroach.tables import load
+
+# log10(1 + 1/d) to 12 decimals — literal constants, identical text in
+# both engines (no runtime log anywhere)
+_BENFORD_P = {
+    1: "0.301029995664",
+    2: "0.176091259056",
+    3: "0.124938736608",
+    4: "0.096910013008",
+    5: "0.079181246048",
+    6: "0.066946789631",
+    7: "0.057991946978",
+    8: "0.051152522447",
+    9: "0.045757490561",
+}
+
+_P_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN CAST({p} AS DECIMAL(14,12))"
+    for d, p in _BENFORD_P.items()
+) + " END"
+
+_BENFORD_ORACLE = f"""
+    WITH cents AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    ),
+    digits AS (
+        SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM cents WHERE c > 0
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM digits),
+    obs AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed
+        FROM digits GROUP BY digit
+    ),
+    filled AS (
+        SELECT d.digit, COALESCE(obs.observed, 0) AS observed
+        FROM (SELECT unnest(range(1, 10)) AS digit) d
+        LEFT JOIN obs ON obs.digit = d.digit
+    )
+    SELECT filled.digit, CAST(filled.observed AS BIGINT) AS observed,
+           CAST(n.n * ({_P_CASE.replace("digit", "filled.digit")})
+                AS DECIMAL(28,12)) AS expected_q,
+           CAST(CAST(filled.observed AS DECIMAL(28,12))
+                - n.n * ({_P_CASE.replace("digit", "filled.digit")})
+                AS DECIMAL(28,12)) AS deviation_q
+    FROM filled, n ORDER BY filled.digit
+"""
+
+
+@register(
+    "orders_benford_audit",
+    # R8-window candidate: registered gated=False, DELEGATED to
+    # orders_lineitem_dq_audit (grouped-count DQ census with constant
+    # expectation rows, r6 gate); the integer digit extraction and the
+    # literal-constant expectations are pinned in
+    # tests/test_analytics27.py.
+    gated=False,
+    oracle=_BENFORD_ORACLE,
+    survey_ref="§2C analytic breadth / DQ — Benford's-law first-digit "
+    "audit over a monetary column (the synthetic-data / fraud screen), "
+    "digit extraction integer-exact and expectations as literal "
+    "constants",
+    description="first significant digit taken from integer CENTS "
+    "(round(x·100) then the decimal string's first char — never a "
+    "double→string cast or log10 arithmetic, both of which diverge "
+    "across engines), grouped counts completed to all 9 digits, "
+    "expected counts from 12-decimal literal Benford constants, "
+    "per-digit deviation quantized DECIMAL(28,12).  Nine output rows, "
+    "no cross-row float sum — zero summation-order hazard.  One "
+    "map-only pass + a 9-group census at any scale",
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    digits = o.select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("c")
+    ).where(F.col("c") > 0).select(
+        F.expr(
+            "CAST(substring(CAST(c AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    n = digits.agg(F.count("*").cast("long").alias("n"))
+    obs = digits.groupBy("digit").agg(
+        F.count("*").cast("long").alias("observed")
+    )
+    all_digits = spark.range(1, 10).select(F.col("id").alias("digit"))
+    full = (
+        all_digits.join(obs, "digit", "left")
+        .na.fill({"observed": 0})
+        .crossJoin(F.broadcast(n))
+    )
+    p = F.expr(_P_CASE)
+    expected = (F.col("n") * p).cast("decimal(28,12)")
+    return full.select(
+        "digit",
+        F.col("observed").cast("long").alias("observed"),
+        expected.alias("expected_q"),
+        (F.col("observed").cast("decimal(28,12)") - F.col("n") * p)
+        .cast("decimal(28,12)")
+        .alias("deviation_q"),
+    ).orderBy("digit")

@@ -450,6 +450,13 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "gate); compaction's row/value preservation and real-directory "
         "file counts are what the oracle pins.  R8-window candidate",
     ),
+    "orders_benford_audit": (
+        "orders_lineitem_dq_audit",
+        "grouped-count DQ census against constant expectation rows (r6 "
+        "gate); the integer digit extraction and literal Benford "
+        "constants are pinned in tests/test_analytics27.py.  R8-window "
+        "candidate",
+    ),
 }
 
 # HISTORICAL — the r5/r6 delegation set, kept for the ledger (these 24

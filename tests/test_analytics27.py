@@ -1,0 +1,47 @@
+"""Unit tests for the Benford audit: integer digit extraction, constant
+fidelity, and deviation arithmetic on a controlled column."""
+
+from __future__ import annotations
+
+import math
+
+import sparkroach.queries.analytics27 as m
+
+
+def test_benford_constants_are_log10_to_12_decimals():
+    for d, p in m._BENFORD_P.items():
+        assert abs(float(p) - math.log10(1 + 1 / d)) < 5e-13, d
+    # a proper probability vector (12-decimal rounding leaves ~1e-12 slack)
+    assert abs(sum(float(p) for p in m._BENFORD_P.values()) - 1.0) < 1e-11
+
+
+def _fake_orders(spark, prices):
+    return spark.createDataFrame(
+        [(i, i % 10, "O", float(p), "1995-01-01") for i, p in enumerate(prices)],
+        "o_orderkey long, o_custkey int, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string",
+    )
+
+
+def test_digit_extraction_from_cents_not_floats(spark, monkeypatch):
+    # 0.09 → 9 cents → digit 9; 1234.5 → 123450 cents → digit 1;
+    # 0.001 rounds to 0 cents → EXCLUDED (c > 0 guard);
+    # 9.995 → 999.5 cents → round-half-even/up boundary: both engines
+    # round(999.5) the same way through the shared SQL round()
+    prices = [0.09, 1234.5, 0.001, 55.55, 700.0]
+    monkeypatch.setattr(m, "load", lambda s, d, n: _fake_orders(spark, prices))
+    rows = {r["digit"]: r for r in m.orders_benford_audit(spark, "x").collect()}
+    assert set(rows) == set(range(1, 10))  # all digits present, zeros filled
+    assert rows[9]["observed"] == 1  # 0.09
+    assert rows[1]["observed"] == 1  # 1234.5
+    assert rows[5]["observed"] == 1  # 55.55
+    assert rows[7]["observed"] == 1  # 700.0
+    n = sum(r["observed"] for r in rows.values())
+    assert n == 4  # the 0-cent row is excluded
+
+    for r in rows.values():
+        want = float(m._BENFORD_P[r["digit"]]) * n
+        assert abs(float(r["expected_q"]) - want) < 1e-6
+        assert abs(
+            float(r["deviation_q"]) - (r["observed"] - want)
+        ) < 1e-6
