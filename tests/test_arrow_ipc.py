@@ -117,3 +117,43 @@ def test_overwrite_mode_rejected(spark, tmp_path):
         df.write.format("sparkroach_arrow").mode("overwrite").save(
             str(tmp_path / "ow")
         )
+
+
+# ---------------------------------------------------------------------------
+# hypothesis roundtrip at the codec level (floats incl. NaN/inf, nulls)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.one_of(st.none(), st.floats(width=32, allow_nan=False)),
+            st.one_of(st.none(), st.text(max_size=40)),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_hypothesis_codec_roundtrip(rows):
+    import pyarrow as pa
+
+    from sparkroach.sources.arrow_ipc import read_ipc_bytes
+
+    batch = pa.record_batch(
+        {
+            "id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "val": pa.array([r[1] for r in rows], type=pa.float32()),
+            "txt": pa.array([r[2] for r in rows], type=pa.string()),
+        }
+    )
+    sink = pa.BufferOutputStream()
+    w = pa.ipc.new_file(sink, batch.schema)
+    w.write_batch(batch)
+    w.close()
+    got = read_ipc_bytes(sink.getvalue().to_pybytes())
+    assert len(got) == 1 and got[0].equals(batch)

@@ -97,3 +97,41 @@ def test_mangled_master_cell_raises_valueerror():
         blob[i] ^= 0xFF
     with pytest.raises(ValueError, match="corrupt"):
         list(parse_sqlite_shard(bytes(blob)))
+
+
+# ---------------------------------------------------------------------------
+# hypothesis roundtrips: arbitrary text through the parameterized inserts
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)),  # no lone surrogates
+    max_size=80,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),
+            _text,
+            _text,
+            _text,
+            st.integers(min_value=0, max_value=2**31),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_hypothesis_roundtrip_arbitrary_text(rows):
+    """Quotes, newlines, NULs(-free by SQLite), emoji, RTL — whatever
+    hypothesis makes, the parameterized insert + strict parse must
+    return it verbatim in doc_id order."""
+    blob = build_sqlite_shard(rows)
+    got = list(parse_sqlite_shard(blob))
+    want = sorted(((a, b, c, d, e) for a, b, c, d, e in rows))
+    assert got == want
