@@ -1862,6 +1862,122 @@ def run_linkage(spark, n: int, out_dir: str) -> dict:
     return out
 
 
+def run_micro(spark) -> dict:
+    """Micro-stress for the wave-8+ operator plans (SCALE.md §19):
+    synthesized inputs from ``spark.range`` expressions (no parquet),
+    each measuring the plan shape's throughput claim directly.
+
+    - SKYLINE at 10M points: the distributed prefix-max recipe must be
+      grouped-agg-bound, not pair-bound (the NOT-EXISTS oracle would be
+      10^14 comparisons; the measured wall shows the prefix plan is
+      seconds).  Price domain 100k distinct → the prefix stage is
+      domain-bounded, the fact scan corpus-bounded.
+    - FEISTEL epoch shuffle at 100M ids: pure-projection throughput +
+      the injectivity census (count distinct over 100M) — the shuffle's
+      only real cost at scale.
+    - SUBSTRING multi-pattern scan at 1M synthetic docs (~64 MB text):
+      the replace()-identity pass is whole-stage-codegen string work;
+      rows/s and bytes/s are the honest cost statement.
+    """
+    import pyspark.sql.functions as F
+
+    out: dict = {}
+
+    # -- skyline at 10M ---------------------------------------------------
+    from sparkroach.queries.analytics25 import _exclusive_prefix_max
+
+    n_sky = 10_000_000
+    pts = spark.range(n_sky).selectExpr(
+        "id AS p_partkey",
+        # 100k distinct prices; size positively correlated with price
+        # plus hash noise wider than the price step, so the frontier is
+        # a genuine staircase of thousands of points (the join-back is
+        # exercised, not a 1-row degenerate)
+        "CAST((id * 7919) % 100000 AS DOUBLE) / 10.0 AS price",
+        "CAST(((id * 7919) % 100000 div 100) + "
+        "(hash(id) % 1009 + 1009) % 1009 AS BIGINT) AS size",
+    )
+    t0 = time.time()
+    by_price = pts.groupBy("price").agg(F.max("size").alias("smax"))
+    pref = _exclusive_prefix_max(by_price, "price", "smax")
+    frontier = pref.filter(F.col("smax") > F.col("pmax")).select(
+        F.col("price").alias("f_price"), F.col("smax").alias("f_smax")
+    )
+    got = (
+        pts.join(
+            F.broadcast(frontier),
+            (F.col("price") == F.col("f_price"))
+            & (F.col("size") == F.col("f_smax")),
+        )
+        .count()
+    )
+    wall = time.time() - t0
+    out["skyline_10m"] = {
+        "n_points": n_sky,
+        "distinct_prices": 100000,
+        "frontier_rows": int(got),
+        "wall_s": round(wall, 2),
+        "points_per_s": round(n_sky / wall),
+    }
+
+    # -- Feistel shuffle at 100M ------------------------------------------
+    from sparkroach.queries.llm_ops14 import _FEISTEL_ROUNDS, _HALF, _feistel_f
+
+    n_sh = 100_000_000
+    cur = spark.range(n_sh).selectExpr(
+        "id AS doc_id", f"id div {_HALF} AS l0", f"id % {_HALF} AS r0"
+    )
+    for i, (a, b) in enumerate(_FEISTEL_ROUNDS, start=1):
+        p = i - 1
+        cur = cur.selectExpr(
+            "doc_id",
+            f"r{p} AS l{i}",
+            f"(l{p} + {_feistel_f(f'r{p}', a, b)}) % {_HALF} AS r{i}",
+        )
+    k = len(_FEISTEL_ROUNDS)
+    pos = cur.selectExpr("doc_id", f"l{k} * {_HALF} + r{k} AS pos")
+    t0 = time.time()
+    census = pos.agg(
+        F.count("*").alias("n"), F.countDistinct("pos").alias("nd")
+    ).collect()[0]
+    wall = time.time() - t0
+    assert census["n"] == census["nd"] == n_sh, "bijection violated"
+    out["feistel_100m"] = {
+        "n_ids": n_sh,
+        "distinct_positions": int(census["nd"]),
+        "wall_s": round(wall, 2),
+        "ids_per_s": round(n_sh / wall),
+    }
+
+    # -- substring scan at 1M docs -----------------------------------------
+    from sparkroach.queries.llm_ops14 import _SUB_PATTERNS, _sub_occ_sql
+
+    n_docs = 1_000_000
+    docs = spark.range(n_docs).selectExpr(
+        "concat_ws(' ', md5(CAST(id AS STRING)), "
+        "md5(CAST(id + 1 AS STRING)), 'part table value fast hash') AS text"
+    )
+    total_bytes = 64 + 2 + 32 + 28  # ~126 B/doc
+    occ_cols = [
+        F.expr(_sub_occ_sql(p)).alias(f"occ_{i}")
+        for i, p in enumerate(_SUB_PATTERNS)
+    ]
+    t0 = time.time()
+    agg = docs.select(*occ_cols).agg(
+        *[F.sum(f"occ_{i}").alias(f"s{i}") for i in range(len(_SUB_PATTERNS))]
+    ).collect()[0]
+    wall = time.time() - t0
+    out["substring_scan_1m"] = {
+        "n_docs": n_docs,
+        "n_patterns": len(_SUB_PATTERNS),
+        "approx_mb": round(n_docs * total_bytes / 1e6),
+        "total_occurrences": int(sum(agg)),
+        "wall_s": round(wall, 2),
+        "docs_per_s": round(n_docs / wall),
+    }
+    return out
+
+
 def main() -> None:
     import argparse
 
@@ -1905,6 +2021,12 @@ def main() -> None:
         "pair join, perceptual recall on perturbed near-dups",
     )
     ap.add_argument(
+        "--micro", action="store_true",
+        help="micro-stress the wave-8+ operator plans on synthesized "
+        "spark.range inputs: skyline at 10M points, Feistel shuffle at "
+        "100M ids, substring scan at 1M docs",
+    )
+    ap.add_argument(
         "--linkage", action="store_true",
         help="run the record-linkage plane stress: coarse (nation-only, "
         "the gate's blocking, capped corpus) vs fine (nation+balance-"
@@ -1931,7 +2053,8 @@ def main() -> None:
     if n_vecs is None and (args.ann or args.pq_sweep):
         n_vecs = args.n
     report: dict = {}
-    if not (args.ahash or args.linkage):  # these synthesize their own corpora
+    if not (args.ahash or args.linkage or args.micro):
+        # (these modes synthesize their own corpora)
         report["synth"] = synthesize(
             args.out, args.n, args.seed, n_vecs=n_vecs, uniform_frac=uniform
         )
@@ -1940,6 +2063,8 @@ def main() -> None:
         t0 = time.time()
         if args.ahash:
             report.update(run_ahash(spark, args.n))
+        elif args.micro:
+            report.update(run_micro(spark))
         elif args.linkage:
             os.makedirs(args.out, exist_ok=True)
             report.update(run_linkage(spark, args.n, args.out))
