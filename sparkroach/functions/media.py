@@ -159,6 +159,29 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+def decode_wav_samples(payload: bytes, n: int) -> list[int]:
+    """REAL decode of the first ``n`` interleaved PCM samples (the DSP
+    lanes' input — a genuine ``wave``-module parse, no doc_id formulas).
+    Raises ValueError if the container holds fewer than ``n`` samples or
+    is not 16-bit PCM."""
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(
+                f"expected 16-bit PCM, got {w.getsampwidth() * 8}-bit"
+            )
+        nch = w.getnchannels()
+        need_frames = -(-n // nch)  # ceil
+        if w.getnframes() < need_frames:
+            raise ValueError(
+                f"need {n} samples, container holds "
+                f"{w.getnframes() * nch}"
+            )
+        pcm = np.frombuffer(w.readframes(need_frames), dtype="<i2")
+    return [int(v) for v in pcm[:n]]
+
+
 def decode_ppm(payload: bytes) -> dict:
     import numpy as np
 

@@ -457,6 +457,14 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "constants are pinned in tests/test_analytics27.py.  R8-window "
         "candidate",
     ),
+    "multimodal_goertzel_tone": (
+        "multimodal_decode",
+        "real-codec Arrow decode lane mirrored by a doc_id-arithmetic "
+        "oracle (r4 gate); the integer Goertzel fold's cross-engine "
+        "agreement and the closed-form-vs-real-decode sample "
+        "equivalence are pinned in tests/test_llm_ops17.py.  R8-window "
+        "candidate",
+    ),
 }
 
 # HISTORICAL — the r5/r6 delegation set, kept for the ledger (these 24
