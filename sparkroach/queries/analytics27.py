@@ -128,3 +128,137 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(28,12)")
         .alias("deviation_q"),
     ).orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# lineitem_corr_matrix — single-pass Pearson correlation matrix
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_pairs() -> list[tuple[str, str]]:
+    return [
+        (_CORR_COLS[i], _CORR_COLS[j])
+        for i in range(len(_CORR_COLS))
+        for j in range(i + 1, len(_CORR_COLS))
+    ]
+
+
+def _corr_oracle() -> str:
+    # exact sufficient statistics on integer cents (HUGEINT sums), cast
+    # to double only inside the final fixed-shape r expression
+    qs = ", ".join(
+        f"CAST(round({c} * 100) AS BIGINT) AS q_{c}" for c in _CORR_COLS
+    )
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"SUM(q_{c}) AS s_{c}")
+        sums.append(f"SUM(q_{c} * q_{c}) AS ss_{c}")
+    for a, b in _corr_pairs():
+        sums.append(f"SUM(q_{a} * q_{b}) AS sx_{a}_{b}")
+    rows = []
+    for a, b in _corr_pairs():
+        # num/da/db stay EXACT (HUGEINT): evaluating n·Σxy − ΣxΣy in
+        # doubles is catastrophically cancelling AND engine-divergent —
+        # DuckDB's vectorized a·b − c·d fuses (FMA) while Spark/python
+        # round each product, observed 3-ulp drift at sf0.1.  Doubles
+        # enter only at the three single-rounding points below.
+        num = (
+            f"(CAST(n AS HUGEINT) * sx_{a}_{b} "
+            f"- CAST(s_{a} AS HUGEINT) * s_{b})"
+        )
+        da = (
+            f"(CAST(n AS HUGEINT) * ss_{a} "
+            f"- CAST(s_{a} AS HUGEINT) * s_{a})"
+        )
+        db = (
+            f"(CAST(n AS HUGEINT) * ss_{b} "
+            f"- CAST(s_{b} AS HUGEINT) * s_{b})"
+        )
+        rows.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, n AS n_rows, "
+            f"(CAST({num} AS DOUBLE) / (sqrt(CAST({da} AS DOUBLE)) "
+            f"* sqrt(CAST({db} AS DOUBLE)))) AS r FROM stats"
+        )
+    return (
+        f"WITH q AS (SELECT {qs} FROM lineitem), "
+        f"stats AS (SELECT {', '.join(sums)} FROM q) "
+        + " UNION ALL ".join(rows)
+        + " ORDER BY col_x, col_y"
+    )
+
+
+@register(
+    "lineitem_corr_matrix",
+    # R8-window candidate: registered gated=False, DELEGATED to
+    # orders_profile_report (single-pass multi-aggregate profiling
+    # census, promoted to the R7 window); the fixed-shape double
+    # arithmetic over exact integer statistics is pinned in
+    # tests/test_analytics27.py against numpy.
+    gated=False,
+    oracle=_corr_oracle(),
+    survey_ref="§2C analytic breadth / profiling — Pearson correlation "
+    "matrix via one-pass exact sufficient statistics (integer-cents "
+    "quantized sums; doubles only in the final fixed-shape expression)",
+    description="all pairwise correlations of "
+    f"{len(_CORR_COLS)} numeric columns from ONE scan: 15 map-side-"
+    "combinable aggregates over round(x·100) integer cents (Spark sums "
+    "in DECIMAL(38,0), DuckDB in HUGEINT — both exact), then r = "
+    "(n·Σxy − ΣxΣy)/(√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) evaluated in "
+    "DOUBLE with an identical expression tree on both engines (every "
+    "IEEE op deterministic, exact integers cast once).  At 100 TB this "
+    "is the profiling pass's shape: one scan, k² scalar outputs, no "
+    "second pass for means",
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    q = li.select(
+        *[
+            F.expr(f"CAST(round({c} * 100) AS DECIMAL(18,0))").alias(
+                f"q_{c}"
+            )
+            for c in _CORR_COLS
+        ]
+    )
+    aggs = [F.count("*").cast("long").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(F.col(f"q_{c}")).alias(f"s_{c}"))
+        aggs.append(
+            F.sum(F.col(f"q_{c}") * F.col(f"q_{c}")).alias(f"ss_{c}")
+        )
+    for a, b in _corr_pairs():
+        aggs.append(
+            F.sum(F.col(f"q_{a}") * F.col(f"q_{b}")).alias(f"sx_{a}_{b}")
+        )
+    stats = q.agg(*aggs)
+    outs = []
+    for a, b in _corr_pairs():
+        # exact DECIMAL(38,0) arithmetic (values ≤ ~1e22, well inside
+        # 38 digits); doubles only at the three single-rounding points —
+        # see the oracle builder's FMA note
+        num = (
+            f"(CAST(n AS DECIMAL(38,0)) * sx_{a}_{b} "
+            f"- CAST(s_{a} AS DECIMAL(38,0)) * s_{b})"
+        )
+        da = (
+            f"(CAST(n AS DECIMAL(38,0)) * ss_{a} "
+            f"- CAST(s_{a} AS DECIMAL(38,0)) * s_{a})"
+        )
+        db = (
+            f"(CAST(n AS DECIMAL(38,0)) * ss_{b} "
+            f"- CAST(s_{b} AS DECIMAL(38,0)) * s_{b})"
+        )
+        outs.append(
+            stats.selectExpr(
+                f"'{a}' AS col_x",
+                f"'{b}' AS col_y",
+                "n AS n_rows",
+                f"(CAST({num} AS DOUBLE) / (sqrt(CAST({da} AS DOUBLE)) "
+                f"* sqrt(CAST({db} AS DOUBLE)))) AS r",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("col_x", "col_y")

@@ -465,6 +465,13 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "equivalence are pinned in tests/test_llm_ops17.py.  R8-window "
         "candidate",
     ),
+    "lineitem_corr_matrix": (
+        "orders_profile_report",
+        "single-pass multi-aggregate profiling census (promoted to the "
+        "R7 window); the fixed-shape double arithmetic over exact "
+        "integer statistics is pinned against numpy in "
+        "tests/test_analytics27.py.  R8-window candidate",
+    ),
 }
 
 # HISTORICAL — the r5/r6 delegation set, kept for the ledger (these 24

@@ -45,3 +45,48 @@ def test_digit_extraction_from_cents_not_floats(spark, monkeypatch):
         assert abs(
             float(r["deviation_q"]) - (r["observed"] - want)
         ) < 1e-6
+
+
+def test_corr_matrix_matches_numpy(spark, monkeypatch):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n = 400
+    qty = rng.randint(1, 50, n).astype(float)
+    price = qty * 1000 + rng.randint(0, 10000, n)  # correlated with qty
+    disc = rng.randint(0, 10, n) / 100.0
+    tax = rng.randint(0, 8, n) / 100.0
+    rows = [
+        (int(i), 0, 0, 1, float(qty[i]), float(price[i]) / 100.0,
+         float(disc[i]), float(tax[i]), "N", "O", "1995-01-01")
+        for i in range(n)
+    ]
+
+    def fake_load(s, d, name):
+        return spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_linenumber int, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double, l_returnflag string, "
+            "l_linestatus string, l_shipdate string",
+        )
+
+    monkeypatch.setattr(m, "load", fake_load)
+    got = {
+        (r["col_x"], r["col_y"]): r["r"]
+        for r in m.lineitem_corr_matrix(spark, "x").collect()
+    }
+    assert len(got) == 6
+    cols = {
+        "l_quantity": np.round(qty * 100),
+        "l_extendedprice": np.round(price / 100.0 * 100),
+        "l_discount": np.round(disc * 100),
+        "l_tax": np.round(tax * 100),
+    }
+    for (a, b), r in got.items():
+        want = np.corrcoef(cols[a], cols[b])[0, 1]
+        assert abs(r - want) < 1e-9, (a, b, r, want)
+    # the planted correlation is strong and positive
+    assert got[("l_extendedprice", "l_quantity")
+               if ("l_extendedprice", "l_quantity") in got
+               else ("l_quantity", "l_extendedprice")] > 0.9
