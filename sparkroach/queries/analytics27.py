@@ -231,7 +231,9 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(
             F.sum(F.col(f"q_{a}") * F.col(f"q_{b}")).alias(f"sx_{a}_{b}")
         )
-    stats = q.agg(*aggs)
+    # one materialized row: the 6 per-pair selects below must not
+    # re-trigger the scan+aggregate per pair
+    stats = q.agg(*aggs).localCheckpoint(eager=True)
     outs = []
     for a, b in _corr_pairs():
         # exact DECIMAL(38,0) arithmetic (values ≤ ~1e22, well inside

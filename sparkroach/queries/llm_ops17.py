@@ -150,9 +150,10 @@ def multimodal_goertzel_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # pay the Arrow decode once: three per-probe branches consume it
     sampled = d.select("doc_id").mapInPandas(
         decode, "doc_id long, xs array<long>"
-    )
+    ).localCheckpoint(eager=True)
     outs = []
     for k in _GZ_PROBES:
         step = _spark_fd(f"{k} * acc.s1")
