@@ -346,6 +346,8 @@ _SCALAR_BNLJ_OK = {
     "mmr_diversified_topk",  # corpus x 1-row broadcast query vector
     # source-cardinality table x 1-row total, then x 1-row leftover
     "source_budget_apportion",
+    # 9-digit frame x 1-row corpus-count scalar
+    "orders_benford_audit",
 }
 
 
