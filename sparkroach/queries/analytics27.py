@@ -264,3 +264,144 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("col_x", "col_y")
+
+
+# ---------------------------------------------------------------------------
+# events_cusum_drift — sequential change-point detection as two prefix scans
+# ---------------------------------------------------------------------------
+
+_CUSUM_K = 5000  # reference level in cents (~ the corpus mean value)
+_CUSUM_T = 50_000  # alert threshold in cumulated cents
+
+_CUSUM_ORACLE = f"""
+    WITH e AS (
+        SELECT epoch_us(ts) AS t_us, event_id,
+               CAST(round(value * 100) AS BIGINT) - {_CUSUM_K} AS d
+        FROM events
+    ),
+    p AS (
+        SELECT t_us, event_id,
+               SUM(d) OVER (ORDER BY t_us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS p
+        FROM e
+    ),
+    s AS (
+        SELECT t_us, event_id,
+               p - LEAST(0, MIN(p) OVER (ORDER BY t_us, event_id
+                                         ROWS UNBOUNDED PRECEDING)) AS s
+        FROM p
+    )
+    SELECT CAST(MAX(s) AS BIGINT) AS max_cusum,
+           CAST((SELECT MIN(t_us) FROM s
+                 WHERE s = (SELECT MAX(s) FROM s)) AS BIGINT)
+               AS peak_t_us,
+           CAST(SUM(CASE WHEN s >= {_CUSUM_T} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above
+    FROM s
+"""
+
+
+def _running_scan(df, spark, n_parts: int):
+    """Globally-ordered running SUM of ``d`` and then running MIN of
+    that sum, in (t_us, event_id) order, WITHOUT a single-partition
+    window: range partition + per-partition windows + broadcast
+    per-partition offsets (the sessions_concurrency_peak recipe, run
+    twice over one pinned partitioning — sum offsets, then min
+    offsets).  Two bookkeeping rows per partition reach the driver."""
+    from pyspark.sql import Window
+
+    part = (
+        df.repartitionByRange(n_parts, F.col("t_us"), F.col("event_id"))
+        .sortWithinPartitions("t_us", "event_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sums = {
+        r["_pid"]: int(r["tot"])
+        for r in part.groupBy("_pid").agg(F.sum("d").alias("tot")).collect()
+    }
+    off, acc = [], 0
+    for pid in sorted(sums):
+        off.append((pid, acc))
+        acc += sums[pid]
+    offs = spark.createDataFrame(off or [(0, 0)], "_pid int, _soff long")
+    p = (
+        part.withColumn("_ls", F.sum("d").over(w))
+        .join(F.broadcast(offs), "_pid")
+        .withColumn("p", (F.col("_soff") + F.col("_ls")).cast("long"))
+        .drop("_ls", "_soff")
+        .localCheckpoint(eager=True)  # pin partitioning for the min pass
+    )
+    pmins = {
+        r["_pid"]: int(r["mn"])
+        for r in p.groupBy("_pid").agg(F.min("p").alias("mn")).collect()
+    }
+    _inf = 1 << 62
+    moff, macc = [], _inf
+    for pid in sorted(pmins):
+        moff.append((pid, macc))
+        macc = min(macc, pmins[pid])
+    moffs = spark.createDataFrame(
+        moff or [(0, _inf)], "_pid int, _moff long"
+    )
+    return (
+        p.withColumn("_lm", F.min("p").over(w))
+        .join(F.broadcast(moffs), "_pid")
+        .withColumn("m", F.least(F.col("_lm"), F.col("_moff")))
+        .drop("_pid", "_lm", "_moff")
+    )
+
+
+@register(
+    "events_cusum_drift",
+    # R8-window candidate: registered gated=False, DELEGATED to
+    # sessions_concurrency_peak (the recorded distributed-prefix plan
+    # family, in the R7 window — here run twice: running sum then
+    # running min over one pinned ordering); the max-plus identity and
+    # planted-shift detection are pinned in tests/test_analytics27.py.
+    gated=False,
+    oracle=_CUSUM_ORACLE,
+    survey_ref="§2C drift detection — one-sided CUSUM change-point "
+    "statistic over the event stream (sequential detection, completing "
+    "the drift family next to the two-sample KS and chi-squared gates)",
+    description="S_t = max(0, S_{t-1} + x_t − k) never needs the "
+    "sequential recurrence: by the max-plus identity S_t = P_t − "
+    "min(0, min_{j<=t} P_j) with P the running sum of integer-cents "
+    f"deviations from k = {_CUSUM_K}.  Both prefixes ride the "
+    "distributed prefix recipe over ONE pinned (ts, event_id) range "
+    "partitioning — no single-partition window; two bookkeeping rows "
+    "per partition.  Output: the peak statistic, the first microsecond "
+    f"it is attained, and the count of points at or above {_CUSUM_T}.  "
+    "All integer until nothing is left to round",
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        (
+            F.expr("CAST(round(value * 100) AS BIGINT)") - _CUSUM_K
+        ).alias("d"),
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    scanned = _running_scan(ev, spark, n_parts)
+    s = scanned.withColumn(
+        "s", F.col("p") - F.least(F.lit(0).cast("long"), F.col("m"))
+    )
+    mx = s.agg(F.max("s").alias("mx"))
+    return (
+        s.join(F.broadcast(mx))
+        .agg(
+            F.max("s").cast("long").alias("max_cusum"),
+            F.min(F.when(F.col("s") == F.col("mx"), F.col("t_us")))
+            .cast("long")
+            .alias("peak_t_us"),
+            F.sum((F.col("s") >= _CUSUM_T).cast("int"))
+            .cast("long")
+            .alias("n_above"),
+        )
+    )

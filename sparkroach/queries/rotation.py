@@ -472,6 +472,14 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "integer statistics is pinned against numpy in "
         "tests/test_analytics27.py.  R8-window candidate",
     ),
+    "events_cusum_drift": (
+        "sessions_concurrency_peak",
+        "the recorded distributed-prefix plan family (in the R7 "
+        "window), run twice over one pinned ordering (running sum, "
+        "then running min); the max-plus identity and planted-shift "
+        "detection are pinned in tests/test_analytics27.py.  "
+        "R8-window candidate",
+    ),
 }
 
 # HISTORICAL — the r5/r6 delegation set, kept for the ledger (these 24

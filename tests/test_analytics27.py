@@ -90,3 +90,59 @@ def test_corr_matrix_matches_numpy(spark, monkeypatch):
     assert got[("l_extendedprice", "l_quantity")
                if ("l_extendedprice", "l_quantity") in got
                else ("l_quantity", "l_extendedprice")] > 0.9
+
+
+def _py_cusum(ds):
+    s, out = 0, []
+    for d in ds:
+        s = max(0, s + d)
+        out.append(s)
+    return out
+
+
+def test_cusum_maxplus_identity():
+    """The closed form the operator relies on: S_t = P_t - min(0,
+    min_{j<=t} P_j) equals the sequential recurrence, on adversarial
+    sign patterns."""
+    import itertools
+
+    for ds in itertools.product([-3, -1, 0, 2, 5], repeat=6):
+        seq = _py_cusum(ds)
+        p = m2 = 0
+        for t, d in enumerate(ds):
+            p += d
+            m2 = min(m2, p)
+            assert seq[t] == p - min(0, m2), (ds, t)
+
+
+def test_cusum_detects_a_planted_shift(spark, monkeypatch):
+    """Pre-shift values sit below the reference level k (CUSUM decays
+    to 0); a planted shifted segment pushes values above k and the peak
+    statistic must land exactly at the segment's end with the exact
+    cumulated exceedance."""
+    import datetime
+
+    k = m._CUSUM_K  # cents
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(200):
+        v = 30.0  # 3000 cents, 2000 below k
+        if 120 <= i < 150:
+            v = 80.0  # 8000 cents, 3000 above k: the shift
+        rows.append((i, base + datetime.timedelta(minutes=i), i % 7,
+                     "click", v, "{}"))
+
+    def fake_load(s, d, n):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+
+    monkeypatch.setattr(m, "load", fake_load)
+    got = m.events_cusum_drift(spark, "x").collect()[0]
+    # 30 shifted points, each 8000 - k cents above the reference
+    want_peak = 30 * (8000 - k)
+    assert got["max_cusum"] == want_peak
+    peak_ts = base + datetime.timedelta(minutes=149)
+    assert got["peak_t_us"] == int(peak_ts.timestamp() * 1_000_000)
