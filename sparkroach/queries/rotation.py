@@ -614,8 +614,10 @@ R6_DELEGATED: dict[str, tuple[str, str]] = {
 #     customer_record_linkage, mmr_diversified_topk,
 #     substring_denylist_scan, epoch_shuffle_order, arrow_ipc_roundtrip,
 #     documents_sqlite_ingest, mojibake_repair_report, script_mix_report,
-#     bpe_encode_apply, events_small_file_compaction.
-# That is 22 candidates; with R8_TOUCHED re-records and r8-new
+#     bpe_encode_apply, events_small_file_compaction;
+#   wave 11 (third session): orders_benford_audit,
+#     multimodal_goertzel_tone, lineitem_corr_matrix, events_cusum_drift.
+# That is 26 candidates; with R8_TOUCHED re-records and r8-new
 # registrations the window may overflow — long-green r1–r3 entries are
 # the natural donors if slots run short (see COVERAGE.md's rotation
 # ledger for the multiply-green set).
