@@ -348,6 +348,8 @@ _SCALAR_BNLJ_OK = {
     "source_budget_apportion",
     # 9-digit frame x 1-row corpus-count scalar
     "orders_benford_audit",
+    # prefix-scanned stream x 1-row global-max scalar (peak argmin)
+    "events_cusum_drift",
 }
 
 
