@@ -281,8 +281,11 @@ SKEW_TOP = 10
     description=f"top {SKEW_TOP} heaviest l_suppkey values with the "
     "global skew ratio (max_freq / mean_freq, computed as "
     "max·n_keys/total — exact integers, one IEEE division).  One grouped "
-    "count (map-side combined) + a rank window over the KEY table, never "
-    "the fact table; the 1-row global joins by broadcast.  This is the "
+    "count (map-side combined) + a global top-N via orderBy().limit() "
+    "(TakeOrderedAndProject — per-partition heaps, never a rank window "
+    "that would serialize the full key dimension through one task); the "
+    "rank window runs only over the literal-bounded ≤SKEW_TOP survivors "
+    "and the 1-row global joins by broadcast.  This is the "
     "operator you run before enabling the salted-aggregation recipe "
     "(events_salted_type_counts) or AQE skew-join on a new key",
     gated=False,  # r5 rotation candidate (driver window full this round)
@@ -297,12 +300,17 @@ def suppkey_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("freq").cast("long").alias("total_rows"),
         F.max("freq").cast("long").alias("max_freq"),
     )
+    # Top-N first (TakeOrderedAndProject — distributed heaps), THEN the
+    # rank window over the literal-bounded ≤SKEW_TOP survivors.  A rank
+    # window over the full key dimension cannot push the top-k down and
+    # would move every key to a single WindowExec task at scale.
+    top = (
+        kf.select("key", F.col("freq").cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), "key")
+        .limit(SKEW_TOP)
+    )
     w = Window.orderBy(F.col("freq").desc(), F.col("key"))
-    r = kf.select(
-        "key",
-        F.col("freq").cast("long").alias("freq"),
-        F.row_number().over(w).alias("rank"),
-    ).where(F.col("rank") <= SKEW_TOP)
+    r = top.withColumn("rank", F.row_number().over(w))
     return (
         r.crossJoin(F.broadcast(g))
         .select(

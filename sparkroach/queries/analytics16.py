@@ -216,6 +216,43 @@ def running_global_sum(b: DataFrame, key: str, val: str) -> DataFrame:
     )
 
 
+def global_row_number(df: DataFrame, order_cols, out: str = "rank") -> DataFrame:
+    """Append a globally-ordered ``row_number()`` in ``order_cols`` order
+    WITHOUT a single-partition window (the same distributed-prefix recipe
+    as :func:`running_global_sum`, with per-partition row COUNTS as the
+    offsets): range-partition on the ordering expressions, a per-partition
+    local row_number, then broadcast exclusive-prefix offsets — one
+    bookkeeping row per partition through the driver.  ``order_cols`` are
+    Column expressions and may carry ``.desc()``; the total order must be
+    unique for the result to be deterministic (callers order by a key
+    suffix).  Relies on repartitionByRange's contract that ascending
+    partition ids hold ascending ranges of the sort expressions."""
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin the partitioning for both consumers
+    )
+    wloc = Window.partitionBy("_pid").orderBy(*order_cols)
+    counts = {
+        r["_pid"]: r["n"]
+        for r in part.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    return (
+        part.withColumn("_loc", F.row_number().over(wloc))
+        .join(F.broadcast(off), "_pid")
+        .withColumn(out, (F.col("_off") + F.col("_loc")).cast("long"))
+        .drop("_pid", "_loc", "_off")
+    )
+
+
 @register(
     "sessions_concurrency_peak",
     gated=False,

@@ -343,6 +343,18 @@ def events_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     try:
+        # The oracle pins files_before == _COMPACT_SMALL, which holds only
+        # while every round-robin partition of repartition(N) is non-empty
+        # (one file per non-empty partition).  Fail loudly if a future SF
+        # shrinks events below that, instead of a confusing hash mismatch
+        # at the gate (r7 ADVICE).
+        n_rows = ev.count()
+        if n_rows < _COMPACT_SMALL:
+            raise ValueError(
+                f"events_small_file_compaction: {n_rows} rows < "
+                f"{_COMPACT_SMALL} fragments — the files_before oracle "
+                "constant no longer holds at this SF"
+            )
         frag = os.path.join(root, "fragmented")
         ev.repartition(_COMPACT_SMALL).write.parquet(frag)
         files_before = parquet_files(frag)

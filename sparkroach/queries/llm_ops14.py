@@ -330,11 +330,12 @@ def _shuffle_oracle() -> str:
 
 @register(
     "epoch_shuffle_order",
-    # R8-window candidate: registered gated=False, DELEGATED to
-    # shard_rendezvous_assign (closed-form integer hash assignment +
-    # census agg — the recorded coordination-free placement plan
-    # family); the bijection property is unit-pinned over a full dense
-    # id domain in tests/test_llm_ops14.py.
+    # Promoted into the R8 window (rotation.R8_PROMOTED) for its first
+    # driver recording.  While delegated (r7) its functional twin in the
+    # rotation ledger was doc_fingerprint (closed-form per-row integer
+    # hashing, map-only — r1-recorded); the injectivity-proving census
+    # is unit-pinned over a full dense id domain in
+    # tests/test_llm_ops14.py.
     gated=False,
     oracle=_shuffle_oracle(),
     survey_ref="LLM ops: deterministic epoch shuffle — seeded Feistel "

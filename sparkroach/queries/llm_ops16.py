@@ -192,8 +192,13 @@ def bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         a, b = top["a"], top["b"]
         merges.append((a, b))
-        a_lit = "'" + a.replace("'", "''") + "'"
-        b_lit = "'" + b.replace("'", "''") + "'"
+        # Spark's parser applies backslash escape processing inside
+        # string literals ('a\b' parses as 'a\x08'), so backslashes must
+        # be doubled BEFORE quote-doubling or a learned symbol containing
+        # one would be silently corrupted and diverge from the oracle,
+        # which re-learns merges purely in SQL (r7 ADVICE).
+        a_lit = "'" + a.replace("\\", "\\\\").replace("'", "''") + "'"
+        b_lit = "'" + b.replace("\\", "\\\\").replace("'", "''") + "'"
         v = v.select(
             F.expr(_apply_merge_sql("s", a_lit, b_lit)).alias("s"), "f"
         ).localCheckpoint(eager=True)

@@ -72,12 +72,15 @@ PASSAGE_WORDS = 16  # word n-gram window for passage-level dedup
     "training / corpus QA",
     description="explode → one grouped pass computing corpus frequency "
     "and document frequency together (count + approx-free exact distinct "
-    "per term). The global rank window runs AFTER aggregation, over "
-    "vocab-sized data (≤ a few million terms at any corpus size — "
-    "Heaps' law), so the single-partition sort is over the small side, "
-    "never the corpus",
+    "per term). The global rank is a DISTRIBUTED row_number (range "
+    "partition on (cf DESC, term) + local ranks + broadcast per-partition "
+    "count offsets — the running_global_sum recipe), never an "
+    "empty-partition-spec window: a web-scale vocabulary is 10^8 terms "
+    "and must not serialize through one WindowExec task",
 )
 def vocab_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach.queries.analytics16 import global_row_number
+
     d = load(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
@@ -86,10 +89,10 @@ def vocab_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cf"),
         F.countDistinct("doc_id").alias("df"),
     )
-    w = Window.orderBy(F.col("cf").desc(), F.col("term"))
-    return stats.select(
-        "term", "cf", "df", F.row_number().over(w).cast("long").alias("rank")
-    ).orderBy("rank")
+    ranked = global_row_number(
+        stats, [F.col("cf").desc(), F.col("term")], out="rank"
+    )
+    return ranked.select("term", "cf", "df", "rank").orderBy("rank")
 
 
 @register(
@@ -129,8 +132,9 @@ def vocab_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "document frequency; score = tf/df is one exact integer division "
     "(IEEE division of integers is correctly rounded, so both engines "
     "produce the identical double — no log() idf whose libm could "
-    "diverge). df is vocab-sized and broadcasts; top-5 per source via "
-    "partitioned window",
+    "diverge). df is vocab-sized (unbounded at web scale), so the join "
+    "is a term-keyed shuffle — no forced broadcast; AQE still broadcasts "
+    "it when genuinely small. Top-5 per source via partitioned window",
 )
 def source_term_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -139,7 +143,7 @@ def source_term_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = words.groupBy("source", "term").agg(F.count("*").alias("tf"))
     df = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df), "term").select(
+    scored = tf.join(df, "term").select(
         "source",
         "term",
         "tf",

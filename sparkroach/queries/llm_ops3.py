@@ -258,8 +258,10 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="LLM ops: document rarity scoring — per-doc token "
     "document-frequency stats (the engine-exact analog of unigram-LM "
     "perplexity filtering, CCNet style)",
-    description="vocabulary document-frequency table (vocab-sized, "
-    "broadcasts) joined back to every token occurrence; per-doc mean and "
+    description="vocabulary document-frequency table (vocab-sized — "
+    "unbounded at web scale, so the term-keyed join shuffles; AQE "
+    "broadcasts it only when genuinely small) joined back to every "
+    "token occurrence; per-doc mean and "
     "min df are integer sums with ONE final IEEE division, so both "
     "engines agree bit-for-bit.  Low mean_df = rare-token outlier doc, "
     "high mean_df = boilerplate; min_df flags hapax-bearing docs",
@@ -272,7 +274,7 @@ def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     return (
-        words.join(F.broadcast(df), "term")
+        words.join(df, "term")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -337,7 +339,8 @@ N_TOP_TRANSITIONS = 20
     description=f"corpus bigram counts via per-doc array transform (no "
     "self-join: consecutive-token pairs are built map-side), grouped "
     "twice (pair and prefix totals, both with map-side combine; prefix "
-    "totals are vocab-sized and broadcast); cond_p = pair_cf/prev_cf is "
+    "totals are vocab-sized, so the prev_term-keyed join shuffles — no "
+    "forced broadcast at web-scale vocab); cond_p = pair_cf/prev_cf is "
     "one exact integer division.  The global top-"
     f"{N_TOP_TRANSITIONS} window runs over the vocab²-bounded aggregate, "
     "never the corpus",
@@ -359,7 +362,7 @@ def bigram_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = d.select(F.explode(pairs).alias("p")).select("p.prev_term", "p.next_term")
     pc = b.groupBy("prev_term", "next_term").agg(F.count("*").alias("pair_cf"))
     pv = pc.groupBy("prev_term").agg(F.sum("pair_cf").alias("prev_cf"))
-    scored = pc.join(F.broadcast(pv), "prev_term").select(
+    scored = pc.join(pv, "prev_term").select(
         "prev_term",
         "next_term",
         "pair_cf",
@@ -423,8 +426,9 @@ def _funnel_oracle() -> str:
     description="three stacked per-doc predicates (language, token-count "
     "band, not-a-dropped-near-dup) aggregated per source in ONE grouped "
     "pass over the corpus.  The near-dup drop set is the minhash-LSH "
-    "verified doc_b side (keep-lowest-id greedy) — tiny by construction, "
-    "broadcast to the flag join; retention = n_final/n_docs is one exact "
+    "verified doc_b side (keep-lowest-id greedy) — corpus-proportional, "
+    "so the flag join shuffles on doc_id (AQE broadcasts it only when "
+    "genuinely small); retention = n_final/n_docs is one exact "
     "integer division",
     gated=False,
 )
@@ -443,7 +447,7 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_final = is_quality & F.col("_drop").isNull()
     flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
     return (
-        d.join(F.broadcast(dropped), "doc_id", "left")
+        d.join(dropped, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
@@ -532,7 +536,7 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ",
             ).alias("postings_head"),
         )
-        .join(F.broadcast(cf), "term")
+        .join(cf, "term")
         .select("term", "df", "cf", "postings_head")
         .orderBy("term")
     )

@@ -123,8 +123,10 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("a_id"), F.col("doc_b").alias("b_id")
     )
     e = load(spark, sf_dir, "embeddings")
-    # per-vector norm once on the broadcast side (same move as
-    # dedup_embedding_cosine — identical float, one traversal per pair)
+    # per-vector norm once on the embedding side (same move as
+    # dedup_embedding_cosine — identical float, one traversal per pair).
+    # No broadcast hints: ea/eb scale with the corpus; shuffled id-keyed
+    # equi-joins are the 100 TB plan and AQE broadcasts small sides itself.
     en = e.select(
         "vec_id",
         "embedding",
@@ -142,8 +144,8 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cosine = F.round(F.expr(_DOT) / (F.col("na") * F.col("nb")), 6)
     pairs = (
-        cand.join(F.broadcast(ea), "a_id")
-        .join(F.broadcast(eb), "b_id")
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
         .select("a_id", "b_id", cosine.alias("cosine"))
         .where(F.col("cosine") >= SEMDEDUP_TAU)
     )
@@ -518,8 +520,8 @@ def _knn_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge/degree/CC chain (DBSCAN) — materialize so consumers never
     # re-run the k-means + pair generation upstream
     return (
-        cand.join(F.broadcast(ea), "a_id")
-        .join(F.broadcast(eb), "b_id")
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
         .select("a_id", "b_id", cosine.alias("cosine"))
         .localCheckpoint(eager=True)
     )

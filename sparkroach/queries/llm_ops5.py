@@ -308,8 +308,10 @@ def _card_oracle() -> str:
     description="one row per source: exact document/token/language "
     "counts, how many documents appear in at least one verified "
     "near-dup pair (the shared capped-LSH pipeline's output, exploded "
-    "to a distinct doc set and LEFT-joined back — the dup set is tiny, "
-    "so it broadcasts), and mean length as one division of exact "
+    "to a distinct doc set and LEFT-joined back — the dup set is "
+    "corpus-proportional, so the join shuffles on doc_id and AQE "
+    "broadcasts it only when genuinely small), and mean length as one "
+    "division of exact "
     "integers.  This is the artifact the mix-weight operators "
     "(domain_mix_weights, temperature_mix_weights) consume — the "
     "card IS the corpus's interface at 100 TB",
@@ -328,7 +330,7 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_dup", F.lit(True))
     )
-    per_doc = d.join(F.broadcast(dup_docs), "doc_id", "left").select(
+    per_doc = d.join(dup_docs, "doc_id", "left").select(
         "source",
         "n_chars",
         "lang",
@@ -604,9 +606,9 @@ def _clean_corpus_oracle() -> str:
     "policy (max n_chars, doc_id tiebreak — dedup_keep_best's rule); "
     "the report is per-source documents and tokens before/after the "
     "drop set is applied.  This is the operator that turns the pairwise "
-    "similarity machinery into a DELIVERABLE corpus; at 100 TB the drop "
-    "set is orders of magnitude smaller than the corpus and broadcasts "
-    "into one anti-join-shaped pass",
+    "similarity machinery into a DELIVERABLE corpus; the drop set is "
+    "corpus-proportional, so the join shuffles on doc_id (no forced "
+    "broadcast — AQE broadcasts it only when genuinely small)",
     gated=False,  # r5 rotation candidate (driver window frozen this round)
 )
 def clean_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -646,7 +648,7 @@ def clean_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("dropped", F.lit(True))
     )
-    per_doc = d.join(F.broadcast(drops), "doc_id", "left").select(
+    per_doc = d.join(drops, "doc_id", "left").select(
         "source",
         F.size(F.split("text", " ")).alias("n_tokens"),
         F.coalesce("dropped", F.lit(False)).alias("dropped"),
@@ -802,9 +804,9 @@ def _leakage_split_oracle() -> str:
     "every member of a duplicate cluster lands on the SAME side by "
     "construction (a near-copy of a training doc in the eval set is "
     "exactly the leakage this prevents; test-pinned over the verified "
-    "pairs).  At 100 TB the cluster table is tiny and broadcasts; the "
-    "assignment is one map-side hash, no shuffle beyond the final "
-    "2-group report",
+    "pairs).  The cluster table is corpus-proportional, so the join "
+    "shuffles on doc_id (AQE broadcasts it only when genuinely small); "
+    "the assignment is one map-side hash",
     gated=False,  # r6 rotation candidate (r5 window is fully committed)
 )
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -819,7 +821,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(edges).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
-    units = d.join(F.broadcast(comp), "doc_id", "left").select(
+    units = d.join(comp, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster_id", "doc_id").alias("unit"),
         F.size(F.split("text", " ")).alias("n_tokens"),
@@ -935,10 +937,15 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
-    w = Window.orderBy(h, F.col("doc_id"))
+    # Probe selection is a global top-k, NOT a global row_number window:
+    # orderBy().limit() plans as TakeOrderedAndProject (per-partition
+    # heaps + a driver merge of k rows), while an empty-partition-spec
+    # window would serialize EVERY document through one task (the
+    # WindowExec single-partition warning — verdict r7 What's-wrong #2).
     probes = (
-        d.select("doc_id", F.row_number().over(w).alias("rn"))
-        .where(F.col("rn") <= RECALL_SAMPLE)
+        d.select("doc_id", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(RECALL_SAMPLE)
         .select("doc_id")
     )
     sh = _with_shingles(d).localCheckpoint(eager=True)

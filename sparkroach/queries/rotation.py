@@ -288,17 +288,102 @@ R7_TOUCHED: frozenset[str] = frozenset(
 # registrations, r7-touched re-records, and the rows-only chain gate.
 R7_WINDOW: frozenset[str] = R7_PROMOTED | R7_NEW | R7_TOUCHED | ROWS_ONLY
 
-# The window applied this round.
-ACTIVE_WINDOW: frozenset[str] | None = R7_WINDOW
+# Round-8 promotion: the ENTIRE r7 delegation backlog (the 26 queries
+# registered after the r7 window filled to 50 — preserved below as
+# R7_DELEGATED) converted into hard driver signal.  All 26 were
+# local-oracle green at three SFs when registered, all 26 were
+# independently hash-match re-verified at sf0.01 by the r7 judge, and
+# this promotion returns the registry to 100% driver-verified (verdict
+# r7 "What's missing" #1).
+R8_PROMOTED: frozenset[str] = frozenset(
+    {
+        "arrow_ipc_roundtrip",
+        "bpe_encode_apply",
+        "customer_record_linkage",
+        "dedup_cluster_bcubed",
+        "documents_pdf_text_ingest",
+        "documents_sqlite_ingest",
+        "dsir_importance_weights",
+        "dup_span_cut_list",
+        "embedding_power_iteration_pc1",
+        "epoch_shuffle_order",
+        "events_cusum_drift",
+        "events_small_file_compaction",
+        "lineitem_corr_matrix",
+        "mmr_diversified_topk",
+        "mojibake_repair_report",
+        "multimodal_goertzel_tone",
+        "orders_benford_audit",
+        "part_pareto_frontier",
+        "phrase_query_positions",
+        "quality_rater_kappa",
+        "robots_disallow_filter",
+        "script_mix_report",
+        "shard_rendezvous_assign",
+        "source_budget_apportion",
+        "substring_denylist_scan",
+        "tokenizer_fertility_report",
+    }
+)
 
-# Active delegation set.  It was EMPTY at the r7 promotion (the whole
-# r6 backlog went into the window); the two entries below are queries
-# REGISTERED AFTER the window filled to 50 — first in line for the R8
-# window (they are exactly the "future round with more new queries than
-# free slots" case the mechanism was retained for).  Both are
-# local-oracle green at all three SFs.
+# Already-green queries whose EXECUTION PATH changed during r8 — each
+# takes a window slot for a fresh recording (verdict r7 What's-wrong
+# items 1 and 2, the 100×-scale plan fixes):
+#   - forced corpus-side broadcast() hints removed from the embedding
+#     pair-scoring joins (dedup_embedding_cosine, semdedup_clusters,
+#     knn_graph_ivf, dbscan_embedding_clusters) and from every other
+#     corpus/vocab-proportional build side (dataset_card_stats,
+#     clean_corpus_report, leakage_safe_split, source_term_salience,
+#     doc_rarity_score, bigram_top_transitions, quality_filter_funnel,
+#     inverted_index_postings) — plans now shuffle those joins, AQE
+#     broadcasts only when genuinely small;
+#   - the three unbounded single-partition windows replaced:
+#     vocab_term_stats ranks via the distributed global_row_number
+#     recipe, lsh_recall_report picks probes via orderBy().limit()
+#     (TakeOrderedAndProject), suppkey_skew_report takes top-N first
+#     and ranks only the bounded survivors.
+R8_TOUCHED: frozenset[str] = frozenset(
+    {
+        "dedup_embedding_cosine",
+        "semdedup_clusters",
+        "knn_graph_ivf",
+        "dbscan_embedding_clusters",
+        "dataset_card_stats",
+        "clean_corpus_report",
+        "leakage_safe_split",
+        "source_term_salience",
+        "doc_rarity_score",
+        "bigram_top_transitions",
+        "quality_filter_funnel",
+        "inverted_index_postings",
+        "vocab_term_stats",
+        "lsh_recall_report",
+        "suppkey_skew_report",
+    }
+)
+
+# Queries registered during round 8 (novel execution paths — each needs
+# its own driver recording).  26 promoted + 15 touched + chain + these
+# must stay <= 50.
+R8_NEW: frozenset[str] = frozenset()
+
+# Round-8 driver window.
+R8_WINDOW: frozenset[str] = R8_PROMOTED | R8_TOUCHED | R8_NEW | ROWS_ONLY
+
+# The window applied this round.
+ACTIVE_WINDOW: frozenset[str] | None = R8_WINDOW
+
+# Active delegation set: EMPTY at the r8 promotion — the entire r7
+# backlog (R7_DELEGATED below, 26 names) went into the R8 window.
+# Queries registered after the r8 window fills join this dict with a
+# driver-proven twin, first in line for the R9 window.
 # name -> (driver-proven twin, one-line justification)
-DELEGATED: dict[str, tuple[str, str]] = {
+DELEGATED: dict[str, tuple[str, str]] = {}
+
+# HISTORICAL — the r7 delegation set, kept for the ledger (these 26 ran
+# r7 under local-oracle-only verification with the named driver-proven
+# twin; promoted wholesale in r8 as R8_PROMOTED).
+R7_DELEGATED: dict[str, tuple[str, str]] = {
     "robots_disallow_filter": (
         "dedup_keep_best",
         "broadcast candidate join + one window argmax per key — the "
@@ -600,27 +685,11 @@ R6_DELEGATED: dict[str, tuple[str, str]] = {
 }
 
 
-# -- Round-8 window plan (for the next builder session) ---------------------
-# The R7 window is full (50/50).  First in line for R8, in registration
-# order (ALL entries of DELEGATED above — every one local-oracle green at
-# three SFs when registered):
-#   wave 4-7 (second session): robots_disallow_filter,
-#     embedding_power_iteration_pc1, dup_span_cut_list,
-#     phrase_query_positions, dedup_cluster_bcubed,
-#     dsir_importance_weights, quality_rater_kappa,
-#     source_budget_apportion, tokenizer_fertility_report,
-#     documents_pdf_text_ingest, shard_rendezvous_assign;
-#   wave 8-10 (third session): part_pareto_frontier,
-#     customer_record_linkage, mmr_diversified_topk,
-#     substring_denylist_scan, epoch_shuffle_order, arrow_ipc_roundtrip,
-#     documents_sqlite_ingest, mojibake_repair_report, script_mix_report,
-#     bpe_encode_apply, events_small_file_compaction;
-#   wave 11 (third session): orders_benford_audit,
-#     multimodal_goertzel_tone, lineitem_corr_matrix, events_cusum_drift.
-# That is 26 candidates; with R8_TOUCHED re-records and r8-new
-# registrations the window may overflow — long-green r1–r3 entries are
-# the natural donors if slots run short (see COVERAGE.md's rotation
-# ledger for the multiply-green set).
+# -- Round-8 window accounting ----------------------------------------------
+# R8_PROMOTED (26) + R8_TOUCHED (15) + ROWS_ONLY (1) = 42 pinned slots;
+# R8_NEW grows as round-8 operators register, up to the 50-slot budget.
+# Queries registered past the budget join DELEGATED with a driver-proven
+# twin and become R9-window candidates.
 
 
 def apply_rotation(queries: dict) -> None:
