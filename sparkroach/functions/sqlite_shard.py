@@ -71,6 +71,11 @@ def parse_sqlite_shard(blob: bytes):
     try:
         os.write(fd, blob)
         os.close(fd)
+        # fd is closed exactly once: mark it so the finally can't close a
+        # RE-USED descriptor number (the OS may hand the same fd to a
+        # pyarrow/worker background thread between here and the finally —
+        # the except OSError below only masks EBADF, not that race).
+        fd = -1
         try:
             con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
         except sqlite3.Error as exc:
@@ -107,8 +112,9 @@ def parse_sqlite_shard(blob: bytes):
         finally:
             con.close()
     finally:
-        try:
-            os.close(fd)
-        except OSError:
-            pass
+        if fd >= 0:  # only when os.write/os.close above raised
+            try:
+                os.close(fd)
+            except OSError:
+                pass
         os.unlink(path)

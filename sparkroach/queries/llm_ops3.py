@@ -371,11 +371,12 @@ def bigram_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cond_p"
         ),
     )
-    w = Window.orderBy(F.col("pair_cf").desc(), "prev_term", "next_term")
+    # Global top-N as orderBy().limit() (TakeOrderedAndProject — per-
+    # partition heaps), never a row_number window: the scored pair table
+    # is vocab²-shaped and must not serialize through one WindowExec task.
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= N_TOP_TRANSITIONS)
-        .drop("rn")
+        scored.orderBy(F.col("pair_cf").desc(), "prev_term", "next_term")
+        .limit(N_TOP_TRANSITIONS)
         .orderBy(F.col("pair_cf").desc(), "prev_term", "next_term")
     )
 

@@ -156,14 +156,19 @@ R6_ROTATION: frozenset[str] = frozenset(
 # sides (llm_ops3.py).
 R6_RERECORD: frozenset[str] = frozenset({"inverted_index_postings"})
 
-# Rows-only by design (no SQL-expressible oracle): value-checked by
-# tests/test_chain_end_to_end.py instead; keeps its driver slot every
-# round so the end-to-end streaming ingest keeps producing hard signal.
-ROWS_ONLY: frozenset[str] = frozenset({"chain_end_to_end"})
+# Rows-only by design (no SQL-expressible oracle): EMPTY since r8 —
+# chain_end_to_end, the one historical member, became oracle-bearing
+# (the gate dumps its deterministic feed and the DuckDB oracle
+# re-derives the ingest digest from the raw input; chain_demo.py).
+# Its r1–r7 recordings were rows-only; from r8 a recording must be a
+# full hash match to count.  The name keeps its driver slot every round
+# via CHAIN_GATE below.
+ROWS_ONLY: frozenset[str] = frozenset()
+CHAIN_GATE: frozenset[str] = frozenset({"chain_end_to_end"})
 
 # Round-6 driver window: the pinned novel-execution-path set, the red
 # re-record, and the rows-only chain gate.
-R6_WINDOW: frozenset[str] = R6_ROTATION | R6_RERECORD | ROWS_ONLY
+R6_WINDOW: frozenset[str] = R6_ROTATION | R6_RERECORD | CHAIN_GATE
 
 # Round-7 promotion: the ENTIRE r6 delegation set (preserved below as
 # R6_DELEGATED) converted into hard driver signal.  Delegation was a
@@ -286,7 +291,7 @@ R7_TOUCHED: frozenset[str] = frozenset(
 
 # Round-7 driver window: every formerly-delegated query, r7-new
 # registrations, r7-touched re-records, and the rows-only chain gate.
-R7_WINDOW: frozenset[str] = R7_PROMOTED | R7_NEW | R7_TOUCHED | ROWS_ONLY
+R7_WINDOW: frozenset[str] = R7_PROMOTED | R7_NEW | R7_TOUCHED | CHAIN_GATE
 
 # Round-8 promotion: the ENTIRE r7 delegation backlog (the 26 queries
 # registered after the r7 window filled to 50 — preserved below as
@@ -368,7 +373,7 @@ R8_TOUCHED: frozenset[str] = frozenset(
 R8_NEW: frozenset[str] = frozenset()
 
 # Round-8 driver window.
-R8_WINDOW: frozenset[str] = R8_PROMOTED | R8_TOUCHED | R8_NEW | ROWS_ONLY
+R8_WINDOW: frozenset[str] = R8_PROMOTED | R8_TOUCHED | R8_NEW | CHAIN_GATE
 
 # The window applied this round.
 ACTIVE_WINDOW: frozenset[str] | None = R8_WINDOW
@@ -686,7 +691,7 @@ R6_DELEGATED: dict[str, tuple[str, str]] = {
 
 
 # -- Round-8 window accounting ----------------------------------------------
-# R8_PROMOTED (26) + R8_TOUCHED (15) + ROWS_ONLY (1) = 42 pinned slots;
+# R8_PROMOTED (26) + R8_TOUCHED (15) + CHAIN_GATE (1) = 42 pinned slots;
 # R8_NEW grows as round-8 operators register, up to the 50-slot budget.
 # Queries registered past the budget join DELEGATED with a driver-proven
 # twin and become R9-window candidates.

@@ -365,9 +365,9 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         est = est.join(F.broadcast(counters), f"k{j}")
     cms = F.least(*[F.col(f"c{j}") for j in range(CMS_D)]).cast("long")
-    from pyspark.sql import Window as _W
-
-    w = _W.orderBy(F.col("exact_cf").desc(), "term")
+    # Global top-N as orderBy().limit() (TakeOrderedAndProject), never a
+    # row_number window — the estimated table is bigram-vocab-sized and
+    # must not serialize through one WindowExec task at scale.
     return (
         est.select(
             F.col("b").alias("term"),
@@ -375,9 +375,8 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             cms.alias("cms_est"),
             (cms - F.col("exact_cf")).cast("long").alias("overestimate"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= CMS_TOP)
-        .drop("rn")
+        .orderBy(F.col("exact_cf").desc(), "term")
+        .limit(CMS_TOP)
         .orderBy(F.col("exact_cf").desc(), "term")
     )
 

@@ -212,11 +212,24 @@ def _build_arrow_ipc():
                     # a real commit message, so use an empty sentinel)
                     return ArrowCommit(tmp="", final="")
                 sink.close()
-                sink = None
                 return ArrowCommit(tmp=tmp, final=final)
-            finally:
+            except BaseException:
+                # A task that dies mid-write must not leave its
+                # dot-prefixed temporary behind (abort() only unlinks tmps
+                # named in commit messages, and retried/speculated tasks
+                # would otherwise accumulate them).  Close + unlink are
+                # best-effort so they can't mask the original exception.
                 if sink is not None:
-                    sink.close()
+                    try:
+                        sink.close()
+                    except Exception:
+                        pass
+                try:
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
+                except OSError:
+                    pass
+                raise
 
         def commit(self, messages) -> None:
             for m in messages:

@@ -55,8 +55,11 @@ def test_zstd_compressed_roundtrip(spark, tmp_path):
 
 
 def test_abort_unlinks_temporaries(tmp_path):
-    """Protocol-level pin: a task failure mid-write leaves a temporary;
-    abort() must remove it and commit() must never have exposed it."""
+    """Protocol-level pin: a task that dies mid-write cleans up its OWN
+    temporary before re-raising (abort() only unlinks tmps named in
+    commit messages, and a dead task produced none — without the
+    in-write cleanup, retried/speculated tasks would accumulate stale
+    dot-files forever; r7 ADVICE), and commit() never exposes one."""
     import pyarrow as pa
 
     ds = ArrowIpcDataSource(options={"path": str(tmp_path / "ab")})
@@ -70,12 +73,11 @@ def test_abort_unlinks_temporaries(tmp_path):
     commit_msg = None
     with pytest.raises(RuntimeError):
         commit_msg = writer.write(failing_iter())
-    # the engine would now call abort with whatever messages it has;
-    # the dead task produced none, but its temporary is on disk
+    # the failed write's exception path must have unlinked its temporary
     tmps = [
         f for f in os.listdir(tmp_path / "ab") if f.startswith(".")
     ]
-    assert len(tmps) == 1
+    assert tmps == []
     # simulate the retried task succeeding, then commit: only ITS file
     # becomes visible; the stale temporary never does (readers list
     # non-dot names only)
