@@ -40,6 +40,7 @@ from sparkroach.queries import analytics24  # noqa: E402,F401
 from sparkroach.queries import analytics25  # noqa: E402,F401
 from sparkroach.queries import analytics26  # noqa: E402,F401
 from sparkroach.queries import analytics27  # noqa: E402,F401
+from sparkroach.queries import analytics28  # noqa: E402,F401
 from sparkroach.queries import llm_ops  # noqa: E402,F401
 from sparkroach.queries import llm_ops2  # noqa: E402,F401
 from sparkroach.queries import llm_ops3  # noqa: E402,F401
@@ -57,6 +58,7 @@ from sparkroach.queries import llm_ops14  # noqa: E402,F401
 from sparkroach.queries import llm_ops15  # noqa: E402,F401
 from sparkroach.queries import llm_ops16  # noqa: E402,F401
 from sparkroach.queries import llm_ops17  # noqa: E402,F401
+from sparkroach.queries import llm_ops18  # noqa: E402,F401
 from sparkroach.queries import sketches  # noqa: E402,F401
 from sparkroach.queries import chain_demo  # noqa: E402,F401
 from sparkroach.streaming import dedup as _streaming_dedup  # noqa: E402,F401

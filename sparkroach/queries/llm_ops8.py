@@ -68,6 +68,11 @@ _TH32_GM = " + ".join(
 
 @register(
     "winnowing_match_pairs",
+    # r8: added to the bench headline set (VERDICT r7 item 6) — the 14
+    # pre-r7 headline queries are untouched for comparability; this is
+    # the r7-plane representative (window-min fingerprints + bucketed
+    # equi-join), making the round-over-round bench cover the new planes.
+    bench=True,
     oracle=f"""
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS ws FROM documents

@@ -370,7 +370,26 @@ R8_TOUCHED: frozenset[str] = frozenset(
 # Queries registered during round 8 (novel execution paths — each needs
 # its own driver recording).  26 promoted + 15 touched + chain + these
 # must stay <= 50.
-R8_NEW: frozenset[str] = frozenset()
+R8_NEW: frozenset[str] = frozenset(
+    {
+        # chained ordered funnel with per-step max gap (windowFunnel)
+        "events_ordered_funnel_maxgap",
+        # l-diversity privacy audit (k-anonymity's sibling)
+        "customer_l_diversity_report",
+        # degree-oriented exact triangle count over the dup graph
+        "dup_graph_triangles",
+        # deterministic single-pass Poisson bootstrap CI
+        "bootstrap_mean_ci",
+        # from-scratch lossless PNG codec lane (all 5 filters, CRC, zlib)
+        "multimodal_png_decode",
+        # reciprocal rank fusion of two retrieval shortlists
+        "hybrid_rrf_fusion",
+        # Artetxe-Schwenk ratio-margin pair mining over the kNN graph
+        "bitext_margin_pairs",
+        # nDCG@10 ranking evaluation with literal decimal discounts
+        "search_ndcg_report",
+    }
+)
 
 # Round-8 driver window.
 R8_WINDOW: frozenset[str] = R8_PROMOTED | R8_TOUCHED | R8_NEW | CHAIN_GATE

@@ -545,10 +545,29 @@ def run_embed(spark, sf_dir: str) -> dict:
     for name in EMBED_QUERIES:
         fn = QUERIES[name].fn
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        rows = df.count()
-        rec: dict = {"rows": rows, "wall_s": round(time.time() - t0, 2)}
-        if name in _EMBED_PLAN_VISIBLE:
+        rows = fn(spark, sf_dir).count()
+        out["queries"][name] = {
+            "rows": rows,
+            "wall_s": round(time.time() - t0, 2),
+        }
+
+    # Plan audit pass: with size-based broadcast DISABLED (static AND
+    # adaptive thresholds -1) the only BroadcastHashJoins left come from
+    # explicit hints — a pair join still broadcasting here is the forced-
+    # hint defect.  (Under the DEFAULT conf a small side may legitimately
+    # broadcast: that's AQE doing its job, not a hint.)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        for name in _EMBED_PLAN_VISIBLE:
+            t0 = time.time()
+            df = QUERIES[name].fn(spark, sf_dir)
+            rows = df.count()
             executed = df._jdf.queryExecution().executedPlan().toString()
             bad = [
                 m.group(0)
@@ -557,11 +576,21 @@ def run_embed(spark, sf_dir: str) -> dict:
                 )
                 if "a_id" in m.group(1) or "b_id" in m.group(1)
             ]
-            rec["pair_join_broadcasts"] = bad  # must stay []
-            rec["shuffled_pair_join"] = (
-                "SortMergeJoin" in executed or "ShuffledHashJoin" in executed
-            )
-        out["queries"][name] = rec
+            out["queries"][name]["no_broadcast_audit"] = {
+                "rows": rows,
+                "wall_s": round(time.time() - t0, 2),
+                "pair_join_broadcasts": bad,  # must stay []
+                "shuffled_pair_join": (
+                    "SortMergeJoin" in executed
+                    or "ShuffledHashJoin" in executed
+                ),
+            }
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
     # skew of the banded pair candidate stage feeding dedup_embedding
     from sparkroach.queries.llm_ops import (

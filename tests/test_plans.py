@@ -350,6 +350,10 @@ _SCALAR_BNLJ_OK = {
     "orders_benford_audit",
     # prefix-scanned stream x 1-row global-max scalar (peak argmin)
     "events_cusum_drift",
+    # r8 wave: 1-row x 1-row bookkeeping crossJoins
+    "events_ordered_funnel_maxgap",  # three 1-row step counts fused
+    "dup_graph_triangles",  # stats x edges x triangles scalars
+    "search_ndcg_report",  # 1-row DCG x 1-row IDCG
 }
 
 
@@ -370,6 +374,8 @@ _GLOBAL_WINDOW_OK = {
     "hist_quantile_sketch",  # histogram-bucket-bounded aggregate
     "source_budget_apportion",  # source-cardinality-bounded (≤ dozens)
     "suppkey_skew_report",  # rank over the ≤SKEW_TOP post-limit survivors
+    "hybrid_rrf_fusion",  # ranks over the two ≤RRF_DEPTH post-limit lists
+    "search_ndcg_report",  # ranks over the two ≤NDCG_AT post-limit lists
 }
 
 
