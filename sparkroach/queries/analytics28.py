@@ -472,3 +472,96 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_zone_map_report — per-file min/max stats and data-skipping
+# ---------------------------------------------------------------------------
+
+ZONE_DIR = "/tmp/sparkroach_zone_map"  # fixed path: the oracle reads it
+ZONE_FILES = 8
+# fixed probe range (epoch µs literals): 2024-02-01 .. 2024-03-01 UTC —
+# which files a reader could SKIP for this predicate from footer stats
+ZONE_LO = 1706745600000000
+ZONE_HI = 1709251200000000
+
+_ZONE_ORACLE = f"""
+    WITH pf AS (
+        SELECT filename,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(epoch_us(ts)) AS min_us,
+               MAX(epoch_us(ts)) AS max_us
+        FROM read_parquet('{ZONE_DIR}/*.parquet', filename=true)
+        GROUP BY filename
+    )
+    SELECT CAST(row_number() OVER (ORDER BY min_us, filename) AS BIGINT)
+               AS file_rank,
+           n_rows, min_us, max_us,
+           (max_us < {ZONE_LO} OR min_us >= {ZONE_HI}) AS skippable
+    FROM pf ORDER BY file_rank
+"""
+
+
+@register(
+    "events_zone_map_report",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # documents_shard_export (controlled file write + re-read
+    # verification lane, r6 gate); the zone-map semantics — per-file
+    # min/max equals what a footer-stats reader would prune on — is
+    # what the oracle pins from the same files.
+    gated=False,
+    oracle=_ZONE_ORACLE,
+    survey_ref="§2D physical layout — zone-map / data-skipping report: "
+    "per-file min/max statistics of a sort key plus which files a "
+    "range predicate could prune without reading them (the footer-"
+    "stats story behind partition pruning and Z-ordering, reported as "
+    "a table)",
+    description=f"events written range-partitioned + sorted on ts into "
+    f"{ZONE_FILES} parquet files at a fixed path, then both engines "
+    "derive each file's (rows, min, max) — exactly the footer zone "
+    "map — and whether the fixed probe range could skip it.  Ranked "
+    "by min timestamp (ties by filename; the rank window runs over "
+    f"the ≤{ZONE_FILES} per-file aggregate rows, bounded by the "
+    "layout constant).  Because the layout is SORTED, skippable "
+    "files form contiguous prefixes/suffixes — the measurable claim "
+    "behind 'sort your fact tables on the scan key'",
+)
+def events_zone_map_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts")
+    n_rows = ev.count()
+    if n_rows < ZONE_FILES:
+        raise ValueError(
+            f"events_zone_map_report: {n_rows} rows < {ZONE_FILES} files"
+        )
+    shutil.rmtree(ZONE_DIR, ignore_errors=True)
+    (
+        ev.repartitionByRange(ZONE_FILES, "ts")
+        .sortWithinPartitions("ts")
+        .write.parquet(ZONE_DIR)
+    )
+    back = spark.read.parquet(ZONE_DIR).select(
+        F.unix_micros("ts").alias("t"), F.input_file_name().alias("f")
+    )
+    pf = back.groupBy("f").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("t").alias("min_us"),
+        F.max("t").alias("max_us"),
+    )
+    w = Window.orderBy("min_us", "f")  # over <= ZONE_FILES rows
+    return (
+        pf.select(
+            F.row_number().over(w).cast("long").alias("file_rank"),
+            "n_rows",
+            "min_us",
+            "max_us",
+            (
+                (F.col("max_us") < ZONE_LO) | (F.col("min_us") >= ZONE_HI)
+            ).alias("skippable"),
+        )
+        .orderBy("file_rank")
+        .localCheckpoint()
+    )

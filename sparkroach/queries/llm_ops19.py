@@ -1,0 +1,283 @@
+"""Round-8 wave 2: G.711 µ-law audio lane and b-bit minwise hashing.
+
+Registered ``gated=False`` with DELEGATED twins (rotation.DELEGATED) —
+the R8 window is full at 50; these are R9-window candidates, swept by
+the local oracle at three SFs like every registry entry.
+
+Reference parity: none — multimodal/dedup breadth per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkroach.queries.registry import register
+from sparkroach.tables import load
+
+# ---------------------------------------------------------------------------
+# multimodal_g711_roundtrip — real µ-law companding through the lane
+# ---------------------------------------------------------------------------
+
+
+def _g711_oracle() -> str:
+    from sparkroach.functions.g711 import N_SAMPLES
+
+    # closed integer form of decode(encode(s)) — see functions/g711.py:
+    # sign/magnitude split, clip, +BIAS, segment exponent, 4-bit
+    # mantissa, segment expansion.  All integers; the µ-law WIRE byte is
+    # 255 - (sign·128 + e·16 + m).
+    s = "(((doc_id * 97 + i.i * 1031) % 65536) - 32768)"
+    mag = f"(LEAST(ABS({s}), 32635) + 132)"
+    e = (
+        f"(CASE WHEN {mag} < 256 THEN 0 WHEN {mag} < 512 THEN 1 "
+        f"WHEN {mag} < 1024 THEN 2 WHEN {mag} < 2048 THEN 3 "
+        f"WHEN {mag} < 4096 THEN 4 WHEN {mag} < 8192 THEN 5 "
+        f"WHEN {mag} < 16384 THEN 6 ELSE 7 END)"
+    )
+    p = (
+        f"(CASE {e} WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 "
+        "WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64 "
+        "ELSE 128 END)"
+    )
+    m = f"(({mag} // ({p} * 8)) % 16)"
+    dmag = f"(({m} * 8 + 132) * {p} - 132)"
+    dec = f"(CASE WHEN {s} < 0 THEN -{dmag} ELSE {dmag} END)"
+    ubyte = f"(255 - ((CASE WHEN {s} < 0 THEN 128 ELSE 0 END) + {e} * 16 + {m}))"
+    return f"""
+        SELECT d.doc_id AS media_id,
+               CAST({N_SAMPLES} AS INT) AS n_samples,
+               CAST(SUM({dec}) AS BIGINT) AS decoded_sum,
+               CAST(SUM({ubyte}) AS BIGINT) AS byte_sum,
+               CAST(MAX(ABS({dec} - {s})) AS BIGINT) AS max_abs_err
+        FROM documents d JOIN range(0, {N_SAMPLES}) i(i) ON TRUE
+        GROUP BY d.doc_id
+        ORDER BY media_id
+    """
+
+
+@register(
+    "multimodal_g711_roundtrip",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # multimodal_goertzel_tone (real audio codec through the Arrow
+    # decode lane, mirrored by a doc_id-arithmetic integer oracle — the
+    # identical lane shape); the sample-level codec conformance is
+    # pinned in tests/test_llm_ops19.py.
+    gated=False,
+    oracle=_g711_oracle(),
+    survey_ref="LLM ops: multimodal audio — G.711 µ-law companding "
+    "codec (encoder + decoder from the ITU-T spec, pure integer "
+    "segment/mantissa arithmetic), the telephony-PCM ingest lane next "
+    "to the WAV/Goertzel plane",
+    description="encode 64 deterministic PCM16 samples per document to "
+    "real µ-law bytes and decode them back; the roundtrip quantizes "
+    "each magnitude to its segment step, which is a CLOSED INTEGER "
+    "FORM the oracle mirrors (segment CASE + mantissa division + "
+    "expansion — no floats anywhere).  decoded_sum, the wire byte_sum, "
+    "and the worst quantization error are all exact integers.  "
+    "Map-only mapInPandas both ways",
+)
+def multimodal_g711_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach._shiplib import ensure_shipped
+    from sparkroach.functions.g711 import g711_features, synthesize_g711_media
+
+    ensure_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    return g711_features(synthesize_g711_media(docs)).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# minhash_bbit_estimate — 1-bit minwise hashing (Li & König)
+# ---------------------------------------------------------------------------
+
+BBIT_K = 32  # permutations
+
+
+def _bbit_oracle() -> str:
+    from sparkroach.queries.llm_ops import _JACC_SQL, _lsh_candidates_cte
+
+    lsh = _lsh_candidates_cte().strip()
+    assert lsh.startswith("WITH ")
+    hexd = "0123456789abcdef"
+    th32 = " + ".join(
+        f"(instr('{hexd}', substring(md5(CAST(k.k AS VARCHAR) || ':' || sh), "
+        f"{j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"""
+        WITH {lsh[len("WITH "):]},
+        tok AS (SELECT doc_id, unnest(shingles) AS sh FROM shing),
+        bits AS (
+            SELECT doc_id, k.k, MIN({th32}) % 2 AS bit
+            FROM tok, range(0, {BBIT_K}) k(k)
+            GROUP BY doc_id, k.k
+        ),
+        agree AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(SUM(CASE WHEN ba.bit = bb.bit THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_agree
+            FROM cand c
+            JOIN bits ba ON ba.doc_id = c.doc_a
+            JOIN bits bb ON bb.doc_id = c.doc_b AND bb.k = ba.k
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        jac AS (
+            SELECT c.doc_a, c.doc_b, ROUND({_JACC_SQL}, 6) AS jaccard_q
+            FROM cand c
+            JOIN shing sa ON sa.doc_id = c.doc_a
+            JOIN shing sb ON sb.doc_id = c.doc_b
+        )
+        SELECT a.doc_a, a.doc_b, j.jaccard_q, a.n_agree,
+               CAST(2 * a.n_agree - {BBIT_K} AS DOUBLE) / {BBIT_K}
+                   AS bbit_est
+        FROM agree a JOIN jac j
+          ON j.doc_a = a.doc_a AND j.doc_b = a.doc_b
+        ORDER BY a.doc_a, a.doc_b
+    """
+
+
+@register(
+    "minhash_bbit_estimate",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # minhash_jaccard_verified (capped LSH candidates scored by a
+    # per-pair exact similarity — the recorded plan family; the 1-bit
+    # signature compression + agreement estimator is the increment,
+    # unit-pinned in tests/test_llm_ops19.py).
+    gated=False,
+    oracle=_bbit_oracle(),
+    survey_ref="LLM ops: b-bit minwise hashing (Li & König) — keep only "
+    "the lowest bit of each minhash: 32× smaller signatures whose "
+    "bit-agreement rate still estimates Jaccard (est = 2·agree/K − 1); "
+    "the storage/accuracy dial production dedup indexes actually ship",
+    description=f"per (doc, k<{BBIT_K}) the md5 minhash's lowest bit; "
+    "per capped-LSH candidate pair the bit-agreement count (exact "
+    "integer) and the unbiased-for-large-vocab estimate as ONE IEEE "
+    "division, reported against the exact shingle Jaccard (rounded 6). "
+    "The signature build is explode → grouped MIN (map-side combined); "
+    "pair scoring joins the k-indexed bit table — everything is "
+    "candidate-bounded, never all-pairs",
+)
+def minhash_bbit_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach.queries.llm_ops import (
+        _lsh_candidate_pairs,
+        _verified_pairs,
+        _with_shingles,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    sh = _with_shingles(d).localCheckpoint(eager=True)
+    tok = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    h = (
+        "CAST(conv(substring(md5(concat(CAST(k AS STRING), ':', sh)), 1, 8),"
+        " 16, 10) AS BIGINT)"
+    )
+    bits = (
+        tok.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(BBIT_K - 1))))
+        .groupBy("doc_id", "k")
+        .agg((F.min(F.expr(h)) % 2).alias("bit"))
+    )
+    cand = _lsh_candidate_pairs(d)
+    ba = bits.withColumnsRenamed({"doc_id": "doc_a", "bit": "bit_a"})
+    bb = bits.withColumnsRenamed({"doc_id": "doc_b", "bit": "bit_b"})
+    agree = (
+        cand.join(ba, "doc_a")
+        .join(bb, ["doc_b", "k"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.when(F.col("bit_a") == F.col("bit_b"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_agree")
+        )
+    )
+    jac = _verified_pairs(d).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard_q")
+    )
+    return (
+        agree.join(jac, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard_q",
+            "n_agree",
+            (
+                (F.lit(2) * F.col("n_agree") - BBIT_K).cast("double")
+                / F.lit(BBIT_K)
+            ).alias("bbit_est"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_value_exact_median — distributed selection by bisection
+# ---------------------------------------------------------------------------
+
+_MEDIAN_ORACLE = """
+    WITH c AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    med AS (
+        SELECT MIN(c) AS m FROM (
+            SELECT c, row_number() OVER (ORDER BY c) AS rn FROM c
+        ) WHERE rn >= (SELECT (n + 1) // 2 FROM n)
+    )
+    SELECT n.n, med.m AS median_cents,
+           CAST((SELECT COUNT(*) FROM c WHERE c.c <= med.m) AS BIGINT)
+               AS n_le_median
+    FROM n, med
+"""
+
+
+@register(
+    "events_value_exact_median",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # events_value_median_udaf (the exact-median result recorded through
+    # the Python-UDAF lane, r6 gate); the increment — O(log range)
+    # aggregate-pass bisection instead of any sort/collect — is
+    # unit-pinned in tests/test_llm_ops19.py.
+    gated=False,
+    oracle=_MEDIAN_ORACLE,
+    survey_ref="§2C analytic breadth — EXACT order statistic at scale: "
+    "the lower median by counting bisection (O(log range) full "
+    "aggregate passes over a cached integer column), the classic "
+    "distributed-selection algorithm — no global sort, no collect of "
+    "data rows, ever",
+    description="median over exact integer cents: binary-search the "
+    "value domain, each probe ONE count(c <= mid) aggregate (map-side "
+    "combined) with a 1-row driver collect — the §9 bookkeeping shape; "
+    "~log2(range) ≈ 25 passes over a localCheckpoint-cached long "
+    "column.  The oracle derives the same lower median (smallest c "
+    "whose rank reaches ceil(n/2)) by explicit rank.  At 100 TB this "
+    "is THE way to get an exact percentile: a sort-based median "
+    "shuffles the world; approx_percentile gives bounds, not truth",
+)
+def events_value_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach.queries.analytics import cents
+
+    c = (
+        load(spark, sf_dir, "events")
+        .select(cents("value").alias("c"))
+        .localCheckpoint(eager=True)  # ~25 probe aggregates re-read it
+    )
+    bounds = c.agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
+    ).collect()[0]
+    n, lo, hi = bounds["n"], bounds["lo"], bounds["hi"]
+    if n == 0:
+        raise ValueError("events_value_exact_median: empty input")
+    target = (n + 1) // 2
+    # invariant: the answer is in [lo, hi]; each probe is one aggregate
+    while lo < hi:
+        mid = (lo + hi) // 2  # python floor-div: exact for negatives too
+        cnt = c.where(F.col("c") <= mid).count()
+        if cnt >= target:
+            hi = mid
+        else:
+            lo = mid + 1
+    n_le = c.where(F.col("c") <= lo).count()
+    return spark.createDataFrame(
+        [(n, lo, n_le)], "n long, median_cents long, n_le_median long"
+    )

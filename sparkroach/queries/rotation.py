@@ -402,7 +402,36 @@ ACTIVE_WINDOW: frozenset[str] | None = R8_WINDOW
 # Queries registered after the r8 window fills join this dict with a
 # driver-proven twin, first in line for the R9 window.
 # name -> (driver-proven twin, one-line justification)
-DELEGATED: dict[str, tuple[str, str]] = {}
+DELEGATED: dict[str, tuple[str, str]] = {
+    "multimodal_g711_roundtrip": (
+        "multimodal_goertzel_tone",
+        "real audio codec through the Arrow decode lane mirrored by a "
+        "doc_id-arithmetic integer oracle (r8-window gate); the µ-law "
+        "segment/mantissa conformance is unit-pinned in "
+        "tests/test_llm_ops19.py.  R9-window candidate",
+    ),
+    "minhash_bbit_estimate": (
+        "minhash_jaccard_verified",
+        "capped LSH candidates scored by a per-pair exact similarity "
+        "(the recorded verify plan family); the 1-bit signature "
+        "compression + agreement estimator is the increment, "
+        "unit-pinned in tests/test_llm_ops19.py.  R9-window candidate",
+    ),
+    "events_value_exact_median": (
+        "events_value_median_udaf",
+        "the exact-median result recorded through the Python-UDAF lane "
+        "(r6 gate); the increment — O(log range) counting-bisection "
+        "with 1-row bookkeeping collects instead of any sort — is "
+        "unit-pinned in tests/test_llm_ops19.py.  R9-window candidate",
+    ),
+    "events_zone_map_report": (
+        "documents_shard_export",
+        "controlled file write + re-read verification lane (r6 gate); "
+        "the per-file min/max zone-map semantics and sorted-layout "
+        "contiguous-skip property are unit-pinned in "
+        "tests/test_analytics28.py.  R9-window candidate",
+    ),
+}
 
 # HISTORICAL — the r7 delegation set, kept for the ledger (these 26 ran
 # r7 under local-oracle-only verification with the named driver-proven

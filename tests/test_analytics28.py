@@ -133,3 +133,33 @@ def test_bootstrap_ci_brackets_and_is_deterministic(spark):
         # estimate on any non-degenerate source
         assert r["ci_lo"] <= r["mean_len"] <= r["ci_hi"]
         assert (r["ci_lo"], r["ci_hi"]) == (b[src]["ci_lo"], b[src]["ci_hi"])
+
+
+def test_zone_map_report_sorted_layout_properties(spark):
+    """Dedicated pin for the self-materializing zone-map gate (it writes
+    real files; joins test_plans._MATERIALIZED): ranks are contiguous,
+    per-file ranges are valid and non-overlapping in rank order (the
+    sorted-layout guarantee that makes skipping contiguous), row total
+    equals the table, and skippable agrees with the bounds."""
+    from sparkroach.queries.analytics28 import (
+        ZONE_FILES,
+        ZONE_HI,
+        ZONE_LO,
+    )
+    from sparkroach.tables import load
+
+    rows = sorted(
+        QUERIES["events_zone_map_report"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r["file_rank"],
+    )
+    assert [r["file_rank"] for r in rows] == list(range(1, ZONE_FILES + 1))
+    total = load(spark, SF_SMALL, "events").count()
+    assert sum(r["n_rows"] for r in rows) == total
+    for r in rows:
+        assert r["min_us"] <= r["max_us"]
+        assert r["skippable"] == (
+            r["max_us"] < ZONE_LO or r["min_us"] >= ZONE_HI
+        )
+    # range-partitioned on ts → file ranges don't overlap in rank order
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_us"] <= b["min_us"]

@@ -1,0 +1,132 @@
+"""Round-8 wave-2 unit pins: G.711 µ-law conformance and b-bit minhash
+estimator behavior."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkroach.functions.g711 import (
+    _BIAS,
+    _CLIP,
+    doc_pcm_samples,
+    mulaw_decode,
+    mulaw_decode_sample,
+    mulaw_encode,
+    mulaw_encode_sample,
+)
+from sparkroach.queries import QUERIES
+from sparkroach.queries.llm_ops19 import BBIT_K
+from tests.conftest import SF_SMALL
+
+
+def _closed_roundtrip(s: int) -> int:
+    """The oracle's closed integer form, independently in Python."""
+    sign = s < 0
+    mag = min(abs(s), _CLIP) + _BIAS
+    e = 0
+    while mag >= (1 << (e + 8)):
+        e += 1
+    m = (mag >> (e + 3)) & 15
+    dec = ((m * 8 + _BIAS) << e) - _BIAS
+    return -dec if sign else dec
+
+
+def test_mulaw_roundtrip_matches_closed_form_exhaustively():
+    # every 16-bit sample value, stride 7 (covers all segments + edges)
+    for s in list(range(-32768, 32768, 7)) + [-32768, -1, 0, 1, 32767]:
+        assert mulaw_decode_sample(mulaw_encode_sample(s)) == _closed_roundtrip(s)
+
+
+def test_mulaw_known_codepoints():
+    # canonical anchors: 0 encodes to 0xFF (all-inverted zero), and the
+    # two sign variants of the same magnitude differ only in bit 7
+    assert mulaw_encode_sample(0) == 0xFF
+    plus, minus = mulaw_encode_sample(1000), mulaw_encode_sample(-1000)
+    assert (plus ^ minus) == 0x80
+    assert mulaw_decode_sample(plus) == -mulaw_decode_sample(minus)
+
+
+def test_mulaw_quantization_error_bounded_by_segment_step():
+    worst = 0
+    for s in range(-32768, 32768, 11):
+        err = abs(mulaw_decode_sample(mulaw_encode_sample(s)) - s)
+        worst = max(worst, err)
+    # the top segment's half-step is 2^(7+3)/2 = 512; clipping adds the
+    # 32767-32635 margin → the true worst case for µ-law
+    assert worst <= 512 + (32767 - _CLIP)
+
+
+def test_mulaw_strict_ranges():
+    with pytest.raises(ValueError):
+        mulaw_encode_sample(40000)
+    with pytest.raises(ValueError):
+        mulaw_decode_sample(256)
+
+
+def test_doc_pcm_covers_both_signs_and_all_segments():
+    seen_segments = set()
+    for doc in range(10):
+        for s in doc_pcm_samples(doc):
+            mag = min(abs(s), _CLIP) + _BIAS
+            e = 0
+            while mag >= (1 << (e + 8)):
+                e += 1
+            seen_segments.add(e)
+    assert seen_segments == set(range(8))
+
+
+def test_bbit_estimator_tracks_jaccard(spark):
+    rows = QUERIES["minhash_bbit_estimate"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_agree"] <= BBIT_K
+        assert -1.0 <= r["bbit_est"] <= 1.0
+    # exact duplicates (jaccard 1.0) must agree on EVERY bit: the b-bit
+    # estimate is exactly 1 — the estimator's only deterministic point
+    dups = [r for r in rows if r["jaccard_q"] == 1.0]
+    assert dups and all(r["bbit_est"] == 1.0 for r in dups)
+    # and the estimator must separate exact dups from the low-similarity
+    # tail on average (it is unbiased up to 1-bit collisions)
+    low = [r["bbit_est"] for r in rows if r["jaccard_q"] < 0.5]
+    if low:
+        assert sum(low) / len(low) < 0.95
+
+
+def test_exact_median_bisection_matches_sorted_truth(spark):
+    from sparkroach.queries.analytics import cents
+    from sparkroach.tables import load
+
+    out = QUERIES["events_value_exact_median"].fn(spark, SF_SMALL).collect()[0]
+    vals = sorted(
+        r["c"]
+        for r in load(spark, SF_SMALL, "events")
+        .select(cents("value").alias("c"))
+        .collect()
+    )
+    n = len(vals)
+    lower_median = vals[(n + 1) // 2 - 1]
+    assert out["n"] == n
+    assert out["median_cents"] == lower_median
+    assert out["n_le_median"] >= (n + 1) // 2
+
+
+def test_exact_median_bisection_on_controlled_input(spark, tmp_path):
+    import datetime
+
+    # even count with a duplicate-heavy middle: lower median semantics
+    values = [1.00, 2.00, 2.00, 2.00, 7.00, 9.00]  # lower median = 2.00
+    spark.createDataFrame(
+        [
+            (i, datetime.datetime(2024, 1, 1, i), 1, "view", v, "{}")
+            for i, v in enumerate(values)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = (
+        QUERIES["events_value_exact_median"]
+        .fn(spark, str(tmp_path))
+        .collect()[0]
+    )
+    assert out["median_cents"] == 200
+    assert out["n"] == 6 and out["n_le_median"] == 4

@@ -291,6 +291,8 @@ _MATERIALIZED = {
         "test_analytics22.py::test_text_roundtrip_preconditions_and_checksums",
     "documents_sql_ddl_roundtrip":
         "test_analytics23.py::test_ddl_roundtrip_content_and_rerun_idempotence",
+    "events_zone_map_report":
+        "test_analytics28.py::test_zone_map_report_sorted_layout_properties",
 }
 
 
