@@ -281,3 +281,71 @@ def events_value_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n, lo, n_le)], "n long, median_cents long, n_le_median long"
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_gif_decode — GIF87a / variable-width LZW through the lane
+# ---------------------------------------------------------------------------
+
+
+def _gif_oracle() -> str:
+    from sparkroach.functions.gif import GIF_COLORS, gif_palette
+
+    pal_sum = " ".join(
+        f"WHEN {i} THEN {sum(rgb)}" for i, rgb in enumerate(gif_palette())
+    )
+    idx = f"((p.doc_id * 31 + y.y * 16 + x.x * 5) % {GIF_COLORS})"
+    return f"""
+        WITH p AS (
+            SELECT doc_id,
+                   8 + (doc_id % 5) * 3 AS w,
+                   6 + ((doc_id // 5) % 4) * 5 AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT p.doc_id, p.w, p.h,
+                   SUM({idx}) AS isum,
+                   SUM(CASE {idx} {pal_sum} END) AS rsum
+            FROM p
+            JOIN range(0, 32) x(x) ON x.x < p.w
+            JOIN range(0, 32) y(y) ON y.y < p.h
+            GROUP BY ALL
+        )
+        SELECT doc_id AS media_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST({GIF_COLORS} AS INT) AS n_colors,
+               CAST(isum AS BIGINT) AS index_sum,
+               CAST(rsum AS BIGINT) AS rgb_sum
+        FROM px ORDER BY media_id
+    """
+
+
+@register(
+    "multimodal_gif_decode",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # multimodal_png_decode (lossless image codec through the identical
+    # mapInPandas lane with a pixel-arithmetic oracle, in the R8
+    # window); the LZW corner cases (KwKwK, width growth, mid-stream
+    # CLEAR) are unit-pinned in tests/test_llm_ops19.py.
+    gated=False,
+    oracle=_gif_oracle(),
+    survey_ref="LLM ops: multimodal decode — from-scratch GIF87a codec: "
+    "variable-width LZW (3..12-bit codes, CLEAR/EOI, dictionary growth "
+    "incl. the KwKwK case) — a THIRD compression family next to "
+    "DEFLATE (PNG) and Huffman (JPEG) in the codec matrix",
+    description="encode a real GIF87a per document (8-colour global "
+    "palette, LZW with a periodic mid-stream CLEAR so every image "
+    "exercises dictionary reset, ≤255-byte sub-block framing) and "
+    "decode it with an independent bit-level decoder; lossless over "
+    "palette indices, so the oracle mirrors the index arithmetic and "
+    "the palette-sum lookup as pure doc_id arithmetic.  Map-only "
+    "mapInPandas both ways",
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach._shiplib import ensure_shipped
+    from sparkroach.functions.gif import gif_features, synthesize_gif_media
+
+    ensure_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    return gif_features(synthesize_gif_media(docs)).orderBy("media_id")

@@ -417,6 +417,13 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "compression + agreement estimator is the increment, "
         "unit-pinned in tests/test_llm_ops19.py.  R9-window candidate",
     ),
+    "multimodal_gif_decode": (
+        "multimodal_png_decode",
+        "lossless image codec through the identical mapInPandas lane "
+        "with a pixel-arithmetic oracle (R8-window gate); the LZW "
+        "family's corner cases (KwKwK, width growth, CLEAR reset) are "
+        "unit-pinned in tests/test_llm_ops19.py.  R9-window candidate",
+    ),
     "events_value_exact_median": (
         "events_value_median_udaf",
         "the exact-median result recorded through the Python-UDAF lane "

@@ -130,3 +130,60 @@ def test_exact_median_bisection_on_controlled_input(spark, tmp_path):
     )
     assert out["median_cents"] == 200
     assert out["n"] == 6 and out["n_le_median"] == 4
+
+
+# ---------------------------------------------------------------------------
+# GIF / LZW pins
+# ---------------------------------------------------------------------------
+
+
+def test_lzw_kwkwk_and_adversarial_roundtrips():
+    import random
+
+    from sparkroach.functions.gif import lzw_decode, lzw_encode
+
+    # the canonical KwKwK trigger: a run of one symbol makes the encoder
+    # emit a code equal to the decoder's next dictionary slot
+    run = [0] * 8
+    assert lzw_decode(lzw_encode(run, 3, clear_every=10**9), 3) == run
+    rnd = random.Random(7)
+    for _ in range(30):
+        seq = [rnd.randrange(8) for _ in range(rnd.randrange(1, 400))]
+        assert lzw_decode(lzw_encode(seq, 3, clear_every=10**9), 3) == seq
+        # and WITH periodic mid-stream CLEAR resets (the gate's setting)
+        assert lzw_decode(lzw_encode(seq, 3, clear_every=16), 3) == seq
+
+
+def test_gif_roundtrip_matches_pixel_arithmetic():
+    from sparkroach.functions.gif import (
+        GIF_COLORS,
+        decode_gif,
+        doc_gif_dims,
+        encode_doc_gif,
+        gif_palette,
+    )
+
+    pal = gif_palette()
+    for doc in range(20):
+        d = decode_gif(encode_doc_gif(doc))
+        w, h = doc_gif_dims(doc)
+        idx = [
+            (doc * 31 + y * 16 + x * 5) % GIF_COLORS
+            for y in range(h)
+            for x in range(w)
+        ]
+        assert (d["width"], d["height"], d["n_colors"]) == (w, h, GIF_COLORS)
+        assert d["index_sum"] == sum(idx)
+        assert d["rgb_sum"] == sum(sum(pal[i]) for i in idx)
+
+
+def test_gif_strict_failures():
+    from sparkroach.functions.gif import decode_gif, encode_doc_gif
+
+    data = encode_doc_gif(3)
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"GIF89a" + data[6:])  # 89a deliberately unsupported
+    with pytest.raises(ValueError, match="trailer"):
+        decode_gif(data[:-1])
+    with pytest.raises(ValueError):
+        decode_gif(data[: len(data) // 2])
