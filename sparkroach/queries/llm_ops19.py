@@ -349,3 +349,160 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_shipped(spark)
     docs = load(spark, sf_dir, "documents")
     return gif_features(synthesize_gif_media(docs)).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# ann_nsw_beam_search — graph-based ANN (greedy beam over the kNN graph)
+# ---------------------------------------------------------------------------
+
+NSW_BEAM = 8  # beam width
+NSW_ITERS = 4  # fixed expansion rounds (deterministic NSW variant)
+NSW_TOPK = 5  # reported results per query
+
+
+def _nsw_oracle() -> str:
+    from sparkroach.queries.llm_ops import _DOT_SQL, _NORM_SQL, N_QUERIES
+    from sparkroach.queries.llm_ops4 import KNN_K, _knn_pairs_sql
+
+    score = (
+        f"ROUND({_DOT_SQL} / ({_NORM_SQL.format(col='qe')} * "
+        f"{_NORM_SQL.format(col='ce')}), 6)"
+    )
+    parts = [
+        f"""
+        qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+        es AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+        gsym AS (
+            SELECT a_id AS src, b_id AS dst, cosine FROM pairs
+            UNION ALL
+            SELECT b_id AS src, a_id AS dst, cosine FROM pairs
+        ),
+        gr AS (
+            SELECT src, dst FROM (
+                SELECT src, dst,
+                       row_number() OVER (
+                           PARTITION BY src ORDER BY cosine DESC, dst
+                       ) AS rank
+                FROM gsym
+            ) WHERE rank <= {KNN_K}
+        ),
+        beam0 AS (SELECT q_id, CAST({N_QUERIES} AS BIGINT) AS c_id FROM qs)
+        """
+    ]
+    for t in range(1, NSW_ITERS + 1):
+        parts.append(
+            f"""
+        cand{t} AS (
+            SELECT DISTINCT q_id, c_id FROM (
+                SELECT q_id, c_id FROM beam{t - 1}
+                UNION ALL
+                SELECT b.q_id, g.dst FROM beam{t - 1} b
+                JOIN gr g ON g.src = b.c_id
+            )
+        ),
+        sc{t} AS (
+            SELECT c.q_id, c.c_id, {score} AS cosine
+            FROM cand{t} c
+            JOIN qs ON qs.q_id = c.q_id
+            JOIN es ON es.c_id = c.c_id
+            WHERE c.c_id <> c.q_id
+        ),
+        beam{t} AS (
+            SELECT q_id, c_id, cosine FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY q_id ORDER BY cosine DESC, c_id
+                ) AS rn FROM sc{t}
+            ) WHERE rn <= {NSW_BEAM}
+        )
+            """
+        )
+    body = ",".join(parts)
+    return f"""
+        WITH {_knn_pairs_sql().strip()},
+        {body}
+        SELECT q_id, c_id, cosine, rank FROM (
+            SELECT q_id, c_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY cosine DESC, c_id
+                   ) AS rank
+            FROM beam{NSW_ITERS}
+        ) WHERE rank <= {NSW_TOPK}
+        ORDER BY q_id, rank
+    """
+
+
+@register(
+    "ann_nsw_beam_search",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # knn_graph_ivf (the graph build IS the recorded kNN machinery; the
+    # greedy beam is a bounded-iteration loop of probe-side joins — the
+    # recorded pagerank/BFS iteration family); beam behavior is
+    # unit-pinned in tests/test_llm_ops19.py.
+    gated=False,
+    oracle=_nsw_oracle(),
+    survey_ref="LLM ops: GRAPH-BASED ANN (the NSW/HNSW family — the "
+    "modern ANN default): greedy beam search over the capped kNN "
+    "neighbor graph from a fixed entry point; completes the ANN matrix "
+    "(brute force, IVF×3, LSH, int8, PQ, IVF-PQ, rerank, and now "
+    "graph-based)",
+    description=f"deterministic NSW variant: {NSW_ITERS} expansion "
+    f"rounds of beam width {NSW_BEAM} from a fixed entry node — each "
+    "round scores beam ∪ neighbors(beam) against the query (exact "
+    "rounded cosine) and keeps the per-query top-B (cosine desc, id "
+    "tiebreak).  The probe side is queries × beam (literal-bounded, "
+    "broadcast); the graph and embedding joins are id-keyed equi-joins "
+    "against corpus-scale tables — per-round cost is O(queries · beam "
+    "· degree) lookups, NEVER a corpus scan: the whole point of "
+    "graph-based ANN at 10^9 vectors.  The oracle replays the "
+    "identical walk as unrolled CTEs",
+)
+def ann_nsw_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from sparkroach.queries.llm_ops import _DOT, _NORM, N_QUERIES
+    from sparkroach.queries.llm_ops4 import knn_graph_ivf
+
+    e = load(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    es = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+    gr = knn_graph_ivf(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst")
+    )  # already the per-node top-KNN_K adjacency; checkpointed upstream
+    cosine = F.round(
+        F.expr(_DOT)
+        / (F.expr(_NORM.format(col="qe")) * F.expr(_NORM.format(col="ce"))),
+        6,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    beam = qs.select("q_id", F.lit(N_QUERIES).cast("long").alias("c_id"))
+    for _t in range(NSW_ITERS):
+        cand = (
+            beam.select("q_id", "c_id")
+            .unionByName(
+                beam.join(gr, beam.c_id == gr.src).select(
+                    "q_id", F.col("dst").alias("c_id")
+                )
+            )
+            .distinct()
+        )
+        scored = (
+            # probe side: queries × (beam ∪ neighbors) — literal-bounded
+            F.broadcast(cand.join(qs, "q_id"))
+            .join(es, "c_id")
+            .where(F.col("c_id") != F.col("q_id"))
+            .select("q_id", "c_id", cosine.alias("cosine"))
+        )
+        beam = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= NSW_BEAM)
+            .drop("rn")
+            .localCheckpoint(eager=True)  # truncate the iteration lineage
+        )
+    return (
+        beam.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= NSW_TOPK)
+        .orderBy("q_id", "rank")
+    )

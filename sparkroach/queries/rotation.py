@@ -417,6 +417,14 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "compression + agreement estimator is the increment, "
         "unit-pinned in tests/test_llm_ops19.py.  R9-window candidate",
     ),
+    "ann_nsw_beam_search": (
+        "knn_graph_ivf",
+        "the graph build is the recorded kNN machinery (R8-window "
+        "re-record); the greedy beam is a bounded-iteration loop of "
+        "broadcast-probe joins (the recorded pagerank/BFS iteration "
+        "family); beam behavior unit-pinned in tests/test_llm_ops19.py. "
+        " R9-window candidate",
+    ),
     "multimodal_gif_decode": (
         "multimodal_png_decode",
         "lossless image codec through the identical mapInPandas lane "

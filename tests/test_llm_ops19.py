@@ -187,3 +187,61 @@ def test_gif_strict_failures():
         decode_gif(data[:-1])
     with pytest.raises(ValueError):
         decode_gif(data[: len(data) // 2])
+
+
+# ---------------------------------------------------------------------------
+# NSW beam search pins
+# ---------------------------------------------------------------------------
+
+
+def test_nsw_beam_contract_and_determinism(spark):
+    from sparkroach.queries.llm_ops import N_QUERIES
+    from sparkroach.queries.llm_ops19 import NSW_TOPK
+
+    fn = QUERIES["ann_nsw_beam_search"].fn
+    a = fn(spark, SF_SMALL).collect()
+    b = fn(spark, SF_SMALL).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]  # deterministic
+    per_q = {}
+    for r in a:
+        assert r["q_id"] < N_QUERIES and r["c_id"] != r["q_id"]
+        per_q.setdefault(r["q_id"], []).append(r)
+    for q, rows in per_q.items():
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= NSW_TOPK
+        # ranked by (cosine desc, c_id)
+        keys = [(-r["cosine"], r["c_id"]) for r in rows]
+        assert keys == sorted(keys)
+
+
+def test_nsw_beam_finds_genuinely_similar_neighbors(spark):
+    """The walk must do better than the entry point it starts from: for
+    every query, the top hit's cosine must be >= the entry node's own
+    similarity (the beam keeps the entry if nothing beats it, so this
+    holds with equality at worst) and the result overlaps the graph's
+    reachable neighborhood."""
+    from pyspark.sql import functions as F
+
+    from sparkroach.queries.llm_ops import _DOT, _NORM, N_QUERIES
+    from sparkroach.tables import load
+
+    out = QUERIES["ann_nsw_beam_search"].fn(spark, SF_SMALL)
+    top1 = {r["q_id"]: r["cosine"] for r in out.where(F.col("rank") == 1).collect()}
+    e = load(spark, SF_SMALL, "embeddings")
+    qs = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    entry = e.where(F.col("vec_id") == N_QUERIES).select(
+        F.col("embedding").alias("ce")
+    )
+    cosine = F.round(
+        F.expr(_DOT)
+        / (F.expr(_NORM.format(col="qe")) * F.expr(_NORM.format(col="ce"))),
+        6,
+    )
+    entry_sim = {
+        r["q_id"]: r["c"]
+        for r in qs.crossJoin(entry).select("q_id", cosine.alias("c")).collect()
+    }
+    for q, c in top1.items():
+        assert c >= entry_sim[q]
