@@ -509,6 +509,10 @@ _ZONE_ORACLE = f"""
     # verification lane, r6 gate); the zone-map semantics — per-file
     # min/max equals what a footer-stats reader would prune on — is
     # what the oracle pins from the same files.
+    # NOTE (run order): the oracle reads ZONE_DIR, which THIS function
+    # writes — the compare harnesses all run the Spark side first
+    # (oracle.compare, driver sim, the driver itself).  If a future
+    # harness evaluates oracles standalone, run the gate once first.
     gated=False,
     oracle=_ZONE_ORACLE,
     survey_ref="§2D physical layout — zone-map / data-skipping report: "

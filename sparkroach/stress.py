@@ -431,6 +431,7 @@ ANN_QUERIES = (
     "ann_ivfpq_adc",
     "ann_ivfpq_rerank",
     "knn_graph_ivf",
+    "ann_nsw_beam_search",  # r8: graph-based ANN over the kNN adjacency
 )
 
 # subset value-verified against the same DuckDB oracles the driver gate
@@ -1971,6 +1972,50 @@ def run_linkage(spark, n: int, out_dir: str) -> dict:
     return out
 
 
+def run_codecs(spark, n_images: int) -> dict:
+    """Codec-lane throughput (r8): encode+decode n synthetic media items
+    through each REAL from-scratch codec's mapInPandas lane — the
+    byte-level cost of the multimodal decode plane, measured.  Each lane
+    is a Spark job over a ``spark.range`` id column (no parquet), so the
+    number is pure codec + Arrow-batch cost."""
+    from pyspark.sql import functions as F
+
+    from sparkroach._shiplib import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = spark.range(n_images).select(F.col("id").alias("doc_id"))
+    out: dict = {"n_images": n_images}
+
+    def lane(name, synth, feats, byte_col="payload"):
+        t0 = time.time()
+        media = synth(docs).localCheckpoint(eager=True)
+        enc_s = time.time() - t0
+        nbytes = media.agg(
+            F.sum(F.octet_length(byte_col)).alias("b")
+        ).collect()[0]["b"]
+        t0 = time.time()
+        rows = feats(media).count()
+        dec_s = time.time() - t0
+        out[name] = {
+            "rows": rows,
+            "payload_mb": round(nbytes / 1e6, 2),
+            "encode_s": round(enc_s, 2),
+            "decode_s": round(dec_s, 2),
+            "decode_items_per_s": round(rows / dec_s, 1) if dec_s else None,
+        }
+
+    from sparkroach.functions.g711 import g711_features, synthesize_g711_media
+    from sparkroach.functions.gif import gif_features, synthesize_gif_media
+    from sparkroach.functions.jpeg import jpeg_features, synthesize_jpeg_media
+    from sparkroach.functions.png import png_features, synthesize_png_media
+
+    lane("png", synthesize_png_media, png_features)
+    lane("gif", synthesize_gif_media, gif_features)
+    lane("jpeg", synthesize_jpeg_media, jpeg_features)
+    lane("g711", synthesize_g711_media, g711_features)
+    return out
+
+
 def run_micro(spark) -> dict:
     """Micro-stress for the wave-8+ operator plans (SCALE.md §19):
     synthesized inputs from ``spark.range`` expressions (no parquet),
@@ -2130,6 +2175,11 @@ def main() -> None:
         "pair join, perceptual recall on perturbed near-dups",
     )
     ap.add_argument(
+        "--codecs", action="store_true",
+        help="measure codec-lane throughput (PNG/GIF/JPEG/G.711 encode+"
+        "decode items/s) on --n synthesized media items",
+    )
+    ap.add_argument(
         "--micro", action="store_true",
         help="micro-stress the wave-8+ operator plans on synthesized "
         "spark.range inputs: skyline at 10M points, Feistel shuffle at "
@@ -2168,7 +2218,7 @@ def main() -> None:
     if n_vecs is None and (args.ann or args.pq_sweep):
         n_vecs = args.n
     report: dict = {}
-    if not (args.ahash or args.linkage or args.micro):
+    if not (args.ahash or args.linkage or args.micro or args.codecs):
         # (these modes synthesize their own corpora)
         report["synth"] = synthesize(
             args.out, args.n, args.seed, n_vecs=n_vecs, uniform_frac=uniform
@@ -2178,6 +2228,8 @@ def main() -> None:
         t0 = time.time()
         if args.ahash:
             report.update(run_ahash(spark, args.n))
+        elif args.codecs:
+            report.update(run_codecs(spark, args.n))
         elif args.micro:
             report.update(run_micro(spark))
         elif args.linkage:
