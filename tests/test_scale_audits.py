@@ -135,6 +135,9 @@ _BROADCAST_OK: dict[tuple[str, str], str] = {
     ("queries/llm_ops14.py", "head"): "1-row head-sample string",
     ("queries/llm_ops14.py", "qv"): "1-row query vector",
     ("queries/llm_ops16.py", "top"): "1-row top-pieces aggregate",
+    ("queries/llm_ops19.py", 'cand.join(qs, "q_id")'):
+        "NSW probe side: queries × (beam ∪ neighbors) — literal-bounded "
+        "by N_QUERIES · NSW_BEAM · (degree+1) per round",
     ("queries/llm_ops2.py", "q"): "literal-bounded ANN query set",
     ("queries/llm_ops2.py", 'q.join(probes, "q_id")'):
         "queries × nprobe probe shortlist",
