@@ -392,28 +392,16 @@ def _nsw_oracle() -> str:
                 FROM gsym
             ) WHERE rank <= {KNN_K}
         ),
-        strides AS (
+        -- shortcut neighbors are EXPRESSIONS on the beam (±stride id
+        -- arithmetic), never a materialized edge table: at 10^9 vectors
+        -- an n·log n shortcut table would itself be corpus-scale
+        strides AS MATERIALIZED (
             SELECT DISTINCT
                    (SELECT n FROM nn) // CAST(power(2, j.j) AS BIGINT) AS s
             FROM range(1, 40) j(j)
             WHERE (SELECT n FROM nn) // CAST(power(2, j.j) AS BIGINT) > 0
         ),
-        gr AS MATERIALIZED (
-            SELECT src, dst FROM knn
-            UNION ALL
-            SELECT e.c_id AS src,
-                   (e.c_id + st.s) % (SELECT n FROM nn) AS dst
-            FROM es e, strides st
-            WHERE (e.c_id + st.s) % (SELECT n FROM nn) <> e.c_id
-            UNION ALL
-            SELECT e.c_id AS src,
-                   (e.c_id - st.s + (SELECT n FROM nn))
-                       % (SELECT n FROM nn) AS dst
-            FROM es e, strides st
-            WHERE (e.c_id - st.s + (SELECT n FROM nn))
-                      % (SELECT n FROM nn) <> e.c_id
-        ),
-        beam0 AS (
+        beam0 AS MATERIALIZED (
             SELECT DISTINCT q_id,
                    (j.j * GREATEST((SELECT n FROM nn) // {NSW_ENTRIES}, 1))
                        % (SELECT n FROM nn) AS c_id
@@ -424,12 +412,21 @@ def _nsw_oracle() -> str:
     for t in range(1, NSW_ITERS + 1):
         parts.append(
             f"""
-        cand{t} AS (
+        cand{t} AS MATERIALIZED (
             SELECT DISTINCT q_id, c_id FROM (
                 SELECT q_id, c_id FROM beam{t - 1}
                 UNION ALL
                 SELECT b.q_id, g.dst FROM beam{t - 1} b
-                JOIN gr g ON g.src = b.c_id
+                JOIN knn g ON g.src = b.c_id
+                UNION ALL
+                SELECT b.q_id,
+                       (b.c_id + st.s) % (SELECT n FROM nn)
+                FROM beam{t - 1} b, strides st
+                UNION ALL
+                SELECT b.q_id,
+                       (b.c_id - st.s + (SELECT n FROM nn))
+                           % (SELECT n FROM nn)
+                FROM beam{t - 1} b, strides st
             )
         ),
         sc{t} AS (
@@ -439,7 +436,7 @@ def _nsw_oracle() -> str:
             JOIN es ON es.c_id = c.c_id
             WHERE c.c_id <> c.q_id
         ),
-        beam{t} AS (
+        beam{t} AS MATERIALIZED (
             SELECT q_id, c_id, cosine FROM (
                 SELECT *, row_number() OVER (
                     PARTITION BY q_id ORDER BY cosine DESC, c_id
@@ -510,22 +507,16 @@ def ann_nsw_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of every corpus here; general ids would first get a dense rank).
     # Similarity is uncorrelated with id, so these are exactly NSW's
     # random long edges: the beam escapes local neighborhoods and
-    # reaches any region in O(log n) hops.
+    # reaches any region in O(log n) hops.  Shortcut neighbors are
+    # computed as EXPRESSIONS over the beam (explode a literal offset
+    # array) — never a materialized edge table, which at 10^9 vectors
+    # would itself be corpus-scale.
     n = e.count()
     strides = sorted({n >> j for j in range(1, 40)} - {0})
-    ids = es.select(F.col("c_id").alias("src"))
-    frames = [knn]
-    for s in strides:
-        frames.append(
-            ids.select("src", ((F.col("src") + s) % n).alias("dst"))
-        )
-        frames.append(
-            ids.select("src", ((F.col("src") - s + n) % n).alias("dst"))
-        )
-    gr = frames[0]
-    for f_ in frames[1:]:
-        gr = gr.unionByName(f_)
-    gr = gr.where(F.col("dst") != F.col("src")).localCheckpoint(eager=True)
+    offsets = F.array(
+        *[F.lit(s) for s in strides], *[F.lit(n - s) for s in strides]
+    )
+    gr = knn.localCheckpoint(eager=True)  # reused every round
     cosine = F.round(
         F.expr(_DOT)
         / (F.expr(_NORM.format(col="qe")) * F.expr(_NORM.format(col="ce"))),
@@ -543,6 +534,13 @@ def ann_nsw_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(
                 beam.join(gr, beam.c_id == gr.src).select(
                     "q_id", F.col("dst").alias("c_id")
+                )
+            )
+            .unionByName(
+                beam.select("q_id", "c_id", F.explode(offsets).alias("_off"))
+                .select(
+                    "q_id",
+                    ((F.col("c_id") + F.col("_off")) % n).alias("c_id"),
                 )
             )
             .distinct()
