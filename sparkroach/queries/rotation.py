@@ -417,6 +417,15 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "compression + agreement estimator is the increment, "
         "unit-pinned in tests/test_llm_ops19.py.  R9-window candidate",
     ),
+    "events_topk_per_user_streamed": (
+        "events_sessions_streamed",
+        "the identical applyInPandasWithState lane (staged micro-batch "
+        "files, mid-stream restart on one checkpoint, sentinel-closed "
+        "final emission — r2-recorded, re-recorded r5); the increment "
+        "is the bounded order-statistic accumulator state, pinned "
+        "against the batch rank window in tests/test_streaming_events. "
+        "R9-window candidate",
+    ),
     "ann_nsw_beam_search": (
         "knn_graph_ivf",
         "the graph build is the recorded kNN machinery (R8-window "

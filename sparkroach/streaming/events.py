@@ -2277,3 +2277,234 @@ def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.shuffle.partitions")
         else:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+# ---------------------------------------------------------------------------
+# events_topk_per_user_streamed — custom top-k accumulator state (r8)
+# ---------------------------------------------------------------------------
+
+TOPK_PER_USER = 3
+
+TOPK_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("rank", T.LongType()),
+        T.StructField("value_cents", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+    ]
+)
+
+# state: the current top-3 as parallel (cents, event_id) slots; -1 = empty
+TOPK_STATE = T.StructType(
+    [
+        T.StructField("c1", T.LongType()),
+        T.StructField("i1", T.LongType()),
+        T.StructField("c2", T.LongType()),
+        T.StructField("i2", T.LongType()),
+        T.StructField("c3", T.LongType()),
+        T.StructField("i3", T.LongType()),
+    ]
+)
+
+
+def topk_per_user(events: DataFrame, k: int = TOPK_PER_USER) -> DataFrame:
+    """Custom stateful operator: a per-user running top-k (by value,
+    event_id tiebreak) maintained incrementally across micro-batches —
+    the bounded-state streaming analog of a rank window.  State is 2k
+    longs per user regardless of stream length; rows emit ONCE, when the
+    user's 'sentinel' close signal arrives (append mode).  The
+    accumulate-and-emit shape complements the sessionizer: sessions
+    aggregate INTERVALS, this maintains an ORDER STATISTIC."""
+
+    def _update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        top: list[tuple[int, int]] = []
+        if state.exists:
+            s = state.get
+            for c, i in ((s[0], s[1]), (s[2], s[3]), (s[4], s[5])):
+                if i >= 0:
+                    top.append((c, i))
+        close = False
+        for pdf in pdfs:
+            for ts_val, et, val, eid in zip(
+                pdf["ts"], pdf["event_type"], pdf["value"], pdf["event_id"]
+            ):
+                if et == "sentinel":
+                    close = True
+                    continue
+                cents = int(round(float(val) * 100))
+                top.append((cents, int(eid)))
+        # keep the k best by (cents desc, event_id asc) — exact ints
+        top.sort(key=lambda t: (-t[0], t[1]))
+        top = top[:k]
+        if close:
+            out = [
+                {
+                    "user_id": key[0],
+                    "rank": r + 1,
+                    "value_cents": c,
+                    "event_id": i,
+                }
+                for r, (c, i) in enumerate(top)
+            ]
+            if state.exists:
+                state.remove()
+            yield pd.DataFrame(
+                out, columns=[f.name for f in TOPK_OUTPUT.fields]
+            )
+        else:
+            flat = [v for c, i in top for v in (c, i)]
+            flat += [-1] * (2 * k - len(flat))
+            state.update(tuple(flat))
+            yield pd.DataFrame(
+                [], columns=[f.name for f in TOPK_OUTPUT.fields]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=TOPK_OUTPUT,
+        stateStructType=TOPK_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "events_topk_per_user_streamed",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # events_sessions_streamed (the identical applyInPandasWithState
+    # lane: staged micro-batch files, mid-stream restart on the same
+    # checkpoint, sentinel-closed final emission); the increment — a
+    # bounded order-statistic accumulator instead of interval state —
+    # is pinned by the oracle's exact rank window.
+    gated=False,
+    oracle=f"""
+        WITH c AS (
+            SELECT user_id, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        r AS (
+            SELECT user_id, event_id, cents,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY cents DESC, event_id
+                   ) AS BIGINT) AS rank
+            FROM c
+        )
+        SELECT user_id, rank, cents AS value_cents, event_id
+        FROM r WHERE rank <= {TOPK_PER_USER}
+        ORDER BY user_id, rank
+    """,
+    survey_ref="§2C streaming state — custom ORDER-STATISTIC state: a "
+    "per-user running top-k maintained incrementally via "
+    "applyInPandasWithState (bounded 2k-long state per key regardless "
+    "of stream length), surviving a mid-stream query restart; the "
+    "streaming analog of a rank window, next to the sessionizer's "
+    "interval state",
+    description=f"per-user top-{TOPK_PER_USER} event values (exact "
+    "integer cents, event_id tiebreak) accumulated across 4 staged "
+    "micro-batches with a query RESTART on the same checkpoint between "
+    "batches 2 and 3 — the recovered state must carry the partial "
+    "top-k across the restart or final ranks are wrong.  A per-user "
+    "sentinel in the last batch closes each key, emitting its final "
+    "ranking exactly once (append mode); the oracle is the batch rank "
+    "window over the same events",
+)
+def events_topk_per_user_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.unix_micros(F.min("ts")).alias("lo"),
+        F.unix_micros(F.max("ts")).alias("hi"),
+    ).collect()[0]
+    lo, hi = b.lo, b.hi
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+
+    root = tempfile.mkdtemp(prefix="sparkroach_topk_stream_")
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    sink = os.path.join(root, "sink")
+    ck = os.path.join(root, "ck")
+    base = time.time() - 3600
+    cols = [f.name for f in EVENT_SCHEMA.fields]
+
+    def stage(name: str, df: DataFrame, mtime: float) -> None:
+        tmp = os.path.join(root, "stage_" + name)
+        df.select(*cols).coalesce(1).write.format("parquet").save(tmp)
+        part = next(
+            f
+            for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dest = os.path.join(feed, name + ".parquet")
+        os.rename(os.path.join(tmp, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            topk_per_user(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()  # guard: never leak a running query into the session
+
+    try:
+        t_us = F.unix_micros("ts")
+        stage("b0", ev.where(t_us < F.lit(cut1)), base)
+        stage(
+            "b1",
+            ev.where((t_us >= F.lit(cut1)) & (t_us < F.lit(cut2))),
+            base + 10,
+        )
+        run_once()  # micro-batches 0,1 — the query STOPS mid-stream
+
+        stage("b2", ev.where(t_us >= F.lit(cut2)), base + 20)
+        sentinel = ev.select("user_id").distinct().select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.timestamp_micros(
+                F.lit(hi + 30 * 24 * 3600 * 1_000_000)
+            ).alias("ts"),
+            F.col("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        stage("b3", sentinel, base + 30)
+        run_once()  # RESTART on the same checkpoint: partial top-k state
+        # recovered; batches 2,3 finish and the sentinel emits
+
+        out = (
+            spark.read.parquet(sink)
+            .select("user_id", "rank", "value_cents", "event_id")
+            .orderBy("user_id", "rank")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        if prev_parts is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

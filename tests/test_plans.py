@@ -267,6 +267,8 @@ _MATERIALIZED = {
         "test_streaming_events.py::test_update_mode_straddling_hour_is_nonvacuous",
     "events_sessions_streamed":
         "test_streaming_events.py::test_sessions_streamed_equals_batch_twin",
+    "events_topk_per_user_streamed":
+        "test_streaming_events.py::test_topk_streamed_equals_batch_rank_window",
     "events_stream_static_join":
         "test_materialized_pins.py::test_stream_static_join_equals_batch_enrichment",
     "events_dedup_then_rollup_streamed":

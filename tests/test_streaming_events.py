@@ -464,3 +464,39 @@ def test_sessions_streamed_under_rocksdb_state_store(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_topk_streamed_equals_batch_rank_window(spark):
+    """The custom top-k accumulator state (restart mid-stream, sentinel
+    close) must emit exactly the batch rank window's top-3 per user —
+    the order statistic survives checkpoint recovery."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparkroach.queries import QUERIES
+    from sparkroach.tables import load
+    from tests.conftest import SF_SMALL
+
+    streamed = sorted(
+        tuple(r)
+        for r in QUERIES["events_topk_per_user_streamed"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cents").desc(), F.col("event_id")
+    )
+    batch = sorted(
+        tuple(r)
+        for r in load(spark, SF_SMALL, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("user_id", "rank", F.col("cents").alias("value_cents"), "event_id")
+        .collect()
+    )
+    assert streamed == batch and len(streamed) > 0
