@@ -563,3 +563,142 @@ def ann_nsw_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= NSW_TOPK)
         .orderBy("q_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# documents_zip_shard_ingest — ZIP archive lane (central directory + CRC)
+# ---------------------------------------------------------------------------
+
+N_ZIP_SHARDS = 8
+
+
+def _zip_oracle() -> str:
+    from sparkroach.queries.llm_ops10 import _th32_sql
+
+    return f"""
+        WITH w AS (
+            SELECT doc_id, md5(text) AS tm, md5(lang) AS lm,
+                   md5(source) AS sm, strlen(text) AS plen,
+                   doc_id % {N_ZIP_SHARDS} AS fid
+            FROM documents
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(2 * COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(COUNT(DISTINCT fid) AS BIGINT) AS n_shards,
+               CAST(SUM(plen) AS BIGINT) AS sum_payload_bytes,
+               CAST(SUM({_th32_sql('tm')}) AS BIGINT) AS text_hash_sum,
+               CAST(SUM({_th32_sql('lm')}) AS BIGINT) AS lang_hash_sum,
+               CAST(SUM({_th32_sql('sm')}) AS BIGINT) AS source_hash_sum
+        FROM w
+    """
+
+
+@register(
+    "documents_zip_shard_ingest",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # documents_tar_webdataset_ingest (the identical lane shape, in the
+    # R7 window: applyInPandas shard build → binfiles two-phase sink →
+    # binaryFile → strict mapInPandas parse → checksum aggregate); the
+    # ZIP codec's strict-failure behavior is pinned in
+    # tests/test_llm_ops19.py.
+    gated=False,
+    oracle=_zip_oracle(),
+    survey_ref="source formats: ZIP shards — the archive matrix's "
+    "second member next to WebDataset tar: central directory (random-"
+    "access member listing, the object-store-shard property), "
+    "per-member CRC-32 verified on read, per-member compression choice "
+    "(deflated text, stored metadata)",
+    description=f"ZIP round-trip gate: documents sharded into "
+    f"{N_ZIP_SHARDS} real .zip files (applyInPandas builds each shard "
+    "with deterministic member timestamps; the sparkroach_binfiles "
+    "sink lands them two-phase), read back with binaryFile and parsed "
+    "by a STRICT stdlib-zipfile codec (CRC mismatch, unknown "
+    "extension, duplicate member, half-present sample, stem/metadata "
+    "disagreement all raise).  Same checksum aggregate as the tar "
+    "lane — a one-byte boundary or inflation error breaks a hash.  "
+    "File-parallel parse, no shuffle before the final aggregate",
+)
+def documents_zip_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from sparkroach._shiplib import ensure_shipped
+    from sparkroach.queries.llm_ops10 import _th32
+    from sparkroach.sources.binfiles import register_binfiles_sink
+
+    ensure_shipped(spark)
+    register_binfiles_sink(spark)
+    d = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="sparkroach_zip_")
+
+    def to_zip(pdf):
+        import pandas as pd
+
+        from sparkroach.functions.zipshard import build_zip_shard
+
+        pdf = pdf.sort_values("doc_id")
+        fid = int(pdf["file_id"].iloc[0])
+        blob = build_zip_shard(
+            zip(pdf["doc_id"], pdf["lang"], pdf["source"], pdf["text"])
+        )
+        return pd.DataFrame(
+            {"filename": [f"shard-{fid:05d}.zip"], "content": [blob]}
+        )
+
+    def parse(batches):
+        import os as _os
+
+        import pandas as pd
+
+        from sparkroach.functions.zipshard import parse_zip_shard
+
+        for pdf in batches:
+            rows: dict = {
+                "doc_id": [],
+                "lang": [],
+                "source": [],
+                "text": [],
+                "n_members": [],
+                "shard": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                base = _os.path.basename(path)
+                for s in parse_zip_shard(bytes(content)):
+                    for k in rows:
+                        rows[k].append(s[k] if k != "shard" else base)
+            yield pd.DataFrame(rows)
+
+    try:
+        zdir = os.path.join(root, "zips")
+        staged = (
+            d.select("doc_id", "lang", "source", "text")
+            .withColumn("file_id", F.pmod("doc_id", F.lit(N_ZIP_SHARDS)))
+            .groupBy("file_id")
+            .applyInPandas(to_zip, "filename string, content binary")
+        )
+        staged.write.format("sparkroach_binfiles").mode("append").save(zdir)
+        raw = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.zip")
+            .load(zdir)
+        )
+        parsed = raw.select("path", "content").mapInPandas(
+            parse,
+            "doc_id long, lang string, source string, text string, "
+            "n_members int, shard string",
+        )
+        out = parsed.agg(
+            F.count("*").cast("long").alias("n_samples"),
+            F.sum("n_members").cast("long").alias("n_members"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.countDistinct("shard").cast("long").alias("n_shards"),
+            F.sum(F.length("text")).cast("long").alias("sum_payload_bytes"),
+            F.sum(_th32("text")).cast("long").alias("text_hash_sum"),
+            F.sum(_th32("lang")).cast("long").alias("lang_hash_sum"),
+            F.sum(_th32("source")).cast("long").alias("source_hash_sum"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -417,6 +417,14 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "compression + agreement estimator is the increment, "
         "unit-pinned in tests/test_llm_ops19.py.  R9-window candidate",
     ),
+    "documents_zip_shard_ingest": (
+        "documents_tar_webdataset_ingest",
+        "the identical archive lane shape (R7-window gate): "
+        "applyInPandas shard build, binfiles two-phase sink, binaryFile "
+        "re-ingest, strict parse, checksum aggregate; the ZIP codec's "
+        "central-directory/CRC strictness is pinned in "
+        "tests/test_llm_ops19.py.  R9-window candidate",
+    ),
     "events_topk_per_user_streamed": (
         "events_sessions_streamed",
         "the identical applyInPandasWithState lane (staged micro-batch "

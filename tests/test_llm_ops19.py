@@ -267,3 +267,66 @@ def test_nsw_recall_vs_exact_baseline(spark):
         len(nsw[q] & exact[q]) / len(exact[q]) for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.6
+
+
+# ---------------------------------------------------------------------------
+# ZIP shard codec pins
+# ---------------------------------------------------------------------------
+
+
+def test_zip_shard_roundtrip_and_determinism():
+    from sparkroach.functions.zipshard import build_zip_shard, parse_zip_shard
+
+    samples = [(7, "en", "s0", "hello world"), (12, "de", "s1", "x" * 500)]
+    a, b = build_zip_shard(samples), build_zip_shard(samples)
+    assert a == b  # fixed member timestamps → byte-deterministic shards
+    out = parse_zip_shard(a)
+    assert [(s["doc_id"], s["lang"], s["source"], s["text"]) for s in out] == [
+        (7, "en", "s0", "hello world"),
+        (12, "de", "s1", "x" * 500),
+    ]
+    assert all(s["n_members"] == 2 for s in out)
+
+
+def test_zip_shard_strict_failures():
+    import io
+    import zipfile
+
+    from sparkroach.functions.zipshard import build_zip_shard, parse_zip_shard
+
+    blob = build_zip_shard([(3, "en", "s0", "payload text")])
+    with pytest.raises(ValueError, match="not a zip"):
+        parse_zip_shard(b"PK\x00\x00garbage")
+    # flip a payload byte INSIDE the deflated .txt member: the stored
+    # CRC-32 no longer matches and the strict read must raise
+    idx = blob.index(b"payload") if b"payload" in blob else 40
+    bad = bytearray(blob)
+    bad[idx] ^= 0xFF
+    with pytest.raises(ValueError):
+        parse_zip_shard(bytes(bad))
+    # half-present sample
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("5.txt", b"only text, no json")
+    with pytest.raises(ValueError, match="missing members"):
+        parse_zip_shard(buf.getvalue())
+    # unknown extension
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("5.bin", b"nope")
+    with pytest.raises(ValueError, match="unknown member extension"):
+        parse_zip_shard(buf.getvalue())
+
+
+def test_zip_gate_pin(spark):
+    """Dedicated pin for the self-materializing zip gate (writes real
+    files; joins test_plans._MATERIALIZED): the checksum aggregate must
+    equal the tar lane's on the same corpus — both archive formats
+    carry the identical content."""
+    zi = QUERIES["documents_zip_shard_ingest"].fn(spark, SF_SMALL).collect()[0]
+    ta = (
+        QUERIES["documents_tar_webdataset_ingest"]
+        .fn(spark, SF_SMALL)
+        .collect()[0]
+    )
+    assert tuple(zi) == tuple(ta)

@@ -295,6 +295,8 @@ _MATERIALIZED = {
         "test_analytics23.py::test_ddl_roundtrip_content_and_rerun_idempotence",
     "events_zone_map_report":
         "test_analytics28.py::test_zone_map_report_sorted_layout_properties",
+    "documents_zip_shard_ingest":
+        "test_llm_ops19.py::test_zip_gate_pin",
 }
 
 
