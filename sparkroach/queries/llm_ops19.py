@@ -702,3 +702,108 @@ def documents_zip_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# events_value_mad_outliers — robust outlier census (median + MAD)
+# ---------------------------------------------------------------------------
+
+# integer robust-z threshold: |x - med| > 3 * 1.4826 * MAD, carried as
+# the exact integer comparison dev * 10000 > 44478 * mad (3·1.4826 =
+# 4.4478 — a literal both engines compare the same way)
+_MAD_NUM = 44478
+_MAD_DEN = 10000
+
+_MAD_ORACLE = f"""
+    WITH c AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    med AS (
+        SELECT MIN(c) AS m FROM (
+            SELECT c, row_number() OVER (ORDER BY c) AS rn FROM c
+        ) WHERE rn >= (SELECT (n + 1) // 2 FROM n)
+    ),
+    dev AS (SELECT ABS(c.c - (SELECT m FROM med)) AS d FROM c),
+    mad AS (
+        SELECT MIN(d) AS mad FROM (
+            SELECT d, row_number() OVER (ORDER BY d) AS rn FROM dev
+        ) WHERE rn >= (SELECT (n + 1) // 2 FROM n)
+    )
+    SELECT n.n, med.m AS median_cents, mad.mad AS mad_cents,
+           CAST((SELECT COUNT(*) FROM dev
+                 WHERE d * {_MAD_DEN} > {_MAD_NUM} * (SELECT mad FROM mad))
+                AS BIGINT) AS n_outliers,
+           CAST((SELECT COUNT(*) FROM dev
+                 WHERE d * {_MAD_DEN} > {_MAD_NUM} * (SELECT mad FROM mad))
+                AS DOUBLE) / n.n AS outlier_frac
+    FROM n, med, mad
+"""
+
+
+def _bisect_kth(c, target: int, lo: int, hi: int) -> int:
+    """Smallest v in [lo, hi] with count(col <= v) >= target — one
+    count aggregate per probe (the §9 bookkeeping shape), ~log2(range)
+    probes over a cached integer column."""
+    from pyspark.sql import functions as _F
+
+    while lo < hi:
+        mid = (lo + hi) // 2  # python floor-div: exact for negatives too
+        if c.where(_F.col(c.columns[0]) <= mid).count() >= target:
+            hi = mid
+        else:
+            lo = mid + 1
+    return lo
+
+
+@register(
+    "events_value_mad_outliers",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # events_value_median_udaf (the exact-median semantics recorded
+    # through the Python-UDAF lane, r6 gate); the increment — TWO
+    # chained counting bisections (median, then median absolute
+    # deviation) and the integer robust-z rule — is pinned in
+    # tests/test_llm_ops19.py.
+    gated=False,
+    oracle=_MAD_ORACLE,
+    survey_ref="§2C analytic breadth — ROBUST outlier census: median + "
+    "MAD (the estimator that survives the outliers it hunts, unlike "
+    "mean/stddev z-scores), both EXACT order statistics computed by "
+    "counting bisection — no sort, no collect, at any scale",
+    description="lower median of exact integer cents by counting "
+    "bisection, then the MAD as a SECOND bisection over the absolute "
+    "deviations (each probe one count aggregate over a cached long "
+    f"column); outliers = dev·{_MAD_DEN} > {_MAD_NUM}·MAD — the "
+    "3·1.4826 robust-z rule as an exact integer comparison, so both "
+    "engines count the identical set.  outlier_frac is the one IEEE "
+    "division at the end",
+)
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach.queries.analytics import cents
+
+    c = (
+        load(spark, sf_dir, "events")
+        .select(cents("value").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    b = c.agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
+    ).collect()[0]
+    n = b["n"]
+    if n == 0:
+        raise ValueError("events_value_mad_outliers: empty input")
+    target = (n + 1) // 2
+    med = _bisect_kth(c, target, b["lo"], b["hi"])
+    dev = c.select(F.abs(F.col("c") - med).alias("d")).localCheckpoint(
+        eager=True
+    )
+    dhi = dev.agg(F.max("d").alias("m")).collect()[0]["m"]
+    mad = _bisect_kth(dev, target, 0, dhi)
+    n_out = dev.where(F.col("d") * _MAD_DEN > _MAD_NUM * mad).count()
+    return spark.createDataFrame(
+        [(n, med, mad, n_out, float(n_out) / float(n))],
+        "n long, median_cents long, mad_cents long, n_outliers long, "
+        "outlier_frac double",
+    )

@@ -417,6 +417,13 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "compression + agreement estimator is the increment, "
         "unit-pinned in tests/test_llm_ops19.py.  R9-window candidate",
     ),
+    "events_value_mad_outliers": (
+        "events_value_median_udaf",
+        "exact-median semantics recorded through the Python-UDAF lane "
+        "(r6 gate); the increment — chained counting bisections for "
+        "median + MAD and the integer robust-z rule — is pinned in "
+        "tests/test_llm_ops19.py.  R9-window candidate",
+    ),
     "documents_zip_shard_ingest": (
         "documents_tar_webdataset_ingest",
         "the identical archive lane shape (R7-window gate): "

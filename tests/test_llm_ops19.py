@@ -330,3 +330,25 @@ def test_zip_gate_pin(spark):
         .collect()[0]
     )
     assert tuple(zi) == tuple(ta)
+
+
+def test_mad_outliers_matches_sorted_truth(spark):
+    from sparkroach.queries.analytics import cents
+    from sparkroach.queries.llm_ops19 import _MAD_DEN, _MAD_NUM
+    from sparkroach.tables import load
+
+    out = QUERIES["events_value_mad_outliers"].fn(spark, SF_SMALL).collect()[0]
+    vals = sorted(
+        r["c"]
+        for r in load(spark, SF_SMALL, "events")
+        .select(cents("value").alias("c"))
+        .collect()
+    )
+    n = len(vals)
+    med = vals[(n + 1) // 2 - 1]
+    devs = sorted(abs(v - med) for v in vals)
+    mad = devs[(n + 1) // 2 - 1]
+    n_out = sum(1 for d in devs if d * _MAD_DEN > _MAD_NUM * mad)
+    assert (out["n"], out["median_cents"], out["mad_cents"]) == (n, med, mad)
+    assert out["n_outliers"] == n_out
+    assert out["outlier_frac"] == n_out / n
