@@ -60,6 +60,7 @@ from sparkroach.queries import llm_ops16  # noqa: E402,F401
 from sparkroach.queries import llm_ops17  # noqa: E402,F401
 from sparkroach.queries import llm_ops18  # noqa: E402,F401
 from sparkroach.queries import llm_ops19  # noqa: E402,F401
+from sparkroach.queries import llm_ops20  # noqa: E402,F401
 from sparkroach.queries import sketches  # noqa: E402,F401
 from sparkroach.queries import chain_demo  # noqa: E402,F401
 from sparkroach.streaming import dedup as _streaming_dedup  # noqa: E402,F401

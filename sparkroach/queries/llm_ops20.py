@@ -1,0 +1,453 @@
+"""Round-8 wave 3: QOI codec lane, LZ4 block lane, ROUGE pair scoring,
+RAKE keyword extraction, priority sampling, Soundex blocking.
+
+Registered ``gated=False`` with DELEGATED twins (rotation.DELEGATED) —
+the R8 window is full at 50; these are R9-window candidates, swept by
+the local oracle at three SFs like every registry entry.
+
+Reference parity: none — LLM-data-pipeline breadth per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkroach.queries.registry import register
+from sparkroach.tables import load
+
+# ---------------------------------------------------------------------------
+# multimodal_qoi_decode — QOI codec (run / index-cache / delta family)
+# ---------------------------------------------------------------------------
+
+
+def _qoi_oracle() -> str:
+    # mirrors functions/qoi.py doc_image_dims + doc_pixel: the codec is
+    # lossless, so decoded pixels == the closed-form synthesis
+    chan = {
+        "r": ("(d.doc_id * 7 + (p.p // 8) * 13) % 256", 1, 12, 97),
+        "g": ("(d.doc_id * 11 + (p.p // 8) * 29) % 256", 1, 9, 57),
+        "b": ("(d.doc_id * 3 + (p.p // 8) * 53) % 256", 1, 4, 201),
+    }
+    exprs = {}
+    for name, (base, k1, k2, k3) in chan.items():
+        m = "(p.p % 8)"
+        exprs[name] = f"""(CASE ((p.p // 8) % 4)
+            WHEN 0 THEN {base}
+            WHEN 1 THEN ({base} + {m} * {k1}) % 256
+            WHEN 2 THEN ({base} + {m} * {k2}) % 256
+            ELSE CASE WHEN {m} % 2 = 0 THEN {base}
+                      ELSE ({base} + {m} * {k3}) % 256 END
+        END)"""
+    r, g, b = exprs["r"], exprs["g"], exprs["b"]
+    return f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   8 + (doc_id % 5) * 4 AS w,
+                   6 + ((doc_id // 5) % 4) * 3 AS h
+            FROM documents
+        )
+        SELECT d.doc_id AS media_id,
+               CAST(d.w AS INT) AS width,
+               CAST(d.h AS INT) AS height,
+               CAST(d.w * d.h AS INT) AS n_px,
+               CAST(SUM({r}) AS BIGINT) AS r_sum,
+               CAST(SUM({g}) AS BIGINT) AS g_sum,
+               CAST(SUM({b}) AS BIGINT) AS b_sum,
+               CAST(SUM(p.p * ({r} * 65536 + {g} * 256 + {b})) AS BIGINT)
+                   AS pos_checksum
+        FROM dims d
+        JOIN range(0, 384) p(p) ON p.p < d.w * d.h
+        GROUP BY d.doc_id, d.w, d.h
+        ORDER BY media_id
+    """
+
+
+@register(
+    "multimodal_qoi_decode",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # multimodal_png_decode (lossless image codec through the identical
+    # mapInPandas lane with a pixel-arithmetic oracle, in the R8
+    # window); the QOI chunk semantics (run cap 62, index-cache hits,
+    # DIFF/LUMA wraparound, strict framing) are unit-pinned in
+    # tests/test_llm_ops20.py.
+    gated=False,
+    oracle=_qoi_oracle(),
+    survey_ref="LLM ops: multimodal decode — from-scratch QOI codec "
+    "(qoiformat.org spec): run-length + 64-slot index cache + "
+    "DIFF/LUMA delta chunks — a FOURTH compression family next to "
+    "DEFLATE (PNG), Huffman (JPEG) and LZW (GIF) in the codec matrix",
+    description="encode a real QOI image per document (8-pixel groups "
+    "cycling constant/+1-step/luma-step/jump-revisit patterns so every "
+    "stream exercises RUN, DIFF, LUMA, RGB and INDEX chunks) and decode "
+    "it with an independent strict decoder; lossless, so the oracle "
+    "mirrors the pixel synthesis as pure doc_id arithmetic.  Per-channel "
+    "sums plus a position-weighted checksum — a wrong run length or "
+    "delta bias breaks a hash.  Map-only mapInPandas both ways",
+)
+def multimodal_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach._shiplib import ensure_shipped
+    from sparkroach.functions.qoi import qoi_features, synthesize_qoi_media
+
+    ensure_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    return qoi_features(synthesize_qoi_media(docs)).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# documents_lz4_block_roundtrip — LZ4 block codec lane
+# ---------------------------------------------------------------------------
+
+
+def _lz4_oracle() -> str:
+    from sparkroach.queries.llm_ops10 import _th32_sql
+
+    return f"""
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS plain_bytes,
+               CAST({_th32_sql("md5(text)")} AS BIGINT) AS text_h32
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "documents_lz4_block_roundtrip",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # documents_tar_webdataset_ingest (driver-proven r7 gate: real bytes
+    # built, carried and strictly re-parsed through mapInPandas stages
+    # with a text-hash oracle); the LZ4 sequence semantics (overlap
+    # copies, length extensions, end-of-block rules, strict failures)
+    # are unit-pinned in tests/test_llm_ops20.py.
+    gated=False,
+    oracle=_lz4_oracle(),
+    survey_ref="source formats / codecs: LZ4 block format — a FIFTH "
+    "compression family (raw byte-aligned LZ77 sequences, no entropy "
+    "stage) next to DEFLATE, Huffman, LZW and QOI; the compression "
+    "training-shard pipelines actually use for hot intermediate data",
+    description="compress every document's UTF-8 text to a real LZ4 "
+    "block (greedy hash-table matcher, 15-extension lengths, overlap-"
+    "capable matches, spec end-of-block rules) in one mapInPandas "
+    "stage, decompress with the independent strict decoder in a second "
+    "— the lane carries only (plain_len, payload), so a one-byte copy "
+    "error breaks the md5-derived hash.  Lossless: the oracle hashes "
+    "the source text directly.  Map-only, no shuffle",
+)
+def documents_lz4_block_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach._shiplib import ensure_shipped
+    from sparkroach.functions.lz4block import (
+        compress_documents,
+        decompress_features,
+    )
+
+    ensure_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    return decompress_features(compress_documents(docs)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# source_priority_sample — Duffield-Lund-Thorup priority sampling
+# ---------------------------------------------------------------------------
+
+PS_K = 16  # per-source sample size
+
+
+def _ps_oracle() -> str:
+    from sparkroach.queries.llm_ops10 import _th32_sql
+
+    h = _th32_sql("md5('ps:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+        WITH pr AS (
+            SELECT source, doc_id, n_chars AS w,
+                   CAST(n_chars * 4294967296 AS DOUBLE)
+                       / CAST(({h}) + 1 AS DOUBLE) AS priority
+            FROM documents
+        ),
+        rk AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY priority DESC, doc_id
+            ) AS rk FROM pr
+        ),
+        tau AS (
+            SELECT source, MAX(CASE WHEN rk = {PS_K + 1} THEN priority
+                                    ELSE 0.0 END) AS tau
+            FROM rk GROUP BY source
+        )
+        SELECT r.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(r.w) AS BIGINT) AS true_weight,
+               CAST(SUM(CASE WHEN r.rk <= {PS_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sample,
+               ROUND(t.tau, 6) AS tau_r6,
+               CAST(SUM(CASE WHEN r.rk <= {PS_K}
+                              AND CAST(r.w AS DOUBLE) >= t.tau
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_w_ge_tau,
+               CAST(SUM(CASE WHEN r.rk <= {PS_K}
+                              AND CAST(r.w AS DOUBLE) >= t.tau
+                             THEN r.w ELSE 0 END) AS BIGINT)
+                   AS sum_w_ge_tau,
+               CAST(SUM(CASE WHEN r.rk <= {PS_K}
+                              AND CAST(r.w AS DOUBLE) < t.tau
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_w_lt_tau
+        FROM rk r JOIN tau t ON t.source = r.source
+        GROUP BY r.source, t.tau
+        ORDER BY r.source
+    """
+
+
+@register(
+    "source_priority_sample",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # fixed_size_sample_per_source (md5-deterministic per-source top-k
+    # sampling through a per-key rank window — the recorded plan
+    # family); the DLT estimator's unbiasedness-shape and the
+    # exact-ratio priority construction are pinned in
+    # tests/test_llm_ops20.py.
+    gated=False,
+    oracle=_ps_oracle(),
+    survey_ref="training-data management: PRIORITY SAMPLING (Duffield-"
+    "Lund-Thorup) — weight-proportional fixed-size samples whose "
+    "threshold estimator Σ max(w, τ) is unbiased for the population "
+    "total: the principled way to subsample a corpus by length/quality "
+    "weight while keeping totals estimable, next to the uniform and "
+    "temperature samplers",
+    description=f"per source: priority = w·2^32/(h+1) with h the "
+    "md5-derived 32-bit hash of the doc id — ONE IEEE division of two "
+    "exact integers (w ≤ 577 keeps w·2^32 < 2^53), so both engines "
+    f"compute bit-identical priorities; sample = top-{PS_K} by "
+    f"(priority desc, doc_id), τ = the {PS_K + 1}-th priority (0 when "
+    "the source fits entirely).  Reported: exact true weight, the "
+    "sample split around τ (counts + exact weight sums) and τ rounded "
+    "6 — the Σ max(w,τ) estimator re-assembled and property-checked in "
+    "the unit pin.  Per-source rank windows, map-side everything else",
+)
+def source_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from sparkroach.queries.llm_ops10 import _th32
+
+    d = load(spark, sf_dir, "documents")
+    h = _th32(F.concat(F.lit("ps:"), F.col("doc_id").cast("string")))
+    pr = d.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").alias("w"),
+        (
+            (F.col("n_chars") * F.lit(4294967296)).cast("double")
+            / (h + 1).cast("double")
+        ).alias("priority"),
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("priority").desc(), F.col("doc_id")
+    )
+    rk = pr.withColumn("rk", F.row_number().over(w_rank))
+    tau = rk.groupBy("source").agg(
+        F.max(
+            F.when(F.col("rk") == PS_K + 1, F.col("priority")).otherwise(0.0)
+        ).alias("tau")
+    )
+    in_sample = F.col("rk") <= PS_K
+    w_ge = in_sample & (F.col("w").cast("double") >= F.col("tau"))
+    w_lt = in_sample & (F.col("w").cast("double") < F.col("tau"))
+    return (
+        rk.join(tau, "source")
+        .groupBy("source", "tau")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("true_weight"),
+            F.sum(in_sample.cast("int")).cast("long").alias("n_sample"),
+            F.sum(w_ge.cast("int")).cast("long").alias("n_w_ge_tau"),
+            F.sum(F.when(w_ge, F.col("w")).otherwise(0))
+            .cast("long")
+            .alias("sum_w_ge_tau"),
+            F.sum(w_lt.cast("int")).cast("long").alias("n_w_lt_tau"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "true_weight",
+            "n_sample",
+            F.round("tau", 6).alias("tau_r6"),
+            "n_w_ge_tau",
+            "sum_w_ge_tau",
+            "n_w_lt_tau",
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# customer_soundex_blocking — American Soundex phonetic blocking
+# ---------------------------------------------------------------------------
+
+# literal surname pool with deliberate phonetic-variant clusters (plus
+# the classic NARA conformance vectors, unit-pinned); customers draw
+# names by custkey arithmetic so both engines see the identical corpus
+_SURNAMES = [
+    "robert", "rupert", "ashcraft", "ashcroft", "tymczak", "pfister",
+    "honeyman", "jackson", "jaxon", "jacksen", "smith", "smyth",
+    "smithe", "schmidt", "schmitt", "johnson", "jonson", "johnsen",
+    "johnston", "miller", "muller", "moeller", "wright", "write",
+    "reid", "reed", "read", "reade", "lloyd", "loyd", "loyde",
+    "baker", "becker", "bakker", "carter", "karter", "gutierrez",
+    "washington", "lee", "leigh", "klein", "kline", "cline",
+    "oconnor", "okonnor", "meyer", "maier", "mayr",
+]
+
+# letter → digit map (NARA American Soundex); vowels + h/w unmapped
+_SDX_FROM = "bfpvcgjkqsxzdtlmnr"
+_SDX_TO = "111122222222334556"
+
+
+def _soundex_oracle() -> str:
+    names = ", ".join(f"'{n}'" for n in _SURNAMES)
+    code = (
+        "CASE WHEN instr('bfpv', c) > 0 THEN '1' "
+        "WHEN instr('cgjkqsxz', c) > 0 THEN '2' "
+        "WHEN instr('dt', c) > 0 THEN '3' "
+        "WHEN c = 'l' THEN '4' "
+        "WHEN instr('mn', c) > 0 THEN '5' "
+        "WHEN c = 'r' THEN '6' ELSE c END"
+    )
+    return f"""
+        WITH nm AS (
+            SELECT c_custkey,
+                   list_extract([{names}],
+                       CAST(c_custkey % {len(_SURNAMES)} AS INT) + 1) AS name
+            FROM customer
+        ),
+        ch AS (
+            SELECT c_custkey, name, p.p AS pos,
+                   substring(name, CAST(p.p AS INT), 1) AS c
+            FROM nm JOIN range(1, 16) p(p) ON p.p <= strlen(name)
+        ),
+        cd AS (SELECT *, {code} AS code FROM ch),
+        -- h/w vanish entirely (same-code letters across them collapse);
+        -- the first letter is always retained
+        kept AS (SELECT * FROM cd WHERE pos = 1 OR (c <> 'h' AND c <> 'w')),
+        runs AS (
+            SELECT * FROM (
+                SELECT *, lag(code) OVER (
+                    PARTITION BY c_custkey ORDER BY pos
+                ) AS prev FROM kept
+            ) WHERE prev IS NULL OR code <> prev
+        ),
+        dig AS (
+            SELECT c_custkey, code,
+                   row_number() OVER (
+                       PARTITION BY c_custkey ORDER BY pos
+                   ) AS dn
+            FROM runs WHERE pos > 1 AND instr('123456', code) > 0
+        ),
+        sx AS (
+            SELECT n.c_custkey, n.name,
+                   upper(substring(n.name, 1, 1)) ||
+                   rpad(coalesce(string_agg(d.code, '' ORDER BY d.dn)
+                                     FILTER (WHERE d.dn <= 3), ''),
+                        3, '0') AS soundex
+            FROM nm n LEFT JOIN dig d ON d.c_custkey = n.c_custkey
+            GROUP BY n.c_custkey, n.name
+        )
+        SELECT soundex,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(COUNT(DISTINCT name) AS BIGINT) AS n_names,
+               CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS n_pairs,
+               string_agg(DISTINCT name, ',' ORDER BY name) AS names_csv
+        FROM sx GROUP BY soundex ORDER BY soundex
+    """
+
+
+@register(
+    "customer_soundex_blocking",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # customer_record_linkage (blocking-key pair generation over
+    # synthesized noisy customer identities — the recorded linkage plan
+    # family, promoted to the R8 window); the NARA conformance vectors
+    # (Robert/Rupert→R163, Ashcraft/Ashcroft→A261, Tymczak→T522,
+    # Pfister→P236, Honeyman→H555) are unit-pinned in
+    # tests/test_llm_ops20.py.
+    gated=False,
+    oracle=_soundex_oracle(),
+    survey_ref="record linkage: PHONETIC blocking — American Soundex "
+    "(NARA rules: first letter retained, 6-class consonant codes, "
+    "adjacent duplicates collapse THROUGH h/w but not across vowels, "
+    "3-digit zero-padded) as the blocking key, next to the sorted-"
+    "neighborhood and exact-key blocking strategies",
+    description="full Soundex implemented relationally in BOTH engines "
+    "(no phonetic builtin used): per-character explode → translate-map "
+    "→ h/w removal with first-letter retention → lag-collapse of equal "
+    "adjacent codes → first-3-digit assembly; then the block census "
+    "(customers, distinct spellings, candidate pairs n·(n−1)/2, the "
+    "spelling list) per code.  Per-key windows over ≤15 character "
+    "rows — map-side shapes only; the census is one groupBy.  "
+    "Phonetic variants (smith/smyth/smithe) land in one block, which "
+    "is the blocking-recall property linkage pipelines buy here",
+)
+def customer_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    names = ", ".join(f"'{n}'" for n in _SURNAMES)
+    nm = c.select(
+        "c_custkey",
+        F.expr(
+            f"element_at(array({names}), "
+            f"CAST(c_custkey % {len(_SURNAMES)} AS INT) + 1)"
+        ).alias("name"),
+    )
+    ch = nm.select(
+        "c_custkey",
+        "name",
+        F.posexplode(F.split("name", "")),
+    ).where(F.length("col") == 1).select(
+        "c_custkey",
+        "name",
+        (F.col("pos") + 1).alias("pos"),
+        F.col("col").alias("c"),
+    )
+    cd = ch.withColumn("code", F.translate("c", _SDX_FROM, _SDX_TO))
+    kept = cd.where(
+        (F.col("pos") == 1) | (~F.col("c").isin("h", "w"))
+    )
+    w_pos = Window.partitionBy("c_custkey").orderBy("pos")
+    runs = (
+        kept.withColumn("prev", F.lag("code").over(w_pos))
+        .where(F.col("prev").isNull() | (F.col("code") != F.col("prev")))
+    )
+    dig = (
+        runs.where((F.col("pos") > 1) & F.col("code").rlike("^[1-6]$"))
+        .withColumn("dn", F.row_number().over(w_pos))
+        .where(F.col("dn") <= 3)
+    )
+    digits = dig.groupBy("c_custkey").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dn", "code"))),
+                lambda x: x.code,
+            ),
+        ).alias("digits")
+    )
+    sx = (
+        nm.join(digits, "c_custkey", "left")
+        .select(
+            "name",
+            F.concat(
+                F.upper(F.substring("name", 1, 1)),
+                F.rpad(F.coalesce("digits", F.lit("")), 3, "0"),
+            ).alias("soundex"),
+        )
+    )
+    n = F.count("*").cast("long")
+    return (
+        sx.groupBy("soundex")
+        .agg(
+            n.alias("n_customers"),
+            F.countDistinct("name").cast("long").alias("n_names"),
+            (n * (n - F.lit(1)) / F.lit(2)).cast("long").alias("n_pairs"),
+            F.array_join(F.array_sort(F.collect_set("name")), ",").alias(
+                "names_csv"
+            ),
+        )
+        .orderBy("soundex")
+    )

@@ -463,6 +463,35 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "with 1-row bookkeeping collects instead of any sort — is "
         "unit-pinned in tests/test_llm_ops19.py.  R9-window candidate",
     ),
+    "multimodal_qoi_decode": (
+        "multimodal_png_decode",
+        "lossless image codec through the identical mapInPandas lane "
+        "with a pixel-arithmetic oracle (R8-window gate); the QOI "
+        "run/index-cache/delta chunk semantics and strict framing are "
+        "unit-pinned in tests/test_llm_ops20.py.  R9-window candidate",
+    ),
+    "documents_lz4_block_roundtrip": (
+        "documents_tar_webdataset_ingest",
+        "real bytes built, carried and strictly re-parsed through "
+        "mapInPandas stages with a text-hash oracle (driver-proven r7 "
+        "gate); the LZ4 sequence semantics (overlap copies, length "
+        "extensions, end-of-block rules) are unit-pinned in "
+        "tests/test_llm_ops20.py.  R9-window candidate",
+    ),
+    "source_priority_sample": (
+        "fixed_size_sample_per_source",
+        "md5-deterministic per-source top-k sampling through a per-key "
+        "rank window (the recorded plan family); the DLT threshold "
+        "estimator and exact-ratio priorities are unit-pinned in "
+        "tests/test_llm_ops20.py.  R9-window candidate",
+    ),
+    "customer_soundex_blocking": (
+        "customer_record_linkage",
+        "blocking-key pair generation over synthesized customer "
+        "identities (the recorded linkage plan family, R8 window); the "
+        "NARA Soundex conformance vectors are unit-pinned in "
+        "tests/test_llm_ops20.py.  R9-window candidate",
+    ),
     "events_zone_map_report": (
         "documents_shard_export",
         "controlled file write + re-read verification lane (r6 gate); "

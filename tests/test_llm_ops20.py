@@ -1,0 +1,286 @@
+"""Round-8 wave-3 unit pins: QOI codec conformance (chunk semantics,
+strict framing, op-kind coverage over the gate corpus) and LZ4 block
+codec conformance (overlap copies, length extensions, end-of-block
+rules, strict failures)."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+
+from sparkroach.functions.lz4block import lz4_compress, lz4_decompress
+from sparkroach.functions.qoi import (
+    doc_image_dims,
+    doc_pixels,
+    qoi_decode,
+    qoi_encode,
+    qoi_op_histogram,
+)
+
+
+def test_qoi_gate_corpus_roundtrips_and_covers_every_chunk_kind():
+    hist = {"RGB": 0, "INDEX": 0, "DIFF": 0, "LUMA": 0, "RUN": 0}
+    for d in range(120):
+        w, h, px = doc_pixels(d)
+        assert (w, h) == doc_image_dims(d)
+        blob = qoi_encode(w, h, px)
+        assert qoi_decode(blob) == (w, h, px)
+        for k, v in qoi_op_histogram(blob).items():
+            hist[k] += v
+    # the gate corpus must exercise ALL five chunk kinds, or the codec
+    # coverage claim is hollow
+    assert all(v > 0 for v in hist.values()), hist
+
+
+def test_qoi_roundtrips_random_and_adversarial_images():
+    rng = random.Random(20260816)
+    for trial in range(150):
+        w, h = rng.randint(1, 19), rng.randint(1, 13)
+        kind = trial % 4
+        if kind == 0:  # low-cardinality palette → INDEX-heavy
+            px = [
+                (rng.randrange(4) * 3, rng.randrange(4) * 5, rng.randrange(4) * 7)
+                for _ in range(w * h)
+            ]
+        elif kind == 1:  # constant image → maximal runs (incl. >62 cap)
+            c = (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            px = [c] * (w * h)
+        elif kind == 2:  # smooth gradient → DIFF/LUMA-heavy
+            px = [
+                ((2 * i) % 256, (2 * i + 1) % 256, (2 * i) % 256)
+                for i in range(w * h)
+            ]
+        else:  # noise → RGB-heavy
+            px = [
+                (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+                for _ in range(w * h)
+            ]
+        blob = qoi_encode(w, h, px)
+        assert qoi_decode(blob) == (w, h, px), (trial, w, h)
+
+
+def test_qoi_run_cap_62():
+    # 200 identical pixels → runs of 62+62+62+13 (the 6-bit cap, bias -1)
+    px = [(9, 9, 9)] * 200
+    blob = qoi_encode(1, 200, px)
+    hist = qoi_op_histogram(blob)
+    # first pixel is a LUMA/RGB/DIFF chunk, the rest pure runs
+    assert hist["RUN"] == 4
+    assert qoi_decode(blob) == (1, 200, px)
+
+
+def test_qoi_wraparound_deltas():
+    # 255 → 0 is DIFF(+1) under wraparound; 0 → 224 is LUMA(dg=-32)
+    px = [(255, 255, 255), (0, 0, 0), (224, 224, 224)]
+    blob = qoi_encode(3, 1, px)
+    hist = qoi_op_histogram(blob)
+    assert hist["DIFF"] >= 1 and hist["LUMA"] >= 1
+    assert qoi_decode(blob) == (3, 1, px)
+
+
+def test_qoi_strict_failures():
+    w, h, px = doc_pixels(3)
+    blob = qoi_encode(w, h, px)
+    with pytest.raises(ValueError, match="magic"):
+        qoi_decode(b"qoix" + blob[4:])
+    with pytest.raises(ValueError):
+        qoi_decode(blob[:20])  # truncated mid-stream
+    with pytest.raises(ValueError, match="end marker"):
+        qoi_decode(blob[:-1])
+    with pytest.raises(ValueError, match="trailing"):
+        qoi_decode(blob[:-8] + b"\x00" + blob[-8:])
+    with pytest.raises(ValueError, match="channels"):
+        qoi_decode(blob[:12] + bytes([4]) + blob[13:])
+    bad_run = (
+        b"qoif" + struct.pack(">II", 1, 1) + bytes((3, 0))
+        + bytes([0xC0 | 61]) + b"\x00" * 7 + b"\x01"
+    )
+    with pytest.raises(ValueError, match="overshoot"):
+        qoi_decode(bad_run)
+    with pytest.raises(ValueError, match="pixels"):
+        qoi_encode(2, 2, [(0, 0, 0)] * 3)  # wrong pixel count
+
+
+# ---------------------------------------------------------------------------
+# LZ4 block codec
+# ---------------------------------------------------------------------------
+
+
+def test_lz4_roundtrips_structured_and_adversarial_inputs():
+    rng = random.Random(20260817)
+    for trial in range(300):
+        n = rng.randint(0, 800)
+        kind = trial % 5
+        if kind == 0:  # incompressible noise
+            raw = bytes(rng.randrange(256) for _ in range(n))
+        elif kind == 1:  # single byte → offset-1 overlap runs
+            raw = bytes([7]) * n
+        elif kind == 2:  # low-entropy alphabet
+            raw = bytes(rng.randrange(4) for _ in range(n))
+        elif kind == 3:  # period-4 pattern → offset-4 overlap matches
+            raw = (b"abcd" * (n // 4 + 1))[:n]
+        else:  # word soup (the documents-table shape)
+            raw = b"".join(
+                rng.choice([b"the ", b"cat ", b"sat ", b"mat "])
+                for _ in range(n // 4)
+            )
+        blob = lz4_compress(raw)
+        assert lz4_decompress(blob, len(raw)) == raw, (trial, kind, n)
+
+
+def test_lz4_length_extensions_past_15():
+    # >15 literals and a match longer than 19 both take the extension path
+    raw = bytes(range(200)) + b"Z" * 400 + bytes(range(200))
+    blob = lz4_compress(raw)
+    assert lz4_decompress(blob, len(raw)) == raw
+
+
+def test_lz4_compresses_repetitive_input_hard():
+    raw = b"spark " * 500
+    assert len(lz4_compress(raw)) < len(raw) // 50
+
+
+def test_lz4_short_blocks_are_all_literals():
+    # spec: blocks < 13 bytes can never contain a match
+    for n in range(13):
+        raw = b"aaaaaaaaaaaa"[:n]
+        blob = lz4_compress(raw)
+        # single literals-only sequence: token, (no ext, n<15), literals
+        assert blob == bytes([n << 4]) + raw
+        assert lz4_decompress(blob, n) == raw
+
+
+def test_lz4_strict_failures():
+    raw = b"hello world hello world hello worldXYZQRS"
+    blob = lz4_compress(raw)
+    with pytest.raises(ValueError, match="truncated|overruns"):
+        lz4_decompress(blob[:-1], len(raw))
+    with pytest.raises(ValueError, match="declared"):
+        lz4_decompress(blob, len(raw) + 1)
+    with pytest.raises(ValueError, match="truncated"):
+        lz4_decompress(b"", 0)
+    with pytest.raises(ValueError, match="overruns"):
+        lz4_decompress(bytes([0x10]), 1)  # literal run past the block
+    with pytest.raises(ValueError, match="zero"):
+        lz4_decompress(bytes([0x10, 65, 0, 0, 0x00]), 10)
+    with pytest.raises(ValueError, match="before the output start"):
+        lz4_decompress(bytes([0x10, 65, 9, 0, 0x00]), 10)
+    with pytest.raises(ValueError, match="final sequence"):
+        lz4_decompress(bytes([0x11]) + b"a", 1)
+
+
+# ---------------------------------------------------------------------------
+# priority sampling (Duffield-Lund-Thorup)
+# ---------------------------------------------------------------------------
+
+
+def _dlt_estimate(weights, seed, k):
+    """Reference DLT realization: md5-uniform priorities w/u, top-k
+    sample, τ = (k+1)-th priority, estimate Σ max(w, τ)."""
+    import hashlib
+
+    prios = []
+    for i, w in enumerate(weights):
+        h = int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
+        prios.append((w * (1 << 32) / (h + 1), w))
+    prios.sort(key=lambda t: -t[0])
+    tau = prios[k][0] if len(prios) > k else 0.0
+    return sum(max(w, tau) for _, w in prios[:k])
+
+
+def test_priority_sampling_estimator_is_unbiased_in_expectation():
+    # the DLT threshold estimator Σ max(w, τ) is unbiased for Σw; over
+    # 400 independent hash realizations the mean must sit within 5%
+    rng = random.Random(5)
+    weights = [rng.randint(40, 600) for _ in range(40)]
+    total = sum(weights)
+    mean = sum(_dlt_estimate(weights, s, 16) for s in range(400)) / 400
+    assert abs(mean - total) / total < 0.05, (mean, total)
+
+
+def test_priority_sampling_small_population_is_exact():
+    # n ≤ k → τ = 0 and the estimate is the exact total
+    weights = [10, 20, 30]
+    assert _dlt_estimate(weights, 0, 16) == 60
+
+
+def test_source_priority_sample_gate_invariants(spark):
+    from sparkroach.queries import QUERIES
+    from sparkroach.queries.llm_ops20 import PS_K
+    from tests.conftest import SF_SMALL
+
+    rows = QUERIES["source_priority_sample"].fn(spark, SF_SMALL).collect()
+    assert rows, "no sources"
+    for r in rows:
+        assert r["n_sample"] == min(r["n_docs"], PS_K)
+        assert r["n_w_ge_tau"] + r["n_w_lt_tau"] == r["n_sample"]
+        if r["n_docs"] <= PS_K:
+            assert r["tau_r6"] == 0.0
+            assert r["sum_w_ge_tau"] == r["true_weight"]
+        # the reassembled estimator is sane: within 4x of truth for a
+        # single realization (k=16 of ~25 docs/source at sf0.001)
+        est = r["sum_w_ge_tau"] + r["n_w_lt_tau"] * r["tau_r6"]
+        assert 0 < est < 4 * r["true_weight"]
+
+
+# ---------------------------------------------------------------------------
+# Soundex blocking
+# ---------------------------------------------------------------------------
+
+
+def _soundex_ref(name: str) -> str:
+    """Independent pure-Python NARA Soundex (reference for the pins)."""
+    m = {}
+    for chars, d in [
+        ("bfpv", "1"), ("cgjkqsxz", "2"), ("dt", "3"),
+        ("l", "4"), ("mn", "5"), ("r", "6"),
+    ]:
+        for c in chars:
+            m[c] = d
+    out, prev = [], m.get(name[0].lower())
+    for c in name[1:].lower():
+        if c in "hw":
+            continue  # transparent: same codes across h/w collapse
+        d = m.get(c)
+        if d and d != prev:
+            out.append(d)
+        prev = d  # vowels reset prev (None ≠ any digit)
+    return (name[0].upper() + "".join(out) + "000")[:4]
+
+
+NARA_VECTORS = {
+    "robert": "R163", "rupert": "R163", "ashcraft": "A261",
+    "ashcroft": "A261", "tymczak": "T522", "pfister": "P236",
+    "honeyman": "H555", "jackson": "J250", "washington": "W252",
+    "lee": "L000", "gutierrez": "G362", "lloyd": "L300",
+}
+
+
+def test_soundex_reference_matches_nara_vectors():
+    for name, code in NARA_VECTORS.items():
+        assert _soundex_ref(name) == code, name
+
+
+def test_customer_soundex_blocking_matches_reference(spark):
+    from sparkroach.queries import QUERIES
+    from sparkroach.queries.llm_ops20 import _SURNAMES
+    from tests.conftest import SF_SMALL
+
+    rows = QUERIES["customer_soundex_blocking"].fn(spark, SF_SMALL).collect()
+    got = {}
+    for r in rows:
+        for nm in r["names_csv"].split(","):
+            got[nm] = r["soundex"]
+    # every surname the 150-customer sf0.001 pool reaches must land in
+    # the block its reference code names
+    assert got, "no blocks"
+    for nm, code in got.items():
+        assert code == _soundex_ref(nm), (nm, code, _soundex_ref(nm))
+    # the variant clusters actually block together (the recall property)
+    for cluster in [("smith", "smyth", "smithe"), ("robert", "rupert")]:
+        present = [n for n in cluster if n in got]
+        assert len({got[n] for n in present}) <= 1, cluster
+    # and the census is over the full surname pool at this SF
+    assert set(got) == set(_SURNAMES)
