@@ -41,6 +41,7 @@ from sparkroach.queries import analytics25  # noqa: E402,F401
 from sparkroach.queries import analytics26  # noqa: E402,F401
 from sparkroach.queries import analytics27  # noqa: E402,F401
 from sparkroach.queries import analytics28  # noqa: E402,F401
+from sparkroach.queries import analytics29  # noqa: E402,F401
 from sparkroach.queries import llm_ops  # noqa: E402,F401
 from sparkroach.queries import llm_ops2  # noqa: E402,F401
 from sparkroach.queries import llm_ops3  # noqa: E402,F401

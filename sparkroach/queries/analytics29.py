@@ -1,0 +1,333 @@
+"""Round-8 wave 4: time-series diagnostics — autocorrelation function
+and the Theil–Sen robust trend estimator.
+
+Registered ``gated=False`` with DELEGATED twins (rotation.DELEGATED) —
+the R8 window is full at 50; these are R9-window candidates, swept by
+the local oracle at three SFs like every registry entry.
+
+Float discipline (the lineitem_corr_matrix construction, hardened):
+every statistic is an EXACT integer (Spark DECIMAL(38,0) sums mirrored
+in driver-side python ints / DuckDB HUGEINT).  DuckDB's HUGEINT→DOUBLE
+cast is NOT correctly rounded for all negative int128 values (observed
+1-ulp: it splits upper·2^64 + lower with two roundings), so quotients
+of huge exact integers are taken as scaled integer FLOOR divisions —
+(num·10^10) // den — with DuckDB's toward-zero truncation (verified:
+-7 // 2 = -3) mirrored explicitly, followed by one exact-operand
+double division.
+
+Reference parity: none — §2C analytic breadth per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkroach.queries.registry import register
+from sparkroach.tables import load
+
+# ---------------------------------------------------------------------------
+# events_minute_acf — exact autocorrelation over the minute grid
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 8
+
+_ACF_ORACLE = f"""
+    WITH m AS (
+        SELECT epoch_us(ts::TIMESTAMP) // 60000000 AS t,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS x
+        FROM events GROUP BY 1
+    ),
+    b AS (SELECT MIN(t) AS t0, MAX(t) AS t1, MAX(t) - MIN(t) + 1 AS n FROM m),
+    s AS (
+        SELECT CAST(SUM(x) AS HUGEINT) AS s,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss
+        FROM m
+    ),
+    c AS (
+        SELECT k.k,
+               CAST(SUM(CAST(a.x AS HUGEINT) * b2.x) AS HUGEINT) AS c,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM m a
+        JOIN range(1, {ACF_MAX_LAG + 1}) k(k) ON TRUE
+        JOIN m b2 ON b2.t = a.t + k.k
+        GROUP BY k.k
+    ),
+    ht AS (
+        SELECT k.k,
+               CAST(SUM(CASE WHEN a.t <= (SELECT t1 FROM b) - k.k
+                             THEN a.x ELSE 0 END) AS HUGEINT) AS h,
+               CAST(SUM(CASE WHEN a.t >= (SELECT t0 FROM b) + k.k
+                             THEN a.x ELSE 0 END) AS HUGEINT) AS tl
+        FROM m a JOIN range(1, {ACF_MAX_LAG + 1}) k(k) ON TRUE
+        GROUP BY k.k
+    )
+    SELECT c.k AS lag,
+           (SELECT CAST(n AS BIGINT) FROM b) AS n_grid,
+           c.n_pairs,
+           -- exact scaled floor quotient (both engines floor), then an
+           -- exact-operand double division: DuckDB's HUGEINT→DOUBLE
+           -- cast is 1-ulp-unsafe for some negative values, so the
+           -- huge integers never meet a double directly
+           CAST(CAST(((CAST((SELECT n FROM b) AS HUGEINT)
+                           * (SELECT n FROM b) * c.c
+                       - CAST((SELECT n FROM b) AS HUGEINT)
+                           * (SELECT s FROM s) * (ht.h + ht.tl)
+                       + (CAST((SELECT n FROM b) AS HUGEINT) - c.k)
+                           * (SELECT s FROM s) * (SELECT s FROM s))
+                      * CAST(10000000000 AS HUGEINT))
+                     // (CAST((SELECT n FROM b) AS HUGEINT)
+                             * (SELECT n FROM b) * (SELECT ss FROM s)
+                         - CAST((SELECT n FROM b) AS HUGEINT)
+                             * (SELECT s FROM s) * (SELECT s FROM s))
+                AS BIGINT) AS DOUBLE) / 10000000000.0 AS acf
+    FROM c JOIN ht ON ht.k = c.k
+    ORDER BY lag
+"""
+
+
+@register(
+    "events_minute_acf",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # orders_monthly_seasonality (time-series lag-structure diagnostics
+    # over an exact integer-cents rollup — the recorded r7 plan
+    # family); the zero-filled-grid algebra is pinned against a
+    # literal-series numpy reference in tests/test_analytics29.py.
+    gated=False,
+    oracle=_ACF_ORACLE,
+    survey_ref="§2C analytic breadth / time series — the "
+    "autocorrelation function: ACF at lags 1..8 over the per-minute "
+    "value series (zero-filled grid), the diagnostic that decides "
+    "seasonality periods and drift-detector window sizes",
+    description=f"r_k for k=1..{ACF_MAX_LAG} over per-minute cents "
+    "sums on the [min,max] minute grid (absent minutes are exact "
+    "zeros, so only present-present pairs enter Σx_t·x_t+k — an "
+    "id-keyed equi-join on minute+lag, never a range join).  All "
+    "sufficient statistics are exact integers: the grid algebra "
+    "n²·C_k − n·S·(H_k+T_k) + (n−k)·S² over DECIMAL(38,0)/HUGEINT, "
+    "the quotient taken as a scaled integer division with DuckDB's "
+    "toward-zero truncation mirrored explicitly (DuckDB's "
+    "HUGEINT→DOUBLE cast is 1-ulp-unsafe for some negative values, so "
+    "huge ints never meet a double) and ONE exact-operand double "
+    "division at the end.  "
+    "The heavy work (rollup, 8-lag explode join, 18 conditional sums) "
+    "is distributed; only ≤9 aggregate rows reach the driver — the §9 "
+    "bookkeeping shape.  At 100 TB the minute grid is time-bounded: "
+    "a year is 526k rows regardless of corpus size",
+)
+def events_minute_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach.queries.analytics import cents
+
+    m = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            (F.unix_micros("ts") / F.lit(60_000_000))
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.sum(cents("value")).alias("x"))
+        .localCheckpoint(eager=True)  # reused: bounds, stats, both join sides
+    )
+    b = m.agg(
+        F.min("t").alias("t0"), F.max("t").alias("t1")
+    ).collect()[0]
+    t0, t1 = b["t0"], b["t1"]
+    if t0 is None:
+        raise ValueError("events_minute_acf: empty input")
+    n = t1 - t0 + 1
+    if n <= ACF_MAX_LAG:
+        raise ValueError(f"events_minute_acf: grid of {n} too short")
+    aggs = [
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("x").cast("decimal(18,0)") * F.col("x").cast("decimal(18,0)")
+        ).alias("ss"),
+    ]
+    for k in range(1, ACF_MAX_LAG + 1):
+        aggs.append(
+            F.sum(
+                F.when(F.col("t") <= t1 - k, F.col("x")).otherwise(0).cast(
+                    "decimal(38,0)"
+                )
+            ).alias(f"h{k}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("t") >= t0 + k, F.col("x")).otherwise(0).cast(
+                    "decimal(38,0)"
+                )
+            ).alias(f"t{k}")
+        )
+    stats = m.agg(*aggs).collect()[0]
+    lags = F.explode(
+        F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))
+    ).alias("k")
+    a = m.select(F.col("t"), F.col("x").alias("xa")).select("*", lags)
+    bb = m.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    c_rows = (
+        a.join(bb, a.t + a.k == bb.tb)  # equi-join on (minute + lag)
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.col("xa").cast("decimal(18,0)")
+                * F.col("xb").cast("decimal(18,0)")
+            ).alias("c"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+        .collect()
+    )
+    c_by_k = {int(r["k"]): (int(r["c"]), r["n_pairs"]) for r in c_rows}
+    s, ss = int(stats["s"]), int(stats["ss"])
+    out = []
+    den = n * n * ss - n * s * s  # exact python int, mirrors HUGEINT
+    for k in range(1, ACF_MAX_LAG + 1):
+        ck, n_pairs = c_by_k.get(k, (0, 0))
+        h = int(stats[f"h{k}"])
+        tl = int(stats[f"t{k}"])
+        num = n * n * ck - n * s * (h + tl) + (n - k) * s * s
+        # scaled exact quotient, TRUNCATED toward zero — DuckDB's
+        # integer // truncates (verified: -7 // 2 = -3) while python //
+        # floors, so negatives go through abs(); then an exact-operand
+        # double division — the huge ints never meet a double directly
+        scaled = num * 10_000_000_000
+        q = -(-scaled // den) if scaled < 0 else scaled // den
+        out.append((k, n, n_pairs, float(q) / 10_000_000_000.0))
+    return spark.createDataFrame(
+        out, "lag long, n_grid long, n_pairs long, acf double"
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# events_hourly_theil_sen — robust trend: median of pairwise slopes
+# ---------------------------------------------------------------------------
+
+TS_MAX_POINTS = 2000  # hourly grid guard (720 at the 30-day corpus)
+
+_TS_ORACLE = """
+    WITH h AS (
+        SELECT epoch_us(ts::TIMESTAMP) // 3600000000 AS t,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS y
+        FROM events GROUP BY 1
+    ),
+    b AS (SELECT MIN(t) AS t0, CAST(COUNT(*) AS BIGINT) AS m FROM h),
+    p AS (
+        SELECT a.t AS ta, b2.t AS tb,
+               CAST(b2.y - a.y AS DOUBLE) / CAST(b2.t - a.t AS DOUBLE)
+                   AS slope
+        FROM h a JOIN h b2 ON a.t < b2.t
+    ),
+    rs AS (
+        SELECT slope,
+               row_number() OVER (ORDER BY slope, ta, tb) AS rn
+        FROM p
+    ),
+    sl AS (
+        SELECT ROUND(slope, 6) AS s6 FROM rs
+        WHERE rn = ((SELECT m * (m - 1) // 2 FROM b) + 1) // 2
+    ),
+    dev AS (
+        SELECT t,
+               CAST(y AS DOUBLE)
+                   - ROUND((SELECT s6 FROM sl)
+                           * (t - (SELECT t0 FROM b)), 6) AS d
+        FROM h
+    ),
+    di AS (SELECT d, row_number() OVER (ORDER BY d, t) AS rn FROM dev)
+    SELECT (SELECT m FROM b) AS n_points,
+           (SELECT m * (m - 1) // 2 FROM b) AS n_pairs,
+           (SELECT s6 FROM sl) AS sen_slope_r6,
+           ROUND((SELECT d FROM di
+                  WHERE rn = ((SELECT m FROM b) + 1) // 2), 6)
+               AS sen_intercept_r6
+"""
+
+
+@register(
+    "events_hourly_theil_sen",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # events_value_median_udaf (exact lower-median semantics through a
+    # recorded lane, r6 gate); the increment — the median taken over
+    # the pairwise-slope set and the Siegel-style intercept — is
+    # pinned against a numpy reference in tests/test_analytics29.py.
+    gated=False,
+    oracle=_TS_ORACLE,
+    survey_ref="§2C analytic breadth / robust statistics — the "
+    "Theil–Sen trend estimator: the median of all pairwise slopes "
+    "(29% breakdown point — the trend line that survives the outliers "
+    "a least-squares fit chases), with a median-residual intercept",
+    description="lower median of (y_j−y_i)/(t_j−t_i) over all hour "
+    "pairs of the per-hour cents series: each slope is ONE IEEE "
+    "division of exact integers, the median is a total order over "
+    "(slope, t_i, t_j) — bit-identical in both engines.  The pair "
+    "join is bounded BY TIME, not by data: 720 hours at the 30-day "
+    f"corpus (guarded ≤ {TS_MAX_POINTS}), so ~260k pair rows whether "
+    "the corpus is 1 GB or 100 TB — the hourly rollup in front is the "
+    "scale wall, and it is map-side.  Intercept = lower median of "
+    "y − round(slope·Δt, 6), the rounding pinning both engines to the "
+    "same post-multiply double.  The single-partition windows run "
+    "over the time-bounded pair/point sets (whitelisted)",
+)
+def events_hourly_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from sparkroach.queries.analytics import cents
+
+    h = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            (F.unix_micros("ts") / F.lit(3_600_000_000))
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.sum(cents("value")).alias("y"))
+        .localCheckpoint(eager=True)  # reused: bounds + both pair sides
+    )
+    b = h.agg(
+        F.min("t").alias("t0"), F.count("*").cast("long").alias("m")
+    ).collect()[0]
+    t0, m = b["t0"], b["m"]
+    if m < 2:
+        raise ValueError("events_hourly_theil_sen: need >= 2 hours")
+    if m > TS_MAX_POINTS:
+        raise ValueError(
+            f"events_hourly_theil_sen: {m} hourly points exceeds the "
+            f"{TS_MAX_POINTS} guard — widen the bucket, not the window"
+        )
+    a = h.select(F.col("t").alias("ta"), F.col("y").alias("ya"))
+    bb = h.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    # time-bounded all-pairs: broadcast side is the <=TS_MAX_POINTS
+    # hourly aggregate (whitelisted) — BNLJ over ~260k pairs, constant
+    # in corpus size
+    pairs = F.broadcast(a).join(bb, F.col("ta") < F.col("tb"))
+    slope = (
+        (F.col("yb") - F.col("ya")).cast("double")
+        / (F.col("tb") - F.col("ta")).cast("double")
+    ).alias("slope")
+    n_pairs = m * (m - 1) // 2
+    w_slope = Window.orderBy("slope", "ta", "tb")
+    sen = (
+        pairs.select("ta", "tb", slope)
+        .withColumn("rn", F.row_number().over(w_slope))
+        .where(F.col("rn") == (n_pairs + 1) // 2)
+        .select(F.round("slope", 6).alias("s6"))
+        .collect()[0]["s6"]
+    )
+    dev = h.select(
+        "t",
+        (
+            F.col("y").cast("double")
+            - F.round(F.lit(sen) * (F.col("t") - t0), 6)
+        ).alias("d"),
+    )
+    w_dev = Window.orderBy("d", "t")
+    intercept = (
+        dev.withColumn("rn", F.row_number().over(w_dev))
+        .where(F.col("rn") == (m + 1) // 2)
+        .select(F.round("d", 6).alias("i6"))
+        .collect()[0]["i6"]
+    )
+    return spark.createDataFrame(
+        [(m, n_pairs, float(sen), float(intercept))],
+        "n_points long, n_pairs long, sen_slope_r6 double, "
+        "sen_intercept_r6 double",
+    )

@@ -492,6 +492,20 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "NARA Soundex conformance vectors are unit-pinned in "
         "tests/test_llm_ops20.py.  R9-window candidate",
     ),
+    "events_minute_acf": (
+        "orders_monthly_seasonality",
+        "time-series lag-structure diagnostics over an exact integer-"
+        "cents rollup (recorded r7 plan family); the zero-filled-grid "
+        "ACF algebra is pinned against a numpy reference in "
+        "tests/test_analytics29.py.  R9-window candidate",
+    ),
+    "events_hourly_theil_sen": (
+        "events_value_median_udaf",
+        "exact lower-median semantics through a recorded lane (r6 "
+        "gate); the increment — median over the time-bounded pairwise-"
+        "slope set + Siegel intercept — is pinned against numpy in "
+        "tests/test_analytics29.py.  R9-window candidate",
+    ),
     "events_zone_map_report": (
         "documents_shard_export",
         "controlled file write + re-read verification lane (r6 gate); "

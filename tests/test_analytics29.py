@@ -1,0 +1,116 @@
+"""Round-8 wave-4 unit pins: ACF grid algebra and Theil–Sen medians
+against independent numpy references on controlled series."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sparkroach.queries import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def _acf_ref(x: np.ndarray, k: int) -> float:
+    """Textbook (statsmodels-convention) ACF estimator at lag k."""
+    n = len(x)
+    mu = x.mean()
+    num = ((x[: n - k] - mu) * (x[k:] - mu)).sum()
+    den = ((x - mu) ** 2).sum()
+    return float(num / den)
+
+
+def test_acf_grid_algebra_matches_textbook_estimator():
+    # the exact-integer algebra n²C_k − nS(H_k+T_k) + (n−k)S² over a
+    # zero-filled grid must equal the centered-product estimator
+    rng = np.random.default_rng(3)
+    x = np.zeros(500, dtype=np.int64)
+    present = rng.choice(500, size=350, replace=False)
+    x[present] = rng.integers(0, 100_000, size=350)
+    n = len(x)
+    s = int(x.sum())
+    ss = int((x.astype(object) ** 2).sum())
+    for k in range(1, 9):
+        c = int((x[: n - k].astype(object) * x[k:].astype(object)).sum())
+        h = int(x[: n - k].sum())
+        t = int(x[k:].sum())
+        num = n * n * c - n * s * (h + t) + (n - k) * s * s
+        den = n * n * ss - n * s * s
+        assert float(num) / float(den) == pytest.approx(
+            _acf_ref(x.astype(float), k), abs=1e-12
+        )
+
+
+def test_events_minute_acf_gate_matches_numpy(spark):
+    import duckdb
+
+    rows = QUERIES["events_minute_acf"].fn(spark, SF_SMALL).collect()
+    assert [r["lag"] for r in rows] == list(range(1, 9))
+    con = duckdb.connect()
+    mins = con.execute(
+        "SELECT epoch_us(ts::TIMESTAMP) // 60000000 AS t, "
+        "SUM(CAST(round(value*100) AS BIGINT)) AS x "
+        f"FROM read_parquet('{SF_SMALL}/events.parquet') GROUP BY 1"
+    ).fetchall()
+    t0 = min(t for t, _ in mins)
+    t1 = max(t for t, _ in mins)
+    x = np.zeros(t1 - t0 + 1)
+    for t, v in mins:
+        x[t - t0] = v
+    for r in rows:
+        assert r["n_grid"] == len(x)
+        assert r["acf"] == pytest.approx(_acf_ref(x, r["lag"]), abs=1e-9)
+    # a 10-minute-cadence event stream is strongly positively
+    # autocorrelated at lag 0±ε but near-noise by construction here;
+    # just pin the mathematical range
+    assert all(-1.0 <= r["acf"] <= 1.0 for r in rows)
+
+
+def _theil_sen_ref(ts, ys):
+    slopes = []
+    for i in range(len(ts)):
+        for j in range(i + 1, len(ts)):
+            slopes.append(
+                ((ys[j] - ys[i]) / (ts[j] - ts[i]), ts[i], ts[j])
+            )
+    slopes.sort()
+    n_pairs = len(slopes)
+    s6 = round(slopes[(n_pairs + 1) // 2 - 1][0], 6)
+    t0 = min(ts)
+    devs = sorted(
+        (y - round(s6 * (t - t0), 6), t) for t, y in zip(ts, ys)
+    )
+    i6 = round(devs[(len(ts) + 1) // 2 - 1][0], 6)
+    return n_pairs, s6, i6
+
+
+def test_events_hourly_theil_sen_matches_reference(spark):
+    import duckdb
+
+    row = QUERIES["events_hourly_theil_sen"].fn(spark, SF_SMALL).collect()[0]
+    con = duckdb.connect()
+    hrs = con.execute(
+        "SELECT epoch_us(ts::TIMESTAMP) // 3600000000 AS t, "
+        "SUM(CAST(round(value*100) AS BIGINT)) AS y "
+        f"FROM read_parquet('{SF_SMALL}/events.parquet') "
+        "GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    ts = [t for t, _ in hrs]
+    ys = [float(y) for _, y in hrs]
+    n_pairs, s6, i6 = _theil_sen_ref(ts, ys)
+    assert row["n_points"] == len(ts)
+    assert row["n_pairs"] == n_pairs
+    assert row["sen_slope_r6"] == pytest.approx(s6, abs=2e-6)
+    assert row["sen_intercept_r6"] == pytest.approx(i6, abs=2e-6)
+
+
+def test_theil_sen_is_robust_to_outliers():
+    # a clean slope-3 line with 20% wild outliers: the pairwise-slope
+    # median stays on the line while the LSQ slope is dragged away
+    ts = list(range(40))
+    ys = [3.0 * t + 10 for t in ts]
+    for t in (5, 13, 21, 29, 33, 37, 2, 11):
+        ys[t] += 5000.0
+    _, s6, _ = _theil_sen_ref(ts, ys)
+    assert abs(s6 - 3.0) < 0.5
+    lsq = np.polyfit(ts, ys, 1)[0]
+    assert abs(lsq - 3.0) > 3  # least squares is off by construction

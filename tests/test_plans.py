@@ -376,6 +376,8 @@ _SCALAR_BNLJ_OK = {
 _GLOBAL_WINDOW_OK = {
     "bpe_pair_counts",  # charset²-bounded pair table
     "bpe_second_merge",  # charset²-bounded pair table, two iterations
+    "events_hourly_theil_sen",  # pair/point sets are time-bounded (≤2000
+    # hourly points guarded in the query; ~260k pairs whatever the corpus)
     "events_user_value_ntiles",  # total order is the semantics; documented
     "hist_quantile_sketch",  # histogram-bucket-bounded aggregate
     "source_budget_apportion",  # source-cardinality-bounded (≤ dozens)

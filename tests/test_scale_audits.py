@@ -83,6 +83,10 @@ _BROADCAST_OK: dict[tuple[str, str], str] = {
     ("queries/analytics27.py", "n"): "1-row count",
     ("queries/analytics27.py", "offs"):
         "per-partition prefix offsets (bounded by shuffle partitions)",
+    ("queries/analytics29.py", "a"):
+        "time-bounded hourly aggregate (720 rows at the 30-day corpus, "
+        "guarded <= TS_MAX_POINTS in the query) — the Theil-Sen pair "
+        "side is constant in corpus size",
     ("queries/analytics3.py", "big"):
         "q18 having-clause survivors (aggregate-filtered, classically tiny)",
     ("queries/analytics3.py", "n"): "TPC-H nation dimension",
