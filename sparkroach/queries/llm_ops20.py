@@ -277,6 +277,309 @@ def source_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# rouge_overlap_pairs — ROUGE-1/2 multiset overlap on LSH candidates
+# ---------------------------------------------------------------------------
+
+
+def _rouge_oracle() -> str:
+    from sparkroach.queries.llm_ops import _lsh_candidates_cte
+
+    lsh = _lsh_candidates_cte().strip()
+    assert lsh.startswith("WITH ")
+    return f"""
+        WITH {lsh[len("WITH "):]},
+        t1 AS (
+            SELECT doc_id, t AS tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, unnest(ws) AS t FROM w)
+            GROUP BY doc_id, t
+        ),
+        t2 AS (
+            SELECT doc_id, b AS tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (
+                SELECT doc_id,
+                       unnest([ws[i] || ' ' || ws[i+1]
+                               for i in range(1, len(ws))]) AS b
+                FROM w
+            )
+            GROUP BY doc_id, b
+        ),
+        l1 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM t1 GROUP BY doc_id),
+        l2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM t2 GROUP BY doc_id),
+        o1 AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS ov
+            FROM cand c
+            JOIN t1 a ON a.doc_id = c.doc_a
+            JOIN t1 b ON b.doc_id = c.doc_b AND b.tok = a.tok
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        o2 AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS ov
+            FROM cand c
+            JOIN t2 a ON a.doc_id = c.doc_a
+            JOIN t2 b ON b.doc_id = c.doc_b AND b.tok = a.tok
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT c.doc_a, c.doc_b,
+               COALESCE(o1.ov, 0) AS ov1,
+               la1.n AS na1, lb1.n AS nb1,
+               CAST(COALESCE(o1.ov, 0) AS DOUBLE) / CAST(la1.n AS DOUBLE)
+                   AS rouge1_r,
+               CAST(COALESCE(o1.ov, 0) AS DOUBLE) / CAST(lb1.n AS DOUBLE)
+                   AS rouge1_p,
+               CAST(2 * COALESCE(o1.ov, 0) AS DOUBLE)
+                   / CAST(la1.n + lb1.n AS DOUBLE) AS rouge1_f,
+               COALESCE(o2.ov, 0) AS ov2,
+               CAST(2 * COALESCE(o2.ov, 0) AS DOUBLE)
+                   / CAST(la2.n + lb2.n AS DOUBLE) AS rouge2_f
+        FROM cand c
+        JOIN l1 la1 ON la1.doc_id = c.doc_a
+        JOIN l1 lb1 ON lb1.doc_id = c.doc_b
+        JOIN l2 la2 ON la2.doc_id = c.doc_a
+        JOIN l2 lb2 ON lb2.doc_id = c.doc_b
+        LEFT JOIN o1 ON o1.doc_a = c.doc_a AND o1.doc_b = c.doc_b
+        LEFT JOIN o2 ON o2.doc_a = c.doc_a AND o2.doc_b = c.doc_b
+        ORDER BY c.doc_a, c.doc_b
+    """
+
+
+@register(
+    "rouge_overlap_pairs",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # token_cosine_pairs (per-pair token-multiset similarity scored on
+    # the capped LSH candidate set — the recorded r7 verify plan
+    # family); the multiset-clip semantics (min of counts, repeated
+    # tokens not over-credited) are unit-pinned in
+    # tests/test_llm_ops20.py.
+    gated=False,
+    oracle=_rouge_oracle(),
+    survey_ref="LLM ops: evaluation metrics — ROUGE-1/ROUGE-2 "
+    "(clipped n-gram multiset overlap: recall, precision, F1) scored "
+    "on candidate pairs: the summarization/dedup-adjacent metric "
+    "suite next to Levenshtein, token cosine and containment in the "
+    "verification-signal matrix",
+    description="per LSH candidate pair: unigram and bigram CLIPPED "
+    "overlap Σ min(count_a, count_b) — exact integers via a term-keyed "
+    "equi-join of per-doc count tables (candidate-bounded, never "
+    "all-pairs); R/P/F1 each ONE IEEE division of exact integers "
+    "(F1 = 2·ov/(n_a+n_b) — the count identity avoids nested "
+    "divisions).  Pairs with empty overlap survive via left joins "
+    "with zero fill",
+)
+def rouge_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach.queries.llm_ops import _lsh_candidate_pairs
+
+    d = load(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("ws")).localCheckpoint(
+        eager=True
+    )
+    t1 = (
+        w.select("doc_id", F.explode("ws").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    bigrams = F.expr(
+        "transform(slice(ws, 1, size(ws) - 1), (x, i) -> "
+        "concat(x, ' ', ws[i + 1]))"
+    )
+    t2 = (
+        w.select("doc_id", F.explode(bigrams).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    l1 = t1.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    l2 = t2.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    cand = _lsh_candidate_pairs(d)
+
+    def overlap(t, name):
+        a = t.withColumnsRenamed({"doc_id": "doc_a", "c": "ca"})
+        b = t.withColumnsRenamed({"doc_id": "doc_b", "c": "cb"})
+        return (
+            cand.join(a, "doc_a")
+            .join(b, ["doc_b", "tok"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.least("ca", "cb")).cast("long").alias(name))
+        )
+
+    base = (
+        cand.join(l1.withColumnsRenamed({"doc_id": "doc_a", "n": "na1"}), "doc_a")
+        .join(l1.withColumnsRenamed({"doc_id": "doc_b", "n": "nb1"}), "doc_b")
+        .join(l2.withColumnsRenamed({"doc_id": "doc_a", "n": "na2"}), "doc_a")
+        .join(l2.withColumnsRenamed({"doc_id": "doc_b", "n": "nb2"}), "doc_b")
+        .join(overlap(t1, "ov1"), ["doc_a", "doc_b"], "left")
+        .join(overlap(t2, "ov2"), ["doc_a", "doc_b"], "left")
+        .withColumn("ov1", F.coalesce("ov1", F.lit(0)))
+        .withColumn("ov2", F.coalesce("ov2", F.lit(0)))
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return base.select(
+        "doc_a",
+        "doc_b",
+        "ov1",
+        "na1",
+        "nb1",
+        (dbl("ov1") / dbl("na1")).alias("rouge1_r"),
+        (dbl("ov1") / dbl("nb1")).alias("rouge1_p"),
+        ((F.lit(2) * F.col("ov1")).cast("double") / (F.col("na1") + F.col("nb1")).cast("double")).alias(
+            "rouge1_f"
+        ),
+        "ov2",
+        ((F.lit(2) * F.col("ov2")).cast("double") / (F.col("na2") + F.col("nb2")).cast("double")).alias(
+            "rouge2_f"
+        ),
+    ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# rake_keywords — RAKE phrase extraction with degree/frequency scores
+# ---------------------------------------------------------------------------
+
+RAKE_STOPS = ("a", "the")  # the corpus' function words
+RAKE_TOP = 20
+_RAKE_SCALE = 1_000_000
+
+
+def _rake_oracle() -> str:
+    stops = ", ".join(f"'{s}'" for s in RAKE_STOPS)
+    return f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, p.p AS pos, ws[CAST(p.p AS INT)] AS tok
+            FROM w JOIN range(1, 400) p(p) ON p.p <= len(ws)
+        ),
+        grp AS (
+            SELECT *,
+                   SUM(CASE WHEN tok IN ({stops}) THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS g
+            FROM tok
+        ),
+        member AS (SELECT * FROM grp WHERE tok NOT IN ({stops})),
+        plen AS (
+            SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS plen,
+                   string_agg(tok, ' ' ORDER BY pos) AS phrase
+            FROM member GROUP BY doc_id, g
+        ),
+        ws_ AS (
+            SELECT m.tok,
+                   CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(pl.plen) AS BIGINT) AS deg
+            FROM member m
+            JOIN plen pl ON pl.doc_id = m.doc_id AND pl.g = m.g
+            GROUP BY m.tok
+        ),
+        sc AS (
+            SELECT tok, deg * {_RAKE_SCALE} // freq AS score_q FROM ws_
+        ),
+        ph AS (
+            SELECT pl.doc_id, pl.g, pl.phrase, pl.plen,
+                   CAST(SUM(sc.score_q) AS BIGINT) AS score_q
+            FROM member m
+            JOIN plen pl ON pl.doc_id = m.doc_id AND pl.g = m.g
+            JOIN sc ON sc.tok = m.tok
+            GROUP BY pl.doc_id, pl.g, pl.phrase, pl.plen
+        )
+        SELECT phrase,
+               CAST(MAX(plen) AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               MAX(score_q) AS score_q
+        FROM ph
+        GROUP BY phrase
+        ORDER BY score_q DESC, n_occurrences DESC, phrase
+        LIMIT {RAKE_TOP}
+    """
+
+
+@register(
+    "rake_keywords",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # tfidf_top_terms (corpus-wide term scoring → bounded top-N
+    # shortlist, the recorded plan family); the RAKE degree/frequency
+    # semantics (stopword segmentation, within-phrase co-occurrence
+    # degree, deg/freq word scores summed per phrase) are unit-pinned
+    # in tests/test_llm_ops20.py.
+    gated=False,
+    oracle=_rake_oracle(),
+    survey_ref="LLM ops: keyword/phrase extraction — RAKE (Rapid "
+    "Automatic Keyword Extraction): stopword-delimited candidate "
+    "phrases scored by Σ degree(w)/freq(w) over member words — the "
+    "classic unsupervised keyphrase baseline, next to tf-idf and "
+    "salience in the term-scoring matrix",
+    description="candidate phrases = maximal stopword-free token runs "
+    "(running stopword count as the phrase id — a per-doc prefix-sum "
+    "window); word degree = Σ phrase length over occurrences, word "
+    f"score = deg·{_RAKE_SCALE} // freq (integer truncation, positive "
+    "operands — identical in both engines); phrase score = Σ member "
+    "word scores (exact integers, so the sum is order-free); top-"
+    f"{RAKE_TOP} via orderBy+limit (TakeOrdered — no global window). "
+    "Word stats are vocabulary-sized aggregates; everything else is "
+    "map-side explode + per-doc windows",
+)
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.posexplode(F.split("text", " ")))
+        .withColumnsRenamed({"pos": "pos0", "col": "tok"})
+        .select(
+            "doc_id", (F.col("pos0") + 1).alias("pos"), "tok"
+        )
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    grp = tok.withColumn(
+        "g",
+        F.sum(F.when(F.col("tok").isin(*RAKE_STOPS), 1).otherwise(0)).over(
+            w_doc
+        ),
+    )
+    member = grp.where(~F.col("tok").isin(*RAKE_STOPS)).localCheckpoint(
+        eager=True
+    )  # reused: phrase assembly, word stats, phrase scoring
+    plen = member.groupBy("doc_id", "g").agg(
+        F.count("*").cast("long").alias("plen"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x.tok,
+            ),
+        ).alias("phrase"),
+    )
+    wstats = (
+        member.join(plen.select("doc_id", "g", "plen"), ["doc_id", "g"])
+        .groupBy("tok")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+        .withColumn(
+            "score_q", F.expr(f"deg * {_RAKE_SCALE} DIV freq").cast("long")
+        )
+    )
+    ph = (
+        member.join(plen, ["doc_id", "g"])
+        .join(wstats.select("tok", "score_q"), "tok")
+        .groupBy("doc_id", "g", "phrase", "plen")
+        .agg(F.sum("score_q").cast("long").alias("score_q"))
+    )
+    return (
+        ph.groupBy("phrase")
+        .agg(
+            F.max("plen").cast("long").alias("n_words"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.max("score_q").alias("score_q"),
+        )
+        .orderBy(
+            F.col("score_q").desc(), F.col("n_occurrences").desc(), "phrase"
+        )
+        .limit(RAKE_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
 # customer_soundex_blocking — American Soundex phonetic blocking
 # ---------------------------------------------------------------------------
 

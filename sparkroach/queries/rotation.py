@@ -506,6 +506,20 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "slope set + Siegel intercept — is pinned against numpy in "
         "tests/test_analytics29.py.  R9-window candidate",
     ),
+    "rouge_overlap_pairs": (
+        "token_cosine_pairs",
+        "per-pair token-multiset similarity on the capped LSH candidate "
+        "set (recorded r7 verify plan family); the ROUGE clipped-"
+        "overlap semantics are unit-pinned in tests/test_llm_ops20.py. "
+        " R9-window candidate",
+    ),
+    "rake_keywords": (
+        "tfidf_top_terms",
+        "corpus-wide term scoring reduced to a bounded top-N shortlist "
+        "(the recorded plan family); the RAKE degree/frequency "
+        "semantics are unit-pinned in tests/test_llm_ops20.py.  "
+        "R9-window candidate",
+    ),
     "events_zone_map_report": (
         "documents_shard_export",
         "controlled file write + re-read verification lane (r6 gate); "

@@ -226,6 +226,131 @@ def test_source_priority_sample_gate_invariants(spark):
 
 
 # ---------------------------------------------------------------------------
+# ROUGE pair scoring
+# ---------------------------------------------------------------------------
+
+
+def _clipped_overlap(a: list, b: list) -> int:
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    return sum(min(n, cb[t]) for t, n in ca.items())
+
+
+def test_clipped_overlap_does_not_overcredit_repeats():
+    # "x x x y" vs "x z": three x's in a credit only the single x in b
+    assert _clipped_overlap(list("xxxy"), list("xz")) == 1
+    assert _clipped_overlap(list("xxy"), list("xxx")) == 2
+
+
+def test_rouge_overlap_pairs_matches_python_reference(spark):
+    import duckdb
+
+    from sparkroach.queries import QUERIES
+    from tests.conftest import SF_SMALL
+
+    rows = QUERIES["rouge_overlap_pairs"].fn(spark, SF_SMALL).collect()
+    assert rows, "no candidate pairs"
+    con = duckdb.connect()
+    texts = dict(
+        con.execute(
+            "SELECT doc_id, text FROM "
+            f"read_parquet('{SF_SMALL}/documents.parquet')"
+        ).fetchall()
+    )
+    for r in rows[:25]:
+        wa = texts[r["doc_a"]].split(" ")
+        wb = texts[r["doc_b"]].split(" ")
+        ba = [f"{x} {y}" for x, y in zip(wa, wa[1:])]
+        bb = [f"{x} {y}" for x, y in zip(wb, wb[1:])]
+        ov1 = _clipped_overlap(wa, wb)
+        ov2 = _clipped_overlap(ba, bb)
+        assert r["ov1"] == ov1 and r["na1"] == len(wa) and r["nb1"] == len(wb)
+        assert r["ov2"] == ov2
+        assert r["rouge1_f"] == pytest.approx(
+            2 * ov1 / (len(wa) + len(wb)), abs=1e-12
+        )
+        assert r["rouge2_f"] == pytest.approx(
+            2 * ov2 / (len(ba) + len(bb)), abs=1e-12
+        )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def _rake_ref(texts, stops, scale):
+    """Independent pure-Python RAKE over the corpus."""
+    from collections import Counter, defaultdict
+
+    phrases = []  # list of tuple(word, ...)
+    for t in texts:
+        run = []
+        for w in t.split(" "):
+            if w in stops:
+                if run:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(w)
+        if run:
+            phrases.append(tuple(run))
+    freq, deg = Counter(), Counter()
+    for ph in phrases:
+        for w in ph:
+            freq[w] += 1
+            deg[w] += len(ph)
+    score_q = {w: deg[w] * scale // freq[w] for w in freq}
+    agg = defaultdict(lambda: [0, 0, 0])  # phrase -> [n_words, occ, score]
+    for ph in phrases:
+        e = agg[" ".join(ph)]
+        e[0] = len(ph)
+        e[1] += 1
+        e[2] = sum(score_q[w] for w in ph)
+    return sorted(
+        ((p, v[0], v[1], v[2]) for p, v in agg.items()),
+        key=lambda r: (-r[3], -r[2], r[0]),
+    )
+
+
+def test_rake_keywords_matches_python_reference(spark):
+    import duckdb
+
+    from sparkroach.queries import QUERIES
+    from sparkroach.queries.llm_ops20 import _RAKE_SCALE, RAKE_STOPS, RAKE_TOP
+    from tests.conftest import SF_SMALL
+
+    rows = QUERIES["rake_keywords"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == RAKE_TOP
+    con = duckdb.connect()
+    texts = [
+        r[0]
+        for r in con.execute(
+            f"SELECT text FROM read_parquet('{SF_SMALL}/documents.parquet')"
+        ).fetchall()
+    ]
+    ref = _rake_ref(texts, set(RAKE_STOPS), _RAKE_SCALE)[:RAKE_TOP]
+    got = [
+        (r["phrase"], r["n_words"], r["n_occurrences"], r["score_q"])
+        for r in rows
+    ]
+    assert got == ref
+
+
+def test_rake_degree_rewards_cooccurrence():
+    # RAKE's signature property: a word living in long phrases outscores
+    # an equally frequent word living alone
+    ref = _rake_ref(
+        ["alpha beta gamma", "alpha beta gamma", "solo the solo"],
+        {"the"},
+        1_000_000,
+    )
+    scores = {p: s for p, _, _, s in ref}
+    assert scores["alpha beta gamma"] > scores["solo"]
+
+
+# ---------------------------------------------------------------------------
 # Soundex blocking
 # ---------------------------------------------------------------------------
 
