@@ -331,3 +331,258 @@ def events_hourly_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_points long, n_pairs long, sen_slope_r6 double, "
         "sen_intercept_r6 double",
     )
+
+
+def _rank2_table(g: DataFrame, key: str) -> DataFrame:
+    """Per-distinct-value doubled midranks WITHOUT a single-partition
+    window: ``g`` is (key, cnt, ...); appends rank2 = 2·(#smaller) +
+    (cnt + 1) — the tie midrank in doubled (integer) units — via the
+    distributed prefix-scan recipe (range partition + local sums +
+    broadcast offsets)."""
+    from sparkroach.queries.analytics16 import running_global_sum
+
+    r = running_global_sum(g, key, "cnt")
+    return r.withColumn(
+        "rank2",
+        (F.lit(2) * (F.col("running") - F.col("cnt")) + F.col("cnt") + 1)
+        .cast("long"),
+    ).drop("running")
+
+
+# ---------------------------------------------------------------------------
+# events_mann_whitney_u — exact rank-sum test with tie correction
+# ---------------------------------------------------------------------------
+
+MW_TYPE_A = "click"
+MW_TYPE_B = "purchase"
+MW_MAX_N = 2_000_000  # keeps (n+1)n(n-1) inside exactly-casted BIGINT
+
+_MW_ORACLE = f"""
+    WITH s AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type IN ('{MW_TYPE_A}', '{MW_TYPE_B}')
+    ),
+    g AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CASE WHEN event_type = '{MW_TYPE_A}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS cnt1
+        FROM s GROUP BY v
+    ),
+    r AS (SELECT *, SUM(cnt) OVER (ORDER BY v) AS run FROM g),
+    a AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(cnt1) AS BIGINT) AS n1,
+               CAST(SUM(cnt1 * (2 * (run - cnt) + cnt + 1)) AS BIGINT)
+                   AS r1_sum2,
+               CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_cubes
+        FROM r
+    )
+    SELECT n, n1, n - n1 AS n2, r1_sum2,
+           r1_sum2 - n1 * (n1 + 1) AS u1_2,
+           tie_cubes,
+           CAST(r1_sum2 - n1 * (n1 + 1) - n1 * (n - n1) AS DOUBLE)
+           / (2.0 * sqrt(CAST(n1 * (n - n1) AS DOUBLE)
+                         * CAST((n + 1) * n * (n - 1) - tie_cubes AS DOUBLE)
+                         / CAST(12 * n * (n - 1) AS DOUBLE))) AS z
+    FROM a
+"""
+
+
+@register(
+    "events_mann_whitney_u",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # events_value_ks_drift (two-sample distribution comparison over
+    # exact integer cents through the distributed prefix-scan recipe —
+    # the recorded r7 plan family); the midrank/tie-correction algebra
+    # is pinned against scipy conventions via a numpy reference in
+    # tests/test_analytics29.py.
+    gated=False,
+    oracle=_MW_ORACLE,
+    survey_ref="§2C analytic breadth / statistics — the Mann-Whitney U "
+    "rank-sum test (two-sample location shift, tie-corrected normal "
+    "approximation): the nonparametric complement to the KS and χ² "
+    "drift detectors",
+    description=f"'{MW_TYPE_A}' vs '{MW_TYPE_B}' values as exact "
+    "integer cents: tie midranks in DOUBLED units (2·#smaller + cnt + "
+    "1 — integers, no .5), rank sums and the tie term Σ(t³−t) as "
+    "exact aggregates over the distinct-value table, whose cumulative "
+    "counts come from the distributed prefix-scan recipe (range "
+    "partition + broadcast offsets — no single-partition window over "
+    "the value domain).  z is ONE fixed-shape double expression whose "
+    "every cast input stays inside BIGINT (correctly-rounded 64-bit "
+    f"casts on both engines; pooled n guarded ≤ {MW_MAX_N} so "
+    "(n+1)n(n−1) cannot leave that range — beyond it the documented "
+    "promotion is DECIMAL statistics, not silent drift)",
+)
+def events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from sparkroach.queries.analytics import cents
+
+    s = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin(MW_TYPE_A, MW_TYPE_B))
+        .select("event_type", cents("value").alias("v"))
+    )
+    g = s.groupBy("v").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(F.when(F.col("event_type") == MW_TYPE_A, 1).otherwise(0))
+        .cast("long")
+        .alias("cnt1"),
+    )
+    r = _rank2_table(g, "v")
+    row = r.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("cnt1").cast("long").alias("n1"),
+        F.sum(
+            (F.col("cnt1") * F.col("rank2")).cast("decimal(38,0)")
+        ).alias("r1_sum2"),
+        F.sum(
+            (
+                F.col("cnt").cast("decimal(18,0)")
+                * F.col("cnt")
+                * F.col("cnt")
+                - F.col("cnt")
+            )
+        ).alias("tie_cubes"),
+    ).collect()[0]
+    n, n1 = row["n"], row["n1"]
+    if n is None or n < 3:
+        raise ValueError("events_mann_whitney_u: too few pooled rows")
+    if n > MW_MAX_N:
+        raise ValueError(
+            f"events_mann_whitney_u: pooled n={n} exceeds the "
+            f"{MW_MAX_N} exact-BIGINT guard — promote the statistics "
+            "to DECIMAL before raising it"
+        )
+    n2 = n - n1
+    r1_sum2 = int(row["r1_sum2"])
+    ties = int(row["tie_cubes"])
+    u1_2 = r1_sum2 - n1 * (n1 + 1)
+    u_delta = u1_2 - n1 * n2
+    m = (n + 1) * n * (n - 1) - ties
+    # identical expression tree to the oracle: three BIGINT→double
+    # casts (correctly rounded), multiply, divide, sqrt, scale, divide
+    z = float(u_delta) / (
+        2.0 * math.sqrt(float(n1 * n2) * float(m) / float(12 * n * (n - 1)))
+    )
+    return spark.createDataFrame(
+        [(n, n1, n2, r1_sum2, u1_2, ties, z)],
+        "n long, n1 long, n2 long, r1_sum2 long, u1_2 long, "
+        "tie_cubes long, z double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# lineitem_spearman_corr — Spearman's rho via centered doubled midranks
+# ---------------------------------------------------------------------------
+
+SP_X = "l_quantity"
+SP_Y = "l_extendedprice"
+SP_MAX_N = 2_000_000  # keeps |Σc·c| ≤ n³ inside BIGINT
+
+
+def _spearman_oracle() -> str:
+    return f"""
+        WITH q AS (
+            SELECT CAST(round({SP_X} * 100) AS BIGINT) AS x,
+                   CAST(round({SP_Y} * 100) AS BIGINT) AS y
+            FROM lineitem
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+        gx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM q GROUP BY x),
+        rx AS (
+            SELECT x, 2 * (SUM(cnt) OVER (ORDER BY x) - cnt) + cnt + 1
+                       AS rank2
+            FROM gx
+        ),
+        gy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM q GROUP BY y),
+        ry AS (
+            SELECT y, 2 * (SUM(cnt) OVER (ORDER BY y) - cnt) + cnt + 1
+                       AS rank2
+            FROM gy
+        ),
+        c AS (
+            SELECT rx.rank2 - ((SELECT n FROM nn) + 1) AS cx,
+                   ry.rank2 - ((SELECT n FROM nn) + 1) AS cy
+            FROM q JOIN rx ON rx.x = q.x JOIN ry ON ry.y = q.y
+        ),
+        s AS (
+            SELECT CAST(SUM(cx * cy) AS BIGINT) AS sxy,
+                   CAST(SUM(cx * cx) AS BIGINT) AS sxx,
+                   CAST(SUM(cy * cy) AS BIGINT) AS syy
+            FROM c
+        )
+        SELECT (SELECT n FROM nn) AS n_rows, sxy, sxx, syy,
+               CAST(sxy AS DOUBLE)
+                   / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE)))
+                   AS spearman_rho
+        FROM s
+    """
+
+
+@register(
+    "lineitem_spearman_corr",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # lineitem_corr_matrix → recorded twin orders_profile_report (one-
+    # pass exact sufficient statistics with fixed-shape double tails —
+    # the recorded profiling plan family); the centered-midrank
+    # identity (Σ rank2 = n(n+1) exactly, ties included) and agreement
+    # with scipy conventions are pinned in tests/test_analytics29.py.
+    gated=False,
+    oracle=_spearman_oracle(),
+    survey_ref="§2C analytic breadth / statistics — Spearman rank "
+    "correlation (monotone association, tie-midranked): the robust "
+    "companion to the Pearson correlation matrix",
+    description=f"ρ between {SP_X} and {SP_Y}: doubled tie midranks "
+    "per column from the distributed prefix-scan recipe, CENTERED by "
+    "the exact doubled mean n+1 (Σ rank2 = n(n+1) regardless of "
+    "ties), so ρ = Σcxcy/√(Σcx²·Σcy²) over integers bounded by n³ — "
+    f"inside correctly-rounded BIGINT casts (n guarded ≤ {SP_MAX_N}; "
+    "no 128-bit integers ever meet a double).  Two value-keyed rank "
+    "joins + one aggregate; the rank tables are distinct-value-sized",
+)
+def lineitem_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.expr(f"CAST(round({SP_X} * 100) AS BIGINT)").alias("x"),
+        F.expr(f"CAST(round({SP_Y} * 100) AS BIGINT)").alias("y"),
+    )
+    q = li.localCheckpoint(eager=True)  # reused: n, both rank builds, join
+    n = q.count()
+    if n < 2:
+        raise ValueError("lineitem_spearman_corr: too few rows")
+    if n > SP_MAX_N:
+        raise ValueError(
+            f"lineitem_spearman_corr: n={n} exceeds the {SP_MAX_N} "
+            "exact-BIGINT guard — promote the statistics to DECIMAL "
+            "before raising it"
+        )
+    rx = _rank2_table(
+        q.groupBy("x").agg(F.count("*").cast("long").alias("cnt")), "x"
+    ).select("x", (F.col("rank2") - (n + 1)).alias("cx"))
+    ry = _rank2_table(
+        q.groupBy("y").agg(F.count("*").cast("long").alias("cnt")), "y"
+    ).select("y", (F.col("rank2") - (n + 1)).alias("cy"))
+    s = (
+        q.join(rx, "x")
+        .join(ry, "y")
+        .agg(
+            F.sum((F.col("cx") * F.col("cy")).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("sxy"),
+            F.sum((F.col("cx") * F.col("cx")).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("sxx"),
+            F.sum((F.col("cy") * F.col("cy")).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("syy"),
+        )
+    )
+    return s.selectExpr(
+        f"CAST({n} AS BIGINT) AS n_rows",
+        "sxy",
+        "sxx",
+        "syy",
+        "CAST(sxy AS DOUBLE) / (sqrt(CAST(sxx AS DOUBLE)) "
+        "* sqrt(CAST(syy AS DOUBLE))) AS spearman_rho",
+    )

@@ -520,6 +520,20 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "semantics are unit-pinned in tests/test_llm_ops20.py.  "
         "R9-window candidate",
     ),
+    "events_mann_whitney_u": (
+        "events_value_ks_drift",
+        "two-sample distribution comparison over exact integer cents "
+        "through the distributed prefix-scan recipe (recorded r7 plan "
+        "family); midrank/tie-correction algebra pinned against scipy "
+        "conventions in tests/test_analytics29.py.  R9-window candidate",
+    ),
+    "lineitem_spearman_corr": (
+        "orders_profile_report",
+        "one-pass exact sufficient statistics with a fixed-shape "
+        "double tail (the recorded profiling plan family, r7 window); "
+        "the centered-midrank identity and scipy agreement are pinned "
+        "in tests/test_analytics29.py.  R9-window candidate",
+    ),
     "events_zone_map_report": (
         "documents_shard_export",
         "controlled file write + re-read verification lane (r6 gate); "

@@ -103,6 +103,90 @@ def test_events_hourly_theil_sen_matches_reference(spark):
     assert row["sen_intercept_r6"] == pytest.approx(i6, abs=2e-6)
 
 
+def _mw_ref(xs, ys):
+    """Tie-corrected Mann-Whitney z (scipy.stats.mannwhitneyu
+    use_continuity=False convention), independently in numpy."""
+    pooled = np.concatenate([xs, ys])
+    order = np.argsort(pooled, kind="stable")
+    ranks = np.empty(len(pooled))
+    sorted_v = pooled[order]
+    i = 0
+    while i < len(sorted_v):
+        j = i
+        while j < len(sorted_v) and sorted_v[j] == sorted_v[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2  # midrank, 1-based
+        i = j
+    n1, n2 = len(xs), len(ys)
+    n = n1 + n2
+    r1 = ranks[: n1].sum()
+    u1 = r1 - n1 * (n1 + 1) / 2
+    _, t_counts = np.unique(pooled, return_counts=True)
+    tie = (t_counts.astype(object) ** 3 - t_counts).sum()
+    sigma = np.sqrt(
+        n1 * n2 / 12 * ((n + 1) - tie / (n * (n - 1)))
+    )
+    return u1, (u1 - n1 * n2 / 2) / sigma
+
+
+def test_events_mann_whitney_u_matches_numpy(spark):
+    import duckdb
+
+    row = QUERIES["events_mann_whitney_u"].fn(spark, SF_SMALL).collect()[0]
+    con = duckdb.connect()
+    xs, ys = (
+        np.array(
+            [
+                r[0]
+                for r in con.execute(
+                    "SELECT CAST(round(value*100) AS BIGINT) FROM "
+                    f"read_parquet('{SF_SMALL}/events.parquet') "
+                    f"WHERE event_type = '{t}'"
+                ).fetchall()
+            ]
+        )
+        for t in ("click", "purchase")
+    )
+    u1, z = _mw_ref(xs, ys)
+    assert row["n1"] == len(xs) and row["n2"] == len(ys)
+    assert row["u1_2"] == int(2 * u1)
+    assert row["z"] == pytest.approx(z, abs=1e-9)
+
+
+def test_lineitem_spearman_matches_scipy_convention(spark):
+    import duckdb
+
+    row = QUERIES["lineitem_spearman_corr"].fn(spark, SF_SMALL).collect()[0]
+    con = duckdb.connect()
+    data = con.execute(
+        "SELECT CAST(round(l_quantity*100) AS BIGINT), "
+        "CAST(round(l_extendedprice*100) AS BIGINT) FROM "
+        f"read_parquet('{SF_SMALL}/lineitem.parquet')"
+    ).fetchall()
+    x = np.array([r[0] for r in data], dtype=float)
+    y = np.array([r[1] for r in data], dtype=float)
+
+    def midranks(v):
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v))
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2
+            i = j
+        return ranks
+
+    rx, ry = midranks(x), midranks(y)
+    ref = np.corrcoef(rx, ry)[0, 1]  # Pearson on midranks == Spearman
+    assert row["n_rows"] == len(x)
+    assert row["spearman_rho"] == pytest.approx(ref, abs=1e-9)
+    # centered-doubled-rank identity: Σ rank2 = n(n+1) ⇒ Σ c = 0
+    assert int(2 * rx.sum()) == len(x) * (len(x) + 1)
+
+
 def test_theil_sen_is_robust_to_outliers():
     # a clean slope-3 line with 20% wild outliers: the pairwise-slope
     # median stays on the line while the LSQ slope is dragged away
