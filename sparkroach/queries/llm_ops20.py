@@ -277,6 +277,111 @@ def source_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# documents_bwt_shard_roundtrip — block-sorting (BWT+MTF+RLE) codec lane
+# ---------------------------------------------------------------------------
+
+N_BWT_SHARDS = 8
+
+
+def _bwt_oracle() -> str:
+    from sparkroach.queries.llm_ops10 import _th32_sql
+
+    return f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(COUNT(DISTINCT doc_id % {N_BWT_SHARDS}) AS BIGINT)
+                   AS n_shards,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(SUM(strlen(text)) AS BIGINT) AS sum_payload_bytes,
+               CAST(SUM({_th32_sql("md5(text)")}) AS BIGINT) AS text_hash_sum
+        FROM documents
+    """
+
+
+@register(
+    "documents_bwt_shard_roundtrip",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # documents_tar_webdataset_ingest (driver-proven r7 gate: shard
+    # bytes built in applyInPandas, strictly re-parsed, checksum-
+    # aggregated); the BWT/MTF/RLE conformance (banana→nnbaaa vector,
+    # rank-doubling vs naive rotations, varint runs, strict container,
+    # measured compression) is unit-pinned in tests/test_llm_ops20.py.
+    gated=False,
+    oracle=_bwt_oracle(),
+    survey_ref="source formats / codecs: block-sorting compression "
+    "(Burrows-Wheeler transform + move-to-front + zero-run RLE — the "
+    "bzip2 family's core) — a SIXTH compression family: a reversible "
+    "rotation-sort permutation rather than a dictionary or entropy "
+    "table; measured 0.40 on shard blocks with no entropy stage at all",
+    description=f"documents → {N_BWT_SHARDS} shard blocks (doc_id-"
+    "keyed, canonically ordered 'id\\ttext' lines) → one real SBWT "
+    "container per shard (Manber-Myers rank-doubling rotation sort — "
+    "naive comparison is quadratic exactly on the repetitive inputs "
+    "block-sorting is for — MTF, zero-run varint RLE, CRC-32) → "
+    "strict decompress → line parse → checksum aggregate; a one-byte "
+    "container error breaks a hash or the CRC.  Block size is "
+    "shard-bounded; the per-shard transform is embarrassingly "
+    "parallel applyInPandas",
+)
+def documents_bwt_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach._shiplib import ensure_shipped
+    from sparkroach.queries.llm_ops10 import _th32
+
+    ensure_shipped(spark)
+    d = load(spark, sf_dir, "documents")
+
+    def to_block(pdf):
+        import pandas as pd
+
+        from sparkroach.functions.bwt import sbwt_compress
+
+        pdf = pdf.sort_values("doc_id")
+        fid = int(pdf["file_id"].iloc[0])
+        block = "\n".join(
+            f"{did}\t{txt}" for did, txt in zip(pdf["doc_id"], pdf["text"])
+        ).encode("utf-8")
+        blob = sbwt_compress(block)
+        if len(block) > 64 and len(blob) >= 2 * len(block):
+            raise ValueError(
+                f"bwt shard {fid}: pathological expansion "
+                f"{len(blob)}/{len(block)}"
+            )
+        return pd.DataFrame({"file_id": [fid], "payload": [blob]})
+
+    def parse(batches):
+        import pandas as pd
+
+        from sparkroach.functions.bwt import sbwt_decompress
+
+        for pdf in batches:
+            ids, texts = [], []
+            for payload in pdf["payload"]:
+                block = sbwt_decompress(bytes(payload)).decode("utf-8")
+                if block:
+                    for line in block.split("\n"):
+                        did, txt = line.split("\t", 1)
+                        ids.append(int(did))
+                        texts.append(txt)
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    blocks = (
+        d.select("doc_id", "text")
+        .withColumn("file_id", F.pmod("doc_id", F.lit(N_BWT_SHARDS)))
+        .groupBy("file_id")
+        .applyInPandas(to_block, "file_id int, payload binary")
+    )
+    parsed = blocks.mapInPandas(parse, "doc_id long, text string")
+    return parsed.agg(
+        F.count("*").cast("long").alias("n_samples"),
+        F.countDistinct(F.pmod("doc_id", F.lit(N_BWT_SHARDS)))
+        .cast("long")
+        .alias("n_shards"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.sum(F.length("text")).cast("long").alias("sum_payload_bytes"),
+        F.sum(_th32("text")).cast("long").alias("text_hash_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # rouge_overlap_pairs — ROUGE-1/2 multiset overlap on LSH candidates
 # ---------------------------------------------------------------------------
 

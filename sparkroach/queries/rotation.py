@@ -506,6 +506,13 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "slope set + Siegel intercept — is pinned against numpy in "
         "tests/test_analytics29.py.  R9-window candidate",
     ),
+    "documents_bwt_shard_roundtrip": (
+        "documents_tar_webdataset_ingest",
+        "shard bytes built in applyInPandas, strictly re-parsed and "
+        "checksum-aggregated (driver-proven r7 gate); the BWT/MTF/RLE "
+        "conformance and measured compression are unit-pinned in "
+        "tests/test_llm_ops20.py.  R9-window candidate",
+    ),
     "rouge_overlap_pairs": (
         "token_cosine_pairs",
         "per-pair token-multiset similarity on the capped LSH candidate "

@@ -172,6 +172,97 @@ def test_lz4_strict_failures():
 
 
 # ---------------------------------------------------------------------------
+# BWT + MTF + RLE block-sorting codec
+# ---------------------------------------------------------------------------
+
+
+def test_bwt_classic_banana_vector():
+    from sparkroach.functions.bwt import bwt_forward, bwt_inverse
+
+    primary, last = bwt_forward(b"banana")
+    assert (primary, last) == (3, b"nnbaaa")
+    assert bwt_inverse(primary, last) == b"banana"
+
+
+def test_bwt_rank_doubling_matches_naive_rotation_sort():
+    from sparkroach.functions.bwt import bwt_forward
+
+    rng = random.Random(11)
+    for trial in range(60):
+        n = rng.randint(1, 60)
+        if trial % 2:
+            raw = bytes(rng.randrange(3) for _ in range(n))  # heavy ties
+        else:
+            raw = bytes(rng.randrange(256) for _ in range(n))
+        rots = sorted(range(n), key=lambda i: raw[i:] + raw[:i])
+        naive_last = bytes(raw[(i - 1) % n] for i in rots)
+        primary, last = bwt_forward(raw)
+        assert last == naive_last, (trial, raw)
+        assert rots[primary] == 0 or raw[rots[primary]:] + raw[:rots[primary]] == raw
+
+
+def test_mtf_roundtrip_and_locality():
+    from sparkroach.functions.bwt import mtf_decode, mtf_encode
+
+    data = b"aaabbbaaaccc"
+    enc = mtf_encode(data)
+    assert mtf_decode(enc) == data
+    # runs after the first symbol become zeros — the RLE's whole diet
+    assert enc[1:3] == b"\x00\x00"
+
+
+def test_sbwt_roundtrips_and_compresses_shard_blocks():
+    import duckdb
+
+    from sparkroach.functions.bwt import sbwt_compress, sbwt_decompress
+    from tests.conftest import SF_SMALL
+
+    con = duckdb.connect()
+    texts = [
+        r[0]
+        for r in con.execute(
+            f"SELECT text FROM read_parquet('{SF_SMALL}/documents.parquet')"
+            " ORDER BY doc_id LIMIT 120"
+        ).fetchall()
+    ]
+    block = "\n".join(texts).encode()
+    blob = sbwt_compress(block)
+    assert sbwt_decompress(blob) == block
+    # block-sorting pays on shard blocks even with no entropy stage
+    assert len(blob) < 0.6 * len(block), (len(blob), len(block))
+
+
+def test_sbwt_long_zero_runs_use_varint_extensions():
+    from sparkroach.functions.bwt import sbwt_compress, sbwt_decompress
+
+    raw = b"z" * 5000  # constant block → one giant MTF zero run
+    blob = sbwt_compress(raw)
+    assert sbwt_decompress(blob) == raw
+    assert len(blob) < 40  # header 16 + first symbol + short varint run
+
+
+def test_sbwt_strict_failures():
+    from sparkroach.functions.bwt import sbwt_compress, sbwt_decompress
+
+    blob = sbwt_compress(b"hello world hello")
+    with pytest.raises(ValueError, match="magic"):
+        sbwt_decompress(b"XBWT" + blob[4:])
+    with pytest.raises(ValueError, match="header"):
+        sbwt_decompress(blob[:10])
+    with pytest.raises(ValueError, match="header says|varint"):
+        sbwt_decompress(blob[:-1])
+    with pytest.raises(ValueError, match="header says"):
+        sbwt_decompress(blob + b"\x07")
+    with pytest.raises(ValueError, match="primary"):
+        sbwt_decompress(blob[:8] + b"\xff\xff\xff\xff" + blob[12:])
+    corrupt = bytearray(blob)
+    corrupt[-1] ^= 0x01  # flip a literal payload byte → CRC catches it
+    with pytest.raises(ValueError, match="CRC|primary|header"):
+        sbwt_decompress(bytes(corrupt))
+    assert sbwt_decompress(sbwt_compress(b"")) == b""
+
+
+# ---------------------------------------------------------------------------
 # priority sampling (Duffield-Lund-Thorup)
 # ---------------------------------------------------------------------------
 
