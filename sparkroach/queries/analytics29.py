@@ -333,6 +333,149 @@ def events_hourly_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# dup_graph_kcore — k-core peeling over the near-dup graph
+# ---------------------------------------------------------------------------
+
+KCORE_KS = (2, 3)
+KCORE_ROUNDS = 12  # peeling rounds per k (paths shed 2 nodes/round)
+
+
+def _kcore_oracle() -> str:
+    from sparkroach.queries.llm_ops import (
+        _JACC_SQL,
+        _JACCARD_TAU,
+        _lsh_candidates_cte,
+    )
+
+    lsh = _lsh_candidates_cte().strip()
+    assert lsh.startswith("WITH ")
+    ctes = [
+        lsh[len("WITH "):],
+        f"""edges AS MATERIALIZED (
+            SELECT c.doc_a, c.doc_b FROM cand c
+            JOIN shing sa ON sa.doc_id = c.doc_a
+            JOIN shing sb ON sb.doc_id = c.doc_b
+            WHERE {_JACC_SQL} >= {_JACCARD_TAU}
+        )""",
+    ]
+    selects = []
+    for k in KCORE_KS:
+        ctes.append(
+            f"core{k}_0 AS MATERIALIZED (SELECT doc_a, doc_b FROM edges)"
+        )
+        for i in range(1, KCORE_ROUNDS + 1):
+            # MATERIALIZED throughout: each round is referenced by the
+            # next round twice plus the final stats — DuckDB's default
+            # inlining would re-expand the chain exponentially
+            ctes.append(
+                f"""keep{k}_{i} AS MATERIALIZED (
+                SELECT node FROM (
+                    SELECT doc_a AS node FROM core{k}_{i - 1}
+                    UNION ALL SELECT doc_b FROM core{k}_{i - 1}
+                ) GROUP BY node HAVING COUNT(*) >= {k}
+            )"""
+            )
+            ctes.append(
+                f"""core{k}_{i} AS MATERIALIZED (
+                SELECT e.doc_a, e.doc_b FROM core{k}_{i - 1} e
+                JOIN keep{k}_{i} ka ON ka.node = e.doc_a
+                JOIN keep{k}_{i} kb ON kb.node = e.doc_b
+            )"""
+            )
+        selects.append(
+            f"""SELECT {k} AS k,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                    SELECT doc_a AS n FROM core{k}_{KCORE_ROUNDS}
+                    UNION SELECT doc_b FROM core{k}_{KCORE_ROUNDS}))
+                   AS n_core_nodes,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM core{k}_{KCORE_ROUNDS}) AS n_core_edges,
+               (SELECT COUNT(*) FROM core{k}_{KCORE_ROUNDS}) =
+               (SELECT COUNT(*) FROM core{k}_{KCORE_ROUNDS - 1})
+                   AS converged"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + " UNION ALL ".join(selects) + " ORDER BY k"
+    )
+
+
+@register(
+    "dup_graph_kcore",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # pagerank_dup_graph (bounded-iteration loop of joins/aggregations
+    # over the identical verified near-dup edge set — the recorded
+    # iteration plan family); the peeling semantics (paths dissolve,
+    # cliques survive, convergence) are pinned on controlled graphs in
+    # tests/test_analytics29.py.
+    gated=False,
+    oracle=_kcore_oracle(),
+    survey_ref="§2C graph statistics — k-core decomposition over the "
+    "near-dup graph (the subgraph-density ladder: 2-core strips "
+    "chain/tree duplication, 3-core isolates clique-shaped template "
+    "floods), completing the graph matrix next to CC, BFS, triangles "
+    "and PageRank",
+    description=f"iterative peeling for k ∈ {KCORE_KS}: each round "
+    "drops nodes of current degree < k (one degree aggregate + two "
+    "semi-join shuffles over EDGE-shaped data — the standard "
+    f"distributed peeling), {KCORE_ROUNDS} rounds unrolled with the "
+    "fixpoint REPORTED as a `converged` column (chains shed two nodes "
+    "per round, so depth covers paths of ~2·rounds; an unconverged "
+    "run is visible, never silent).  The oracle replays the identical "
+    "rounds as MATERIALIZED CTEs.  Per-round cost is linear in "
+    "surviving edges; the LSH cap bounds the edge set upstream",
+)
+def dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach.queries.llm_ops import _JACCARD_TAU, _verified_pairs
+
+    d = load(spark, sf_dir, "documents")
+    edges = (
+        _verified_pairs(d)
+        .where(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    out = []
+    for k in KCORE_KS:
+        cur = edges
+        prev_cnt = None
+        for _i in range(KCORE_ROUNDS):
+            prev_cnt = cur.count()
+            keep = (
+                cur.select(F.col("doc_a").alias("node"))
+                .unionByName(cur.select(F.col("doc_b").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").alias("dg"))
+                .where(F.col("dg") >= k)
+                .select("node")
+            )
+            cur = (
+                cur.join(
+                    keep.withColumnsRenamed({"node": "doc_a"}),
+                    "doc_a",
+                    "left_semi",
+                )
+                .join(
+                    keep.withColumnsRenamed({"node": "doc_b"}),
+                    "doc_b",
+                    "left_semi",
+                )
+                .localCheckpoint(eager=True)  # truncate per-round lineage
+            )
+        n_edges = cur.count()
+        n_nodes = (
+            cur.select(F.col("doc_a").alias("n"))
+            .union(cur.select("doc_b"))
+            .distinct()
+            .count()
+        )
+        out.append((k, n_nodes, n_edges, n_edges == prev_cnt))
+    return spark.createDataFrame(
+        out, "k long, n_core_nodes long, n_core_edges long, converged boolean"
+    ).orderBy("k")
+
+
 def _rank2_table(g: DataFrame, key: str) -> DataFrame:
     """Per-distinct-value doubled midranks WITHOUT a single-partition
     window: ``g`` is (key, cnt, ...); appends rank2 = 2·(#smaller) +

@@ -527,6 +527,13 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "semantics are unit-pinned in tests/test_llm_ops20.py.  "
         "R9-window candidate",
     ),
+    "dup_graph_kcore": (
+        "pagerank_dup_graph",
+        "bounded-iteration loop of joins/aggregations over the "
+        "identical verified near-dup edge set (the recorded iteration "
+        "plan family); peeling semantics pinned on controlled graphs "
+        "in tests/test_analytics29.py.  R9-window candidate",
+    ),
     "events_mann_whitney_u": (
         "events_value_ks_drift",
         "two-sample distribution comparison over exact integer cents "

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from sparkroach.queries import QUERIES
 from tests.conftest import SF_SMALL
@@ -101,6 +102,59 @@ def test_events_hourly_theil_sen_matches_reference(spark):
     assert row["n_pairs"] == n_pairs
     assert row["sen_slope_r6"] == pytest.approx(s6, abs=2e-6)
     assert row["sen_intercept_r6"] == pytest.approx(i6, abs=2e-6)
+
+
+def _peel_ref(edges, k):
+    """Reference k-core: peel until fixpoint, return surviving edges."""
+    cur = set(edges)
+    while True:
+        deg = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        nxt = {(a, b) for a, b in cur if deg[a] >= k and deg[b] >= k}
+        if nxt == cur:
+            return cur
+        cur = nxt
+
+
+def test_kcore_reference_semantics():
+    path = {(i, i + 1) for i in range(6)}  # path: 2-core is empty
+    assert _peel_ref(path, 2) == set()
+    clique = {(a, b) for a in range(4) for b in range(a + 1, 4)}
+    assert _peel_ref(clique, 2) == clique  # cliques survive intact
+    assert _peel_ref(clique, 3) == clique
+    lollipop = {(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)}
+    assert _peel_ref(lollipop, 2) == {(0, 1), (1, 2), (0, 2)}
+    assert _peel_ref(lollipop, 3) == set()
+
+
+def test_dup_graph_kcore_gate_invariants(spark):
+    rows = {r["k"]: r for r in QUERIES["dup_graph_kcore"].fn(spark, SF_SMALL).collect()}
+    assert set(rows) == {2, 3}
+    for r in rows.values():
+        assert r["converged"], "peeling must reach its fixpoint at test SFs"
+    # the density ladder is monotone: the 3-core sits inside the 2-core
+    assert rows[3]["n_core_nodes"] <= rows[2]["n_core_nodes"]
+    assert rows[3]["n_core_edges"] <= rows[2]["n_core_edges"]
+    # and matches the reference peeling on the real verified edge set
+    import duckdb
+
+    from sparkroach.queries.llm_ops import _JACCARD_TAU, _verified_pairs
+
+    edges = {
+        (r["doc_a"], r["doc_b"])
+        for r in _verified_pairs(
+            spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        )
+        .where(F.col("jaccard") >= _JACCARD_TAU)
+        .collect()
+    }
+    for k in (2, 3):
+        ref = _peel_ref(edges, k)
+        ref_nodes = {n for e in ref for n in e}
+        assert rows[k]["n_core_edges"] == len(ref)
+        assert rows[k]["n_core_nodes"] == len(ref_nodes)
 
 
 def _mw_ref(xs, ys):
