@@ -334,6 +334,150 @@ def events_hourly_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# events_ams_f2_sketch — tug-of-war second-moment (F2) estimation
+# ---------------------------------------------------------------------------
+
+AMS_GROUPS = 6
+AMS_PER_GROUP = 4
+_AMS_K = AMS_GROUPS * AMS_PER_GROUP
+
+
+def _ams_oracle() -> str:
+    from sparkroach.queries.llm_ops10 import _th32_sql
+
+    h = _th32_sql(
+        "md5('ams:' || CAST(j.j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))"
+    )
+    return f"""
+        WITH c AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY user_id
+        ),
+        f2 AS (
+            SELECT CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS BIGINT) AS f2,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM c
+        ),
+        x AS (
+            SELECT j.j,
+                   CAST(SUM(CASE WHEN ({h}) % 2 = 0 THEN cnt
+                                 ELSE -cnt END) AS BIGINT) AS sk
+            FROM c JOIN range(0, {_AMS_K}) j(j) ON TRUE
+            GROUP BY j.j
+        ),
+        grp AS (
+            SELECT j // {AMS_PER_GROUP} AS g,
+                   CAST(SUM(CAST(sk AS HUGEINT) * sk) AS BIGINT) AS gs
+            FROM x GROUP BY j // {AMS_PER_GROUP}
+        ),
+        med AS (
+            SELECT MAX(gs) AS est FROM (
+                SELECT gs FROM grp ORDER BY gs, g
+                LIMIT {(AMS_GROUPS + 1) // 2}
+            )
+        )
+        SELECT f2.n_users, f2.f2 AS f2_exact,
+               CAST({AMS_GROUPS} AS BIGINT) AS k_groups,
+               med.est AS est_group_sum,
+               CAST(ABS(med.est - {AMS_PER_GROUP} * f2.f2) AS DOUBLE)
+                   / CAST({AMS_PER_GROUP} * f2.f2 AS DOUBLE) AS rel_err
+        FROM f2, med
+    """
+
+
+@register(
+    "events_ams_f2_sketch",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # hll_distinct_sketch (md5-deterministic mergeable moment sketch
+    # with exact integer registers, recorded bench headline); the AMS
+    # estimator's unbiasedness and concentration are pinned over many
+    # hash salts in tests/test_analytics29.py.
+    gated=False,
+    oracle=_ams_oracle(),
+    survey_ref="§2C mergeable sketches — the AMS 'tug-of-war' F2 "
+    "sketch (Alon-Matias-Szegedy): second frequency moment (self-join "
+    "size / skew) estimation from ±1 hash projections, median-of-"
+    "means over 6 groups of 4 — the moment-estimation member of the "
+    "sketch matrix next to HLL (F0), CMS (point/join) and KMV",
+    description=f"per user the event count; {_AMS_K} estimators "
+    "S_j = Σ_u s_j(u)·cnt(u) with s_j the md5-derived ±1 sign — "
+    "EXACT integers (map-side combinable sums), squared exactly; "
+    f"groups of {AMS_PER_GROUP} summed exactly, the median group sum "
+    "taken by orderBy+limit (no window, no floats until the one "
+    "reported relative-error division of BIGINT-ranged exact ints).  "
+    "E[S²] = F2 exactly; the sketch is mergeable by adding S_j "
+    "vectors.  Sign table is computed per (user, j) on the fly — "
+    "nothing corpus-scale is ever broadcast",
+)
+def events_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach.queries.llm_ops10 import _th32
+
+    c = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)  # reused: exact F2 + sketch build
+    )
+    f2 = c.agg(
+        F.sum(
+            (F.col("cnt").cast("decimal(19,0)") * F.col("cnt")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("long")
+        .alias("f2"),
+        F.count("*").cast("long").alias("n_users"),
+    )
+    h = _th32(
+        F.concat(
+            F.lit("ams:"),
+            F.col("j").cast("string"),
+            F.lit(":"),
+            F.col("user_id").cast("string"),
+        )
+    )
+    x = (
+        c.select(
+            "user_id",
+            "cnt",
+            F.explode(F.sequence(F.lit(0), F.lit(_AMS_K - 1))).alias("j"),
+        )
+        .groupBy("j")
+        .agg(
+            F.sum(
+                F.when(h % 2 == 0, F.col("cnt")).otherwise(-F.col("cnt"))
+            )
+            .cast("long")
+            .alias("sk")
+        )
+    )
+    grp = x.groupBy((F.col("j") / AMS_PER_GROUP).cast("long").alias("g")).agg(
+        F.sum(
+            (F.col("sk").cast("decimal(19,0)") * F.col("sk")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("long")
+        .alias("gs")
+    )
+    med = (
+        grp.orderBy("gs", "g")
+        .limit((AMS_GROUPS + 1) // 2)
+        .agg(F.max("gs").alias("est"))
+    )
+    return f2.crossJoin(med).select(  # 1-row × 1-row bookkeeping join
+        "n_users",
+        F.col("f2").alias("f2_exact"),
+        F.lit(AMS_GROUPS).cast("long").alias("k_groups"),
+        F.col("est").alias("est_group_sum"),
+        (
+            F.abs(F.col("est") - AMS_PER_GROUP * F.col("f2")).cast("double")
+            / (F.lit(AMS_PER_GROUP) * F.col("f2")).cast("double")
+        ).alias("rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # dup_graph_kcore — k-core peeling over the near-dup graph
 # ---------------------------------------------------------------------------
 

@@ -277,6 +277,68 @@ def source_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal_tiff_decode — baseline TIFF container + PackBits RLE
+# ---------------------------------------------------------------------------
+
+
+def _tiff_oracle() -> str:
+    g = (
+        "(CASE WHEN ((p.p // 8) % 4) = 1 "
+        "THEN ((d.doc_id * 13 + (p.p // 8) * 41) % 256 + (p.p % 8) * 23) % 256 "
+        "ELSE (d.doc_id * 13 + (p.p // 8) * 41) % 256 END)"
+    )
+    return f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   16 + (doc_id % 4) * 8 AS w,
+                   12 + ((doc_id // 4) % 3) * 6 AS h
+            FROM documents
+        )
+        SELECT d.doc_id AS media_id,
+               CAST(d.w AS INT) AS width,
+               CAST(d.h AS INT) AS height,
+               CAST(d.w * d.h AS INT) AS n_px,
+               CAST(SUM({g}) AS BIGINT) AS gray_sum,
+               CAST(SUM(p.p * {g}) AS BIGINT) AS pos_checksum
+        FROM dims d
+        JOIN range(0, 1200) p(p) ON p.p < d.w * d.h
+        GROUP BY d.doc_id, d.w, d.h
+        ORDER BY media_id
+    """
+
+
+@register(
+    "multimodal_tiff_decode",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # multimodal_png_decode (lossless image codec through the identical
+    # mapInPandas lane with a pixel-arithmetic oracle, R8 window); the
+    # PackBits token semantics, the IFD walk (out-of-line strip
+    # tables, sorted tags, next-IFD pointer) and strict failures are
+    # unit-pinned in tests/test_llm_ops20.py.
+    gated=False,
+    oracle=_tiff_oracle(),
+    survey_ref="LLM ops: multimodal decode — baseline TIFF 6.0 "
+    "container (real little-endian IFD with out-of-line strip "
+    "offset/count tables, strip-per-row) + PackBits RLE — a SEVENTH "
+    "compression family (pure run-length, the floor of the hierarchy) "
+    "and the second real IFD-style container next to MP4's box walk",
+    description="encode a real baseline TIFF per document (8-bit "
+    "grayscale, strip-per-row PackBits, IFD value-offset indirection "
+    "for the strip tables) and decode it with an independent strict "
+    "IFD walker; lossless, so the oracle mirrors the pixel synthesis "
+    "as doc_id arithmetic (constant groups → repeat tokens, ramp "
+    "groups → literal tokens).  Map-only mapInPandas both ways",
+)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach._shiplib import ensure_shipped
+    from sparkroach.functions.tiff import synthesize_tiff_media, tiff_features
+
+    ensure_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    return tiff_features(synthesize_tiff_media(docs)).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
 # documents_bwt_shard_roundtrip — block-sorting (BWT+MTF+RLE) codec lane
 # ---------------------------------------------------------------------------
 

@@ -506,6 +506,13 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "slope set + Siegel intercept — is pinned against numpy in "
         "tests/test_analytics29.py.  R9-window candidate",
     ),
+    "multimodal_tiff_decode": (
+        "multimodal_png_decode",
+        "lossless image codec through the identical mapInPandas lane "
+        "with a pixel-arithmetic oracle (R8-window gate); the PackBits "
+        "tokens and strict IFD walk are unit-pinned in "
+        "tests/test_llm_ops20.py.  R9-window candidate",
+    ),
     "documents_bwt_shard_roundtrip": (
         "documents_tar_webdataset_ingest",
         "shard bytes built in applyInPandas, strictly re-parsed and "
@@ -526,6 +533,13 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "(the recorded plan family); the RAKE degree/frequency "
         "semantics are unit-pinned in tests/test_llm_ops20.py.  "
         "R9-window candidate",
+    ),
+    "events_ams_f2_sketch": (
+        "hll_distinct_sketch",
+        "md5-deterministic mergeable sketch with exact integer "
+        "registers (recorded bench headline); the AMS estimator's "
+        "unbiasedness/concentration is pinned over many hash salts in "
+        "tests/test_analytics29.py.  R9-window candidate",
     ),
     "dup_graph_kcore": (
         "pagerank_dup_graph",

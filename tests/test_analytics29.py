@@ -104,6 +104,51 @@ def test_events_hourly_theil_sen_matches_reference(spark):
     assert row["sen_intercept_r6"] == pytest.approx(i6, abs=2e-6)
 
 
+def _ams_squares(counts, salt, k=24):
+    """Reference AMS estimator squares S_j² for one salt."""
+    import hashlib
+
+    sums = []
+    for j in range(k):
+        s = 0
+        for u, cnt in counts.items():
+            h = int(
+                hashlib.md5(f"{salt}:{j}:{u}".encode()).hexdigest()[:8], 16
+            )
+            s += cnt if h % 2 == 0 else -cnt
+        sums.append(s * s)
+    return sums
+
+
+def test_ams_estimator_unbiased_mean_and_concentrated_median():
+    rng = np.random.default_rng(12)
+    counts = {int(u): int(c) for u, c in enumerate(rng.integers(1, 60, 80))}
+    f2 = sum(c * c for c in counts.values())
+    means, medians = [], []
+    for salt in range(60):
+        sq = _ams_squares(counts, salt)
+        means.append(np.mean(sq))  # E[S²] = F2 exactly → unbiased
+        groups = sorted(
+            sum(sq[g * 4 : (g + 1) * 4]) / 4 for g in range(6)
+        )
+        medians.append(groups[2])  # lower median of the 6 group means
+    # unbiasedness: the grand mean of squares tracks F2 tightly
+    assert abs(np.mean(means) - f2) / f2 < 0.15
+    # concentration: the median-of-means realization is within a small
+    # constant factor essentially always (it IS median-biased low —
+    # that's the outlier-robustness trade the estimator makes)
+    within = sum(1 for e in medians if 0.3 * f2 < e < 3 * f2)
+    assert within >= 50
+
+
+def test_events_ams_f2_gate_reports_sane_error(spark):
+    row = QUERIES["events_ams_f2_sketch"].fn(spark, SF_SMALL).collect()[0]
+    assert row["f2_exact"] > 0
+    # single fixed-hash realization: pinned loose (median-of-means with
+    # 6x4 estimators is within a small constant factor w.h.p.)
+    assert row["rel_err"] < 1.5
+
+
 def _peel_ref(edges, k):
     """Reference k-core: peel until fixpoint, return surviving edges."""
     cur = set(edges)

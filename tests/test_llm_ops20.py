@@ -172,6 +172,80 @@ def test_lz4_strict_failures():
 
 
 # ---------------------------------------------------------------------------
+# TIFF container + PackBits
+# ---------------------------------------------------------------------------
+
+
+def test_packbits_roundtrips_and_long_runs():
+    from sparkroach.functions.tiff import packbits_decode, packbits_encode
+
+    rng = random.Random(3)
+    for trial in range(200):
+        n = rng.randint(0, 300)
+        kind = trial % 4
+        if kind == 0:
+            row = bytes(rng.randrange(256) for _ in range(n))
+        elif kind == 1:
+            row = bytes([9]) * n  # runs past the 128 token cap
+        elif kind == 2:
+            row = bytes(rng.randrange(2) for _ in range(n))
+        else:
+            row = bytes(i % 7 for i in range(n))
+        enc = packbits_encode(row)
+        assert packbits_decode(enc, n) == row, (trial, kind, n)
+    assert len(packbits_encode(bytes([7]) * 400)) <= 8
+
+
+def test_tiff_gate_corpus_roundtrips_and_strips_compress():
+    from sparkroach.functions.tiff import (
+        doc_tiff_pixels,
+        packbits_encode,
+        tiff_decode,
+        tiff_encode,
+    )
+
+    strip_bytes = px_bytes = 0
+    for d in range(120):
+        w, h, px = doc_tiff_pixels(d)
+        blob = tiff_encode(w, h, px)
+        assert tiff_decode(blob) == (w, h, px), d
+        for y in range(h):
+            strip_bytes += len(packbits_encode(px[y * w : (y + 1) * w]))
+        px_bytes += len(px)
+    # the RLE payload itself compresses (container overhead is what
+    # brings the small gate images to ~break-even)
+    assert strip_bytes < 0.6 * px_bytes, (strip_bytes, px_bytes)
+
+
+def test_tiff_strict_failures():
+    from sparkroach.functions.tiff import (
+        doc_tiff_pixels,
+        packbits_decode,
+        tiff_decode,
+        tiff_encode,
+    )
+
+    w, h, px = doc_tiff_pixels(5)
+    blob = tiff_encode(w, h, px)
+    with pytest.raises(ValueError, match="byte order"):
+        tiff_decode(b"MM" + blob[2:])
+    with pytest.raises(ValueError, match="magic"):
+        tiff_decode(blob[:2] + b"\x2b\x00" + blob[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        tiff_decode(blob[:6])
+    with pytest.raises(ValueError, match="next-IFD"):
+        tiff_decode(blob[:-4])
+    with pytest.raises(ValueError, match="truncated literal"):
+        packbits_decode(b"\x05ab", 6)
+    with pytest.raises(ValueError, match="truncated repeat"):
+        packbits_decode(b"\x81", 2)
+    with pytest.raises(ValueError, match="decodes to"):
+        packbits_decode(b"\x02abc", 5)  # underfilled row
+    with pytest.raises(ValueError, match="overflows"):
+        packbits_decode(b"\x83z", 1)  # repeat of 126 into a 1-byte row
+
+
+# ---------------------------------------------------------------------------
 # BWT + MTF + RLE block-sorting codec
 # ---------------------------------------------------------------------------
 

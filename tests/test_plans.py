@@ -360,6 +360,8 @@ _SCALAR_BNLJ_OK = {
     "events_ordered_funnel_maxgap",  # three 1-row step counts fused
     "dup_graph_triangles",  # stats x edges x triangles scalars
     "search_ndcg_report",  # 1-row DCG x 1-row IDCG
+    # continuation wave: 1-row x 1-row bookkeeping crossJoins
+    "events_ams_f2_sketch",  # 1-row exact F2 x 1-row median estimate
 }
 
 
