@@ -334,6 +334,166 @@ def events_hourly_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# lineitem_ols_cramer — exact two-feature OLS via normal equations
+# ---------------------------------------------------------------------------
+
+_OLS_SCALE = 1_000_000  # betas quantized at 1e-6
+
+
+def _ols_oracle() -> str:
+    det = (
+        "(n * (sxx * szz - sxz * sxz) "
+        "- sx * (sx * szz - sxz * sz) "
+        "+ sz * (sx * sxz - sxx * sz))"
+    )
+    det0 = (
+        "(sy * (sxx * szz - sxz * sxz) "
+        "- sx * (sxy * szz - sxz * szy) "
+        "+ sz * (sxy * sxz - sxx * szy))"
+    )
+    det1 = (
+        "(n * (sxy * szz - sxz * szy) "
+        "- sy * (sx * szz - sxz * sz) "
+        "+ sz * (sx * szy - sxy * sz))"
+    )
+    det2 = (
+        "(n * (sxx * szy - sxy * sxz) "
+        "- sx * (sx * szy - sxy * sz) "
+        "+ sy * (sx * sxz - sxx * sz))"
+    )
+    return f"""
+        WITH q AS (
+            SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+                   CAST(round(l_discount * 100) AS BIGINT) AS z,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(x) AS HUGEINT) AS sx,
+                   CAST(SUM(z) AS HUGEINT) AS sz,
+                   CAST(SUM(y) AS HUGEINT) AS sy,
+                   CAST(SUM(x * x) AS HUGEINT) AS sxx,
+                   CAST(SUM(x * z) AS HUGEINT) AS sxz,
+                   CAST(SUM(z * z) AS HUGEINT) AS szz,
+                   CAST(SUM(x * y) AS HUGEINT) AS sxy,
+                   CAST(SUM(z * y) AS HUGEINT) AS szy
+            FROM q
+        ),
+        b AS (
+            SELECT CAST(({det0} * {_OLS_SCALE}) // {det} AS BIGINT) AS b0,
+                   CAST(({det1} * {_OLS_SCALE}) // {det} AS BIGINT) AS b1,
+                   CAST(({det2} * {_OLS_SCALE}) // {det} AS BIGINT) AS b2,
+                   CAST(n AS BIGINT) AS n_rows
+            FROM s
+        )
+        SELECT b.n_rows, b.b0 AS beta0_q6, b.b1 AS beta1_q6,
+               b.b2 AS beta2_q6,
+               CAST(SUM(ABS(CAST({_OLS_SCALE} AS HUGEINT) * q.y
+                            - (b.b0 + b.b1 * q.x + b.b2 * q.z)))
+                    AS BIGINT) AS sae_q6
+        FROM q, b
+        GROUP BY b.n_rows, b.b0, b.b1, b.b2
+    """
+
+
+@register(
+    "lineitem_ols_cramer",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # lineitem_corr_matrix → recorded twin orders_profile_report (one-
+    # pass exact sufficient statistics, the recorded profiling plan
+    # family); the Cramer solution is pinned against numpy.linalg
+    # least squares in tests/test_analytics29.py.
+    gated=False,
+    oracle=_ols_oracle(),
+    survey_ref="§2C analytic breadth / statistics — EXACT multiple "
+    "linear regression at scale: the 3×3 normal equations solved by "
+    "integer Cramer determinants over one-pass sufficient statistics "
+    "— regression with zero floating-point in the fit itself",
+    description="extendedprice-cents on (quantity, discount-pct): one "
+    "scan collects the 9 exact sums; the 3×3 determinants are exact "
+    "integer arithmetic (python ints / HUGEINT — the Gram matrix "
+    f"keeps det > 0), betas quantized at 1/{_OLS_SCALE} by mirrored "
+    "toward-zero truncation, then a SECOND distributed pass scores "
+    "Σ|residual| against the quantized fit — every reported value an "
+    "exact integer, no doubles anywhere.  The §9 shape: two scans, "
+    "one 9-value bookkeeping row through the driver",
+)
+def lineitem_ols_cramer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = load(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("x"),
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("z"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("y"),
+    ).localCheckpoint(eager=True)  # reused: stats pass + residual pass
+    s = q.agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            F.sum(F.expr(e).cast("decimal(38,0)")).alias(a)
+            for e, a in [
+                ("x", "sx"), ("z", "sz"), ("y", "sy"),
+                ("x * x", "sxx"), ("x * z", "sxz"), ("z * z", "szz"),
+                ("x * y", "sxy"), ("z * y", "szy"),
+            ]
+        ],
+    ).collect()[0]
+    n = int(s["n"])
+    if n < 3:
+        raise ValueError("lineitem_ols_cramer: need >= 3 rows")
+    sx, sz, sy = int(s["sx"]), int(s["sz"]), int(s["sy"])
+    sxx, sxz, szz = int(s["sxx"]), int(s["sxz"]), int(s["szz"])
+    sxy, szy = int(s["sxy"]), int(s["szy"])
+    det = (
+        n * (sxx * szz - sxz * sxz)
+        - sx * (sx * szz - sxz * sz)
+        + sz * (sx * sxz - sxx * sz)
+    )
+    if det <= 0:
+        raise ValueError("lineitem_ols_cramer: singular normal equations")
+    det0 = (
+        sy * (sxx * szz - sxz * sxz)
+        - sx * (sxy * szz - sxz * szy)
+        + sz * (sxy * sxz - sxx * szy)
+    )
+    det1 = (
+        n * (sxy * szz - sxz * szy)
+        - sy * (sx * szz - sxz * sz)
+        + sz * (sx * szy - sxy * sz)
+    )
+    det2 = (
+        n * (sxx * szy - sxy * sxz)
+        - sx * (sx * szy - sxy * sz)
+        + sy * (sx * sxz - sxx * sz)
+    )
+
+    def truncdiv(a: int, b: int) -> int:
+        # DuckDB's // truncates toward zero; python // floors
+        return -((-a) // b) if a < 0 else a // b
+
+    b0 = truncdiv(det0 * _OLS_SCALE, det)
+    b1 = truncdiv(det1 * _OLS_SCALE, det)
+    b2 = truncdiv(det2 * _OLS_SCALE, det)
+    sae = q.agg(
+        F.sum(
+            F.abs(
+                F.lit(_OLS_SCALE).cast("decimal(38,0)") * F.col("y")
+                - (
+                    F.lit(b0)
+                    + F.lit(b1) * F.col("x")
+                    + F.lit(b2) * F.col("z")
+                ).cast("decimal(38,0)")
+            )
+        )
+        .cast("long")
+        .alias("sae")
+    ).collect()[0]["sae"]
+    return spark.createDataFrame(
+        [(n, b0, b1, b2, int(sae))],
+        "n_rows long, beta0_q6 long, beta1_q6 long, beta2_q6 long, "
+        "sae_q6 long",
+    )
+
+
+# ---------------------------------------------------------------------------
 # events_ams_f2_sketch — tug-of-war second-moment (F2) estimation
 # ---------------------------------------------------------------------------
 

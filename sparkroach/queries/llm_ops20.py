@@ -444,6 +444,132 @@ def documents_bwt_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# events_delta_varint_roundtrip — delta+zigzag+LEB128 column encoding
+# ---------------------------------------------------------------------------
+
+
+def _dvi_oracle() -> str:
+    from sparkroach.queries.llm_ops10 import _th32_sql
+
+    ts_seq = (
+        "string_agg(CAST(epoch_us(ts::TIMESTAMP) AS VARCHAR), ','"
+        " ORDER BY epoch_us(ts::TIMESTAMP), event_id)"
+    )
+    v_seq = (
+        "string_agg(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), ','"
+        " ORDER BY epoch_us(ts::TIMESTAMP), event_id)"
+    )
+    return f"""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(epoch_us(ts::TIMESTAMP))
+                    - MIN(epoch_us(ts::TIMESTAMP)) AS BIGINT) AS ts_span_us,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents_sum,
+               CAST({_th32_sql(f"md5({ts_seq})")} AS BIGINT) AS ts_h32,
+               CAST({_th32_sql(f"md5({v_seq})")} AS BIGINT) AS value_h32
+        FROM events GROUP BY user_id ORDER BY user_id
+    """
+
+
+@register(
+    "events_delta_varint_roundtrip",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # documents_tar_webdataset_ingest (real bytes built and strictly
+    # re-parsed through grouped-pandas stages with a content-hash
+    # oracle — the recorded lane family); the zigzag/LEB128/delta
+    # semantics and strict container failures are unit-pinned in
+    # tests/test_llm_ops20.py.
+    gated=False,
+    oracle=_dvi_oracle(),
+    survey_ref="source formats / storage encodings: delta + zigzag + "
+    "LEB128 varint integer blocks — the encoding primitive under "
+    "Parquet DELTA_BINARY_PACKED and the protobuf wire format; sorted "
+    "timestamp columns collapse to ~4 bytes/value (measured)",
+    description="per user: the ts_us and value-cents columns (ordered "
+    "by ts, event_id) each encoded to a real DVI block (zigzag signed "
+    "deltas, LEB128 groups, CRC-32 over the canonical decoded "
+    "rendering) in one applyInPandas stage, decoded by the strict "
+    "decoder in the next; the gate reports per-user count/span/sum "
+    "plus the md5-derived hash of the DECODED sequences — a one-bit "
+    "wire error breaks the CRC or a hash.  Per-user blocks are "
+    "embarrassingly parallel; nothing shuffles twice",
+)
+def events_delta_varint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach._shiplib import ensure_shipped
+
+    ensure_shipped(spark)
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        "event_id",
+    )
+
+    def encode(pdf):
+        import pandas as pd
+
+        from sparkroach.functions.varint import dvi_encode
+
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        uid = int(pdf["user_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "ts_blob": [dvi_encode([int(v) for v in pdf["ts_us"]])],
+                "v_blob": [dvi_encode([int(v) for v in pdf["cents"]])],
+            }
+        )
+
+    def decode(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from sparkroach.functions.varint import dvi_decode
+
+        def h32(vals):
+            s = ",".join(str(v) for v in vals).encode()
+            return int(hashlib.md5(s).hexdigest()[:8], 16)
+
+        for pdf in batches:
+            rows = []
+            for uid, tb, vb in zip(
+                pdf["user_id"], pdf["ts_blob"], pdf["v_blob"]
+            ):
+                ts = dvi_decode(bytes(tb))
+                vs = dvi_decode(bytes(vb))
+                if len(ts) != len(vs):
+                    raise ValueError("dvi lane: column lengths disagree")
+                rows.append(
+                    {
+                        "user_id": int(uid),
+                        "n_events": len(ts),
+                        "ts_span_us": max(ts) - min(ts) if ts else 0,
+                        "value_cents_sum": sum(vs),
+                        "ts_h32": h32(ts),
+                        "value_h32": h32(vs),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "user_id", "n_events", "ts_span_us",
+                    "value_cents_sum", "ts_h32", "value_h32",
+                ],
+            )
+
+    enc = ev.groupBy("user_id").applyInPandas(
+        encode, "user_id long, ts_blob binary, v_blob binary"
+    )
+    return enc.mapInPandas(
+        decode,
+        "user_id long, n_events long, ts_span_us long, "
+        "value_cents_sum long, ts_h32 long, value_h32 long",
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
 # rouge_overlap_pairs — ROUGE-1/2 multiset overlap on LSH candidates
 # ---------------------------------------------------------------------------
 

@@ -506,6 +506,13 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "slope set + Siegel intercept — is pinned against numpy in "
         "tests/test_analytics29.py.  R9-window candidate",
     ),
+    "events_delta_varint_roundtrip": (
+        "documents_tar_webdataset_ingest",
+        "real bytes built and strictly re-parsed through grouped-"
+        "pandas stages with a content-hash oracle (driver-proven r7 "
+        "lane family); zigzag/LEB128/delta semantics unit-pinned in "
+        "tests/test_llm_ops20.py.  R9-window candidate",
+    ),
     "multimodal_tiff_decode": (
         "multimodal_png_decode",
         "lossless image codec through the identical mapInPandas lane "
@@ -533,6 +540,13 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "(the recorded plan family); the RAKE degree/frequency "
         "semantics are unit-pinned in tests/test_llm_ops20.py.  "
         "R9-window candidate",
+    ),
+    "lineitem_ols_cramer": (
+        "orders_profile_report",
+        "one-pass exact sufficient statistics reduced through a 1-row "
+        "bookkeeping collect (the recorded profiling plan family); the "
+        "Cramer solution is pinned against numpy least squares in "
+        "tests/test_analytics29.py.  R9-window candidate",
     ),
     "events_ams_f2_sketch": (
         "hll_distinct_sketch",

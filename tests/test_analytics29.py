@@ -104,6 +104,43 @@ def test_events_hourly_theil_sen_matches_reference(spark):
     assert row["sen_intercept_r6"] == pytest.approx(i6, abs=2e-6)
 
 
+def test_lineitem_ols_matches_numpy_least_squares(spark):
+    import duckdb
+
+    row = QUERIES["lineitem_ols_cramer"].fn(spark, SF_SMALL).collect()[0]
+    con = duckdb.connect()
+    data = con.execute(
+        "SELECT CAST(round(l_quantity) AS BIGINT), "
+        "CAST(round(l_discount*100) AS BIGINT), "
+        "CAST(round(l_extendedprice*100) AS BIGINT) FROM "
+        f"read_parquet('{SF_SMALL}/lineitem.parquet')"
+    ).fetchall()
+    x = np.array([r[0] for r in data], dtype=float)
+    z = np.array([r[1] for r in data], dtype=float)
+    y = np.array([r[2] for r in data], dtype=float)
+    a = np.column_stack([np.ones_like(x), x, z])
+    beta = np.linalg.lstsq(a, y, rcond=None)[0]
+    assert row["n_rows"] == len(x)
+    # Cramer over exact integers == numpy LSQ to quantization precision
+    assert row["beta0_q6"] / 1e6 == pytest.approx(beta[0], abs=2e-5)
+    assert row["beta1_q6"] / 1e6 == pytest.approx(beta[1], abs=2e-5)
+    assert row["beta2_q6"] / 1e6 == pytest.approx(beta[2], abs=2e-5)
+    # the quantized fit's residual aggregate is reproducible EXACTLY —
+    # in python ints (a numpy float64 sum already rounds at ~1.5e16)
+    resid = sum(
+        abs(
+            1_000_000 * yi
+            - (
+                row["beta0_q6"]
+                + row["beta1_q6"] * xi
+                + row["beta2_q6"] * zi
+            )
+        )
+        for xi, zi, yi in data
+    )
+    assert row["sae_q6"] == resid
+
+
 def _ams_squares(counts, salt, k=24):
     """Reference AMS estimator squares S_j² for one salt."""
     import hashlib

@@ -172,6 +172,56 @@ def test_lz4_strict_failures():
 
 
 # ---------------------------------------------------------------------------
+# delta + zigzag + LEB128 varint blocks
+# ---------------------------------------------------------------------------
+
+
+def test_dvi_roundtrips_and_edges():
+    from sparkroach.functions.varint import dvi_decode, dvi_encode
+
+    rng = random.Random(6)
+    for trial in range(200):
+        n = rng.randint(0, 300)
+        kind = trial % 4
+        if kind == 0:
+            vals = sorted(rng.randint(0, 2**50) for _ in range(n))
+        elif kind == 1:
+            vals = [rng.randint(-(2**62), 2**62) for _ in range(n)]
+        elif kind == 2:  # sorted timestamps: the target workload
+            vals = [1_700_000_000_000_000 + i * 7 for i in range(n)]
+        else:
+            vals = [rng.randint(-5, 5) for _ in range(n)]
+        assert dvi_decode(dvi_encode(vals)) == vals, (trial, kind)
+    assert dvi_decode(dvi_encode([])) == []
+    assert dvi_decode(dvi_encode([-(2**63)])) == [-(2**63)]
+
+
+def test_dvi_sorted_timestamps_compress():
+    from sparkroach.functions.varint import dvi_encode
+
+    vals = [1_700_000_000_000_000 + i * 61_000_000 + i % 7 for i in range(1000)]
+    assert len(dvi_encode(vals)) < 4.5 * len(vals)  # vs 8 bytes raw
+
+
+def test_dvi_strict_failures():
+    from sparkroach.functions.varint import dvi_decode, dvi_encode
+
+    blob = dvi_encode([5, 7, -3])
+    with pytest.raises(ValueError, match="header"):
+        dvi_decode(b"XVI1" + blob[4:])
+    with pytest.raises(ValueError, match="header|truncated|trailing|CRC"):
+        dvi_decode(blob[:6])  # shorter than the minimum container
+    with pytest.raises(ValueError, match="trailing"):
+        dvi_decode(blob[:-4] + b"\x00" + blob[-4:])
+    corrupt = bytearray(blob)
+    corrupt[5] ^= 0x02
+    with pytest.raises(ValueError, match="CRC|trailing|truncated"):
+        dvi_decode(bytes(corrupt))
+    with pytest.raises(ValueError, match="truncated"):
+        dvi_decode(b"DVI1" + bytes([3, 0x80]) + b"\x00" * 4)
+
+
+# ---------------------------------------------------------------------------
 # TIFF container + PackBits
 # ---------------------------------------------------------------------------
 
