@@ -506,6 +506,14 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "slope set + Siegel intercept — is pinned against numpy in "
         "tests/test_analytics29.py.  R9-window candidate",
     ),
+    "events_ewma_state_streamed": (
+        "events_sessions_streamed",
+        "the identical applyInPandasWithState lane (staged micro-batch "
+        "files, mid-stream restart on one checkpoint, sentinel-closed "
+        "final emission — r2-recorded, re-recorded r5); the increment "
+        "— recursive integer state replayed by a recursive-CTE oracle "
+        "— is pinned in tests/test_llm_ops20.py.  R9-window candidate",
+    ),
     "events_delta_varint_roundtrip": (
         "documents_tar_webdataset_ingest",
         "real bytes built and strictly re-parsed through grouped-"

@@ -2508,3 +2508,226 @@ def events_topk_per_user_streamed(
             spark.conf.unset("spark.sql.shuffle.partitions")
         else:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+# ---------------------------------------------------------------------------
+# events_ewma_state_streamed — recursive numeric state (integer EWMA)
+# ---------------------------------------------------------------------------
+
+EWMA_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma_cents", T.LongType()),
+    ]
+)
+
+# state: (events folded so far, current integer EWMA) — two longs per
+# key regardless of stream length
+EWMA_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("e", T.LongType()),
+    ]
+)
+
+
+def ewma_per_user(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: the per-user integer-EWMA recurrence
+    e_n = (x_n + e_{n-1}) DIV 2 folded incrementally across
+    micro-batches in (ts, event_id) order — RECURSIVE numeric state,
+    the third state algebra in the matrix next to the sessionizer's
+    intervals and the top-k accumulator's order statistic.  Exact
+    integer arithmetic (non-negative cents, so floor == truncation on
+    both engines); rows emit once, at the per-user sentinel."""
+
+    def _update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, e = (state.get if state.exists else (0, 0))
+        close = False
+        rows = []
+        for pdf in pdfs:
+            for ts_val, et, val, eid in zip(
+                pdf["ts"], pdf["event_type"], pdf["value"], pdf["event_id"]
+            ):
+                if et == "sentinel":
+                    close = True
+                    continue
+                rows.append(
+                    (ts_val.value, int(eid), int(round(float(val) * 100)))
+                )
+        # batches arrive time-split; within the batch restore the exact
+        # (ts, event_id) total order the recurrence is defined over
+        rows.sort()
+        for _t, _eid, cents in rows:
+            e = cents if n == 0 else (cents + e) // 2
+            n += 1
+        if close:
+            if state.exists:
+                state.remove()
+            yield pd.DataFrame(
+                [{"user_id": key[0], "n_events": n, "ewma_cents": e}],
+                columns=[f.name for f in EWMA_OUTPUT.fields],
+            )
+        else:
+            state.update((n, e))
+            yield pd.DataFrame(
+                [], columns=[f.name for f in EWMA_OUTPUT.fields]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=EWMA_OUTPUT,
+        stateStructType=EWMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "events_ewma_state_streamed",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # events_sessions_streamed (the identical applyInPandasWithState
+    # lane: staged micro-batch files, mid-stream restart on the same
+    # checkpoint, sentinel-closed final emission — r2-recorded,
+    # re-recorded r5); the increment — RECURSIVE integer state whose
+    # value depends on the full event order, replayed by the oracle as
+    # a per-user recursive CTE — is what the hash checks.
+    gated=False,
+    oracle="""
+        WITH RECURSIVE c AS (
+            SELECT user_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts::TIMESTAMP), event_id
+                   ) AS BIGINT) AS seq
+            FROM events
+        ),
+        nn AS (
+            SELECT user_id, CAST(MAX(seq) AS BIGINT) AS n
+            FROM c GROUP BY user_id
+        ),
+        r AS (
+            SELECT user_id, seq, cents AS e FROM c WHERE seq = 1
+            UNION ALL
+            SELECT c.user_id, c.seq, (c.cents + r.e) // 2 AS e
+            FROM r JOIN c ON c.user_id = r.user_id AND c.seq = r.seq + 1
+        )
+        SELECT r.user_id, nn.n AS n_events, r.e AS ewma_cents
+        FROM r JOIN nn ON nn.user_id = r.user_id AND r.seq = nn.n
+        ORDER BY r.user_id
+    """,
+    survey_ref="§2C streaming state — RECURSIVE numeric state: a "
+    "per-user integer-EWMA recurrence e_n = (x_n + e_{n-1}) DIV 2 "
+    "folded incrementally via applyInPandasWithState (two longs per "
+    "key), surviving a mid-stream restart; the third state algebra "
+    "next to interval (sessions), set (dedup) and order-statistic "
+    "(top-k) state, with the oracle replaying the recurrence as a "
+    "recursive CTE",
+    description="integer EWMA over exact non-negative cents in strict "
+    "(ts, event_id) order across 4 staged micro-batches with a query "
+    "RESTART on the same checkpoint between batches 2 and 3 — the "
+    "recurrence is ORDER-DEFINED, so dropped or reordered state after "
+    "the restart changes the final value and breaks the hash.  A "
+    "per-user sentinel closes each key, emitting (n, ewma) exactly "
+    "once; the oracle recursion depth is the per-user event count "
+    "(time-bounded per user, never corpus-scale)",
+)
+def events_ewma_state_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.unix_micros(F.min("ts")).alias("lo"),
+        F.unix_micros(F.max("ts")).alias("hi"),
+    ).collect()[0]
+    lo, hi = b.lo, b.hi
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+
+    root = tempfile.mkdtemp(prefix="sparkroach_ewma_stream_")
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    sink = os.path.join(root, "sink")
+    ck = os.path.join(root, "ck")
+    base = time.time() - 3600
+    cols = [f.name for f in EVENT_SCHEMA.fields]
+
+    def stage(name: str, df: DataFrame, mtime: float) -> None:
+        tmp = os.path.join(root, "stage_" + name)
+        df.select(*cols).coalesce(1).write.format("parquet").save(tmp)
+        part = next(
+            f
+            for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dest = os.path.join(feed, name + ".parquet")
+        os.rename(os.path.join(tmp, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            ewma_per_user(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()  # guard: never leak a running query into the session
+
+    try:
+        t_us = F.unix_micros("ts")
+        stage("b0", ev.where(t_us < F.lit(cut1)), base)
+        stage(
+            "b1",
+            ev.where((t_us >= F.lit(cut1)) & (t_us < F.lit(cut2))),
+            base + 10,
+        )
+        run_once()  # micro-batches 0,1 — the query STOPS mid-stream
+
+        stage("b2", ev.where(t_us >= F.lit(cut2)), base + 20)
+        sentinel = ev.select("user_id").distinct().select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.timestamp_micros(
+                F.lit(hi + 30 * 24 * 3600 * 1_000_000)
+            ).alias("ts"),
+            F.col("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        stage("b3", sentinel, base + 30)
+        run_once()  # RESTART on the same checkpoint: recovered (n, e)
+        # must continue the recurrence exactly where it stopped
+
+        out = (
+            spark.read.parquet(sink)
+            .select("user_id", "n_events", "ewma_cents")
+            .orderBy("user_id")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        if prev_parts is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

@@ -172,6 +172,47 @@ def test_lz4_strict_failures():
 
 
 # ---------------------------------------------------------------------------
+# streaming integer-EWMA recursive state
+# ---------------------------------------------------------------------------
+
+
+def test_integer_ewma_recurrence_vector():
+    # e_1 = x_1; e_n = (x_n + e_{n-1}) DIV 2 over non-negative cents
+    e, n = 0, 0
+    for cents in (100, 50, 30):
+        e = cents if n == 0 else (cents + e) // 2
+        n += 1
+    assert (n, e) == (3, 52)  # 100 → 75 → 52 (floor at each step)
+
+
+def test_events_ewma_state_streamed_matches_batch_replay(spark):
+    import duckdb
+
+    from sparkroach.queries import QUERIES
+    from tests.conftest import SF_SMALL
+
+    rows = {
+        r["user_id"]: r
+        for r in QUERIES["events_ewma_state_streamed"].fn(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    data = con.execute(
+        "SELECT user_id, epoch_us(ts::TIMESTAMP), event_id, "
+        "CAST(round(value*100) AS BIGINT) FROM "
+        f"read_parquet('{SF_SMALL}/events.parquet') ORDER BY 1, 2, 3"
+    ).fetchall()
+    state: dict = {}
+    for uid, _t, _eid, cents in data:
+        n, e = state.get(uid, (0, 0))
+        e = cents if n == 0 else (cents + e) // 2
+        state[uid] = (n + 1, e)
+    assert set(rows) == set(state)
+    for uid, (n, e) in state.items():
+        assert rows[uid]["n_events"] == n, uid
+        assert rows[uid]["ewma_cents"] == e, uid
+
+
+# ---------------------------------------------------------------------------
 # delta + zigzag + LEB128 varint blocks
 # ---------------------------------------------------------------------------
 

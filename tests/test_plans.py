@@ -237,6 +237,21 @@ def test_unpivot_keeps_zero_rows_and_stays_expand_shaped(spark):
 _MATERIALIZED = {
     "bucketed_orders_join":
         "test_analytics11.py::test_bucketed_join_has_no_exchange",
+    # continuation wave: driver-assembled / self-materializing gates —
+    # the returned plan is a trivial createDataFrame, so the audit
+    # would only re-execute the full gate to learn nothing
+    "events_ewma_state_streamed":
+        "test_llm_ops20.py::test_events_ewma_state_streamed_matches_batch_replay",
+    "dup_graph_kcore":
+        "test_analytics29.py::test_dup_graph_kcore_gate_invariants",
+    "events_minute_acf":
+        "test_analytics29.py::test_events_minute_acf_gate_matches_numpy",
+    "events_hourly_theil_sen":
+        "test_analytics29.py::test_events_hourly_theil_sen_matches_reference",
+    "events_mann_whitney_u":
+        "test_analytics29.py::test_events_mann_whitney_u_matches_numpy",
+    "lineitem_ols_cramer":
+        "test_analytics29.py::test_lineitem_ols_matches_numpy_least_squares",
     "dedup_cc_clusters":
         "test_llm_scale.py::test_cc_clusters_plan_is_bucketed",
     "dedup_streaming_kept":
