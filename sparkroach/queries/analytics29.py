@@ -334,6 +334,161 @@ def events_hourly_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# events_hilbert_locality_report — Hilbert vs Z-order layout locality
+# ---------------------------------------------------------------------------
+
+
+def _hilbert_oracle() -> str:
+    from sparkroach.functions.hilbert import hilbert_ctes, morton_sql
+
+    z = morton_sql("x0", "y0", div="//")
+    return f"""
+        WITH g AS (
+            SELECT user_id % 256 AS hx, user_id % 256 AS x0,
+                   (epoch_us(ts::TIMESTAMP) // 60000000) % 256 AS hy,
+                   (epoch_us(ts::TIMESTAMP) // 60000000) % 256 AS y0,
+                   0 AS hd, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events
+            GROUP BY 1, 2, 3, 4
+        ),
+        {hilbert_ctes("g")},
+        keyed AS (SELECT x0, y0, cnt, hd, {z} AS zd FROM hfin),
+        hpath AS (
+            SELECT ABS(x0 - lag(x0) OVER (ORDER BY hd)) +
+                   ABS(y0 - lag(y0) OVER (ORDER BY hd)) AS step
+            FROM keyed
+        ),
+        zpath AS (
+            SELECT ABS(x0 - lag(x0) OVER (ORDER BY zd)) +
+                   ABS(y0 - lag(y0) OVER (ORDER BY zd)) AS step
+            FROM keyed
+        ),
+        hs AS (
+            SELECT CAST(SUM(step) AS BIGINT) AS total,
+                   CAST(SUM(CASE WHEN step = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS adj
+            FROM hpath WHERE step IS NOT NULL
+        ),
+        zs AS (
+            SELECT CAST(SUM(step) AS BIGINT) AS total,
+                   CAST(SUM(CASE WHEN step = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS adj
+            FROM zpath WHERE step IS NOT NULL
+        ),
+        st AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(SUM(cnt) AS BIGINT) AS n_events
+            FROM keyed
+        )
+        SELECT st.n_cells, st.n_events,
+               hs.total AS hilbert_path_manhattan,
+               zs.total AS zorder_path_manhattan,
+               hs.adj AS hilbert_adjacent_pairs,
+               zs.adj AS zorder_adjacent_pairs,
+               CAST(hs.total AS DOUBLE) / CAST(zs.total AS DOUBLE)
+                   AS locality_ratio
+        FROM st, hs, zs
+    """
+
+
+@register(
+    "events_hilbert_locality_report",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # lineitem_zorder_read (space-filling-curve layout machinery over
+    # the same key-interleave idea — the recorded r6 gate); the curve
+    # construction is pinned EXHAUSTIVELY (all 65536 cells vs the
+    # python reference, inverse roundtrip, the consecutive-index
+    # adjacency property) in tests/test_analytics29.py.
+    gated=False,
+    oracle=_hilbert_oracle(),
+    survey_ref="§2C storage layout — Hilbert-curve clustering vs "
+    "Z-order: the locality diagnostic (total Manhattan travel and "
+    "adjacent-step fraction along each curve over the occupied "
+    "(user, minute) cells) that justifies choosing Hilbert file "
+    "ordering for multi-dimensional range scans",
+    description="occupied 256×256 (user % 256, minute % 256) cells "
+    "keyed by BOTH curves: Morton by bit-interleave arithmetic, "
+    "Hilbert by the 8 unrolled xy2d stages — ONE portable integer-"
+    "arithmetic construction (DIV/%/CASE) generated from the same "
+    "code for both engines and verified cell-exhaustively against "
+    "the python reference.  Along each curve order: Σ Manhattan "
+    "distance of consecutive occupied cells + the adjacent-pair "
+    "count; Hilbert travels less (consecutive indices are ALWAYS "
+    "grid-adjacent — pinned).  The cell table is literal-bounded "
+    "(≤ 2^16 rows), so the ordering windows are constant-size at "
+    "any corpus scale",
+)
+def events_hilbert_locality_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from sparkroach.functions.hilbert import hilbert_stages, morton_sql
+
+    g = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id % 256 AS x0",
+            "(unix_micros(ts) DIV 60000000) % 256 AS y0",
+        )
+        .groupBy("x0", "y0")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .selectExpr("x0", "y0", "cnt", "x0 AS hx", "y0 AS hy", "0 AS hd")
+    )
+    for st in hilbert_stages(div="DIV"):
+        g = g.selectExpr(
+            "x0",
+            "y0",
+            "cnt",
+            f"({st['hx']}) AS hx",
+            f"({st['hy']}) AS hy",
+            f"({st['hd']}) AS hd",
+        )
+    keyed = g.selectExpr(
+        "x0", "y0", "cnt", "hd", f"{morton_sql('x0', 'y0')} AS zd"
+    ).localCheckpoint(eager=True)  # consumed by both path orderings
+
+    def path(order_col: str):
+        w = Window.orderBy(order_col)
+        step = (
+            F.abs(F.col("x0") - F.lag("x0").over(w))
+            + F.abs(F.col("y0") - F.lag("y0").over(w))
+        ).alias("step")
+        return (
+            keyed.select(step)
+            .where(F.col("step").isNotNull())
+            .agg(
+                F.sum("step").cast("long").alias("total"),
+                F.sum(F.when(F.col("step") == 1, 1).otherwise(0))
+                .cast("long")
+                .alias("adj"),
+            )
+        )
+
+    hs = path("hd").withColumnsRenamed({"total": "ht", "adj": "ha"})
+    zs = path("zd").withColumnsRenamed({"total": "zt", "adj": "za"})
+    st_ = keyed.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("cnt").cast("long").alias("n_events"),
+    )
+    return (
+        st_.crossJoin(hs)  # 1-row × 1-row bookkeeping joins
+        .crossJoin(zs)
+        .select(
+            "n_cells",
+            "n_events",
+            F.col("ht").alias("hilbert_path_manhattan"),
+            F.col("zt").alias("zorder_path_manhattan"),
+            F.col("ha").alias("hilbert_adjacent_pairs"),
+            F.col("za").alias("zorder_adjacent_pairs"),
+            (F.col("ht").cast("double") / F.col("zt").cast("double")).alias(
+                "locality_ratio"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # lineitem_ols_cramer — exact two-feature OLS via normal equations
 # ---------------------------------------------------------------------------
 

@@ -549,6 +549,13 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "semantics are unit-pinned in tests/test_llm_ops20.py.  "
         "R9-window candidate",
     ),
+    "events_hilbert_locality_report": (
+        "lineitem_zorder_read",
+        "space-filling-curve layout machinery over the same key-"
+        "interleave idea (recorded r6 gate); the Hilbert construction "
+        "is pinned cell-exhaustively against the python reference in "
+        "tests/test_analytics29.py.  R9-window candidate",
+    ),
     "lineitem_ols_cramer": (
         "orders_profile_report",
         "one-pass exact sufficient statistics reduced through a 1-row "

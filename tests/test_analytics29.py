@@ -104,6 +104,63 @@ def test_events_hourly_theil_sen_matches_reference(spark):
     assert row["sen_intercept_r6"] == pytest.approx(i6, abs=2e-6)
 
 
+def test_hilbert_curve_reference_properties():
+    from sparkroach.functions.hilbert import HILBERT_SIDE, d2xy, xy2d
+
+    # bijection + the defining property: consecutive indices are
+    # ALWAYS Manhattan-adjacent cells (checked on the full order-4
+    # grid; order-8 spot-checked below)
+    n = 16
+    cells = sorted(
+        (xy2d(x, y, side=n), x, y) for x in range(n) for y in range(n)
+    )
+    assert len({c[0] for c in cells}) == n * n
+    for a, b in zip(cells, cells[1:]):
+        assert abs(a[1] - b[1]) + abs(a[2] - b[2]) == 1
+    for d in range(0, HILBERT_SIDE * HILBERT_SIDE, 97):
+        assert xy2d(*d2xy(d)) == d
+
+
+def test_hilbert_sql_stages_match_reference_exhaustively():
+    import duckdb
+
+    from sparkroach.functions.hilbert import (
+        hilbert_ctes,
+        morton,
+        morton_sql,
+        xy2d,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH g AS (SELECT a.a AS hx, a.a AS x0, b.b AS hy, b.b AS y0,
+                          0 AS hd
+                   FROM range(0, 256) a(a), range(0, 256) b(b)),
+        {hilbert_ctes("g")}
+        SELECT x0, y0, hd, {morton_sql("x0", "y0", div="//")} AS z
+        FROM hfin
+        """
+    ).fetchall()
+    assert len(rows) == 65536
+    for x, y, hd, z in rows:
+        assert hd == xy2d(x, y) and z == morton(x, y)
+
+
+def test_hilbert_locality_gate_beats_zorder(spark):
+    row = QUERIES["events_hilbert_locality_report"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_cells"] > 100
+    # the entire point: the Hilbert walk over occupied cells travels
+    # less and lands on grid-adjacent neighbors more often than Z-order
+    assert (
+        row["hilbert_path_manhattan"] < row["zorder_path_manhattan"]
+    ), row
+    assert (
+        row["hilbert_adjacent_pairs"] >= row["zorder_adjacent_pairs"]
+    ), row
+    assert 0 < row["locality_ratio"] < 1
+
+
 def test_lineitem_ols_matches_numpy_least_squares(spark):
     import duckdb
 

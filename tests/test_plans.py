@@ -377,6 +377,7 @@ _SCALAR_BNLJ_OK = {
     "search_ndcg_report",  # 1-row DCG x 1-row IDCG
     # continuation wave: 1-row x 1-row bookkeeping crossJoins
     "events_ams_f2_sketch",  # 1-row exact F2 x 1-row median estimate
+    "events_hilbert_locality_report",  # 1-row stats x 1-row path sums x2
 }
 
 
@@ -393,6 +394,8 @@ _SCALAR_BNLJ_OK = {
 _GLOBAL_WINDOW_OK = {
     "bpe_pair_counts",  # charset²-bounded pair table
     "bpe_second_merge",  # charset²-bounded pair table, two iterations
+    "events_hilbert_locality_report",  # ordering windows over the
+    # literal-bounded 256×256 occupied-cell table (≤ 65536 rows ever)
     "events_hourly_theil_sen",  # pair/point sets are time-bounded (≤2000
     # hourly points guarded in the query; ~260k pairs whatever the corpus)
     "events_user_value_ntiles",  # total order is the semantics; documented
