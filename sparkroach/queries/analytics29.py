@@ -334,6 +334,225 @@ def events_hourly_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# user_activity_gini — inequality of per-user value via distributed rank
+# ---------------------------------------------------------------------------
+
+_GINI_SCALE = 1_000_000_000
+
+_GINI_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS x
+        FROM events GROUP BY user_id
+    ),
+    r AS (
+        SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT)
+                      AS i
+        FROM u
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(i AS HUGEINT) * x) AS HUGEINT) AS six
+        FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(sx AS BIGINT) AS total_cents,
+           CAST(((2 * six - (n + 1) * sx) * {_GINI_SCALE}) // (n * sx)
+                AS BIGINT) AS gini_q9,
+           CAST(CAST(((2 * six - (n + 1) * sx) * {_GINI_SCALE}) // (n * sx)
+                     AS BIGINT) AS DOUBLE) / {_GINI_SCALE}.0 AS gini
+    FROM s
+"""
+
+
+@register(
+    "user_activity_gini",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # events_user_value_ntiles (global total-order statistics over the
+    # per-user value distribution — the recorded inequality/rank plan
+    # family); the Gini identity and edge behavior (uniform → 0,
+    # one-hot → (n−1)/n) are pinned against a numpy reference in
+    # tests/test_analytics29.py.
+    gated=False,
+    oracle=_GINI_ORACLE,
+    survey_ref="§2C analytic breadth / inequality statistics — the "
+    "Gini coefficient of per-user value (the 0=uniform, →1=one-user-"
+    "owns-everything skew summary data-balance audits report), "
+    "computed exactly from the sorted-rank identity",
+    description="G = (2Σi·x_(i) − (n+1)Σx)/(n·Σx) over ascending "
+    "(value, user_id) ranks — ranks come from the DISTRIBUTED "
+    "global_row_number recipe (range partition + broadcast offsets, "
+    "no single-partition window over the user dimension), the sums "
+    "are exact integers, and the quotient is a scaled integer "
+    "division (positive operands: floor == truncation on both "
+    f"engines) quantized at 1/{_GINI_SCALE} with one exact-operand "
+    "double division for the reported value",
+)
+def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkroach.queries.analytics import cents
+    from sparkroach.queries.analytics16 import global_row_number
+
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.sum(cents("value")).alias("x"))
+    )
+    r = global_row_number(u, [F.col("x"), F.col("user_id")], out="i")
+    s = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum(
+            (F.col("i").cast("decimal(19,0)") * F.col("x")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("six"),
+    ).collect()[0]
+    n, sx, six = int(s["n"]), int(s["sx"]), int(s["six"])
+    if n == 0 or sx == 0:
+        raise ValueError("user_activity_gini: empty or zero-total input")
+    num = (2 * six - (n + 1) * sx) * _GINI_SCALE
+    q = num // (n * sx)  # positive operands: floor == DuckDB truncation
+    return spark.createDataFrame(
+        [(n, sx, q, float(q) / _GINI_SCALE)],
+        "n_users long, total_cents long, gini_q9 long, gini double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_markov_stationary — quantized power iteration on the 5-state
+# event-type transition matrix
+# ---------------------------------------------------------------------------
+
+MK_SCALE = 100_000_000
+MK_ITERS = 30
+
+
+def _markov_oracle() -> str:
+    ctes = [
+        """pairs AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts::TIMESTAMP), event_id
+                   ) AS nxt
+            FROM events
+        )""",
+        """cnt AS (
+            SELECT event_type AS src, nxt AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM pairs WHERE nxt IS NOT NULL
+            GROUP BY event_type, nxt
+        )""",
+        """rt AS (
+            SELECT src, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY src
+        )""",
+        f"""p AS MATERIALIZED (
+            SELECT cnt.src, cnt.dst,
+                   (cnt.c * {MK_SCALE}) // rt.tot AS pq
+            FROM cnt JOIN rt ON rt.src = cnt.src
+        )""",
+        f"""states AS MATERIALIZED (
+            SELECT src AS state,
+                   {MK_SCALE} // (SELECT COUNT(*) FROM rt) AS v
+            FROM rt
+        )""",
+        "v0 AS MATERIALIZED (SELECT state, v FROM states)",
+    ]
+    for t in range(1, MK_ITERS + 1):
+        ctes.append(
+            f"""v{t} AS MATERIALIZED (
+            SELECT p.dst AS state,
+                   CAST(SUM(v.v * p.pq) // {MK_SCALE} AS BIGINT) AS v
+            FROM v{t - 1} v JOIN p ON p.src = v.state
+            GROUP BY p.dst
+        )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT cur.state, rt.tot AS n_transitions,
+               cur.v AS stationary_q8,
+               CAST(ABS(cur.v - prev.v) AS BIGINT) AS last_delta_q8
+        FROM v{MK_ITERS} cur
+        JOIN v{MK_ITERS - 1} prev ON prev.state = cur.state
+        JOIN rt ON rt.src = cur.state
+        ORDER BY cur.state
+    """
+    )
+
+
+@register(
+    "events_markov_stationary",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # events_type_transitions (the recorded per-user lead/lag
+    # transition extraction — the heavy distributed stage here; the
+    # 5-state quantized power iteration on top is driver-side
+    # bookkeeping); fixed-point behavior is pinned against a numpy
+    # eigenvector in tests/test_analytics29.py.
+    gated=False,
+    oracle=_markov_oracle(),
+    survey_ref="§2C analytic breadth / stochastic processes — the "
+    "stationary distribution of the event-type Markov chain "
+    "(long-run state occupancy) by power iteration over the "
+    "transition matrix, the user-journey summary next to the raw "
+    "transition counts and the funnel operators",
+    description="transition counts from per-user (ts, event_id)-"
+    "ordered lead pairs (the distributed stage — per-user windows, "
+    "one groupBy); the 5×5 row-normalized matrix is quantized at "
+    f"1/{MK_SCALE} by mirrored integer division, and {MK_ITERS} "
+    "power-iteration steps run in EXACT quantized arithmetic "
+    "(v·P summed exactly, re-quantized each step — positive "
+    "operands, identical truncation both engines), so both engines "
+    "land on the bit-identical fixed point; last_delta_q8 exposes "
+    "convergence.  The state space is the literal event-type "
+    "dimension — the iteration is driver-side bookkeeping at any "
+    "corpus scale, mirrored by the oracle's unrolled MATERIALIZED "
+    "CTEs",
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    cnt = (
+        ev.withColumn("nxt", F.lead("event_type").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy("event_type", "nxt")
+        .agg(F.count("*").cast("long").alias("c"))
+        .collect()
+    )
+    counts: dict[tuple[str, str], int] = {
+        (r["event_type"], r["nxt"]): r["c"] for r in cnt
+    }
+    states = sorted({s for s, _ in counts} | {d for _, d in counts})
+    tot = {s: sum(c for (a, _), c in counts.items() if a == s) for s in states}
+    pq = {
+        (a, b): (c * MK_SCALE) // tot[a] for (a, b), c in counts.items()
+    }  # positive: floor == DuckDB truncation
+    v = {s: MK_SCALE // len(states) for s in states}
+    prev = dict(v)
+    for _t in range(MK_ITERS):
+        prev = v
+        v = {
+            d: sum(prev[s] * pq.get((s, d), 0) for s in states) // MK_SCALE
+            for d in states
+        }
+    return spark.createDataFrame(
+        [
+            (s, tot[s], v[s], abs(v[s] - prev[s]))
+            for s in states
+        ],
+        "state string, n_transitions long, stationary_q8 long, "
+        "last_delta_q8 long",
+    ).orderBy("state")
+
+
+# ---------------------------------------------------------------------------
 # events_hilbert_locality_report — Hilbert vs Z-order layout locality
 # ---------------------------------------------------------------------------
 

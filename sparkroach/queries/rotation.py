@@ -549,6 +549,20 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "semantics are unit-pinned in tests/test_llm_ops20.py.  "
         "R9-window candidate",
     ),
+    "user_activity_gini": (
+        "events_user_value_ntiles",
+        "global total-order statistics over the per-user value "
+        "distribution (the recorded inequality/rank family); the Gini "
+        "identity and edges are pinned against numpy in "
+        "tests/test_analytics29.py.  R9-window candidate",
+    ),
+    "events_markov_stationary": (
+        "events_type_transitions",
+        "the recorded per-user lead/lag transition extraction is the "
+        "distributed stage; the 5-state quantized power iteration is "
+        "pinned against a numpy eigenvector in "
+        "tests/test_analytics29.py.  R9-window candidate",
+    ),
     "events_hilbert_locality_report": (
         "lineitem_zorder_read",
         "space-filling-curve layout machinery over the same key-"

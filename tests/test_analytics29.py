@@ -104,6 +104,71 @@ def test_events_hourly_theil_sen_matches_reference(spark):
     assert row["sen_intercept_r6"] == pytest.approx(i6, abs=2e-6)
 
 
+def _gini_ref(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return (
+        sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+        / (n * sum(xs))
+    )
+
+
+def test_gini_identity_edges():
+    assert _gini_ref([5, 5, 5, 5]) == 0.0  # uniform
+    n = 10
+    assert _gini_ref([0] * (n - 1) + [100]) == pytest.approx((n - 1) / n)
+
+
+def test_user_activity_gini_gate_matches_numpy(spark):
+    import duckdb
+
+    row = QUERIES["user_activity_gini"].fn(spark, SF_SMALL).collect()[0]
+    con = duckdb.connect()
+    xs = [
+        r[0]
+        for r in con.execute(
+            "SELECT SUM(CAST(round(value*100) AS BIGINT)) FROM "
+            f"read_parquet('{SF_SMALL}/events.parquet') GROUP BY user_id"
+        ).fetchall()
+    ]
+    assert row["n_users"] == len(xs)
+    assert row["total_cents"] == sum(xs)
+    assert row["gini"] == pytest.approx(_gini_ref(xs), abs=2e-9)
+    assert 0 <= row["gini"] < 1
+
+
+def test_markov_stationary_matches_eigenvector(spark):
+    rows = QUERIES["events_markov_stationary"].fn(spark, SF_SMALL).collect()
+    states = [r["state"] for r in rows]
+    assert len(states) == 5
+    # converged: the quantized fixed point stopped moving
+    assert all(r["last_delta_q8"] <= 1 for r in rows)
+    # and sits on the true stationary eigenvector of the float matrix
+    import duckdb
+
+    con = duckdb.connect()
+    cnt = con.execute(
+        "WITH p AS (SELECT user_id, event_type, lead(event_type) OVER ("
+        "PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP), event_id"
+        ") AS nxt FROM "
+        f"read_parquet('{SF_SMALL}/events.parquet')) "
+        "SELECT event_type, nxt, COUNT(*) FROM p WHERE nxt IS NOT NULL "
+        "GROUP BY 1, 2"
+    ).fetchall()
+    idx = {s: i for i, s in enumerate(states)}
+    mat = np.zeros((5, 5))
+    for a, b, c in cnt:
+        mat[idx[a], idx[b]] = c
+    mat /= mat.sum(axis=1, keepdims=True)
+    evals, evecs = np.linalg.eig(mat.T)
+    pi = np.real(evecs[:, np.argmax(np.real(evals))])
+    pi = pi / pi.sum()
+    for r in rows:
+        assert r["stationary_q8"] / 1e8 == pytest.approx(
+            pi[idx[r["state"]]], abs=1e-4
+        )
+
+
 def test_hilbert_curve_reference_properties():
     from sparkroach.functions.hilbert import HILBERT_SIDE, d2xy, xy2d
 

@@ -252,6 +252,10 @@ _MATERIALIZED = {
         "test_analytics29.py::test_events_mann_whitney_u_matches_numpy",
     "lineitem_ols_cramer":
         "test_analytics29.py::test_lineitem_ols_matches_numpy_least_squares",
+    "user_activity_gini":
+        "test_analytics29.py::test_user_activity_gini_gate_matches_numpy",
+    "events_markov_stationary":
+        "test_analytics29.py::test_markov_stationary_matches_eigenvector",
     "dedup_cc_clusters":
         "test_llm_scale.py::test_cc_clusters_plan_is_bucketed",
     "dedup_streaming_kept":
