@@ -339,6 +339,66 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal_rice_audio_roundtrip — Rice/Golomb linear-prediction codec
+# ---------------------------------------------------------------------------
+
+
+def _rice_oracle() -> str:
+    from sparkroach.functions.rice import RICE_N_SAMPLES
+
+    x = (
+        "(-8000 + (d.doc_id * 7) % 256 + (3 + d.doc_id % 5) * p.p "
+        "+ (d.doc_id * 31 + p.p * 17) % 5)"
+    )
+    return f"""
+        SELECT d.doc_id AS media_id,
+               CAST({RICE_N_SAMPLES} AS INT) AS n_samples,
+               CAST(SUM({x}) AS BIGINT) AS sample_sum,
+               CAST(SUM(p.p * {x}) AS BIGINT) AS pos_checksum,
+               TRUE AS compressed_lt_raw
+        FROM documents d
+        JOIN range(0, {RICE_N_SAMPLES}) p(p) ON TRUE
+        GROUP BY d.doc_id
+        ORDER BY media_id
+    """
+
+
+@register(
+    "multimodal_rice_audio_roundtrip",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # multimodal_g711_roundtrip → recorded twin multimodal_goertzel_tone
+    # (real audio codec through the mapInPandas lane with a closed-form
+    # integer oracle); the Rice coding, predictor selection and strict
+    # framing are unit-pinned in tests/test_llm_ops20.py.
+    gated=False,
+    oracle=_rice_oracle(),
+    survey_ref="LLM ops: multimodal audio — Rice/Golomb-coded linear "
+    "prediction (the FLAC-family construction: fixed polynomial "
+    "predictors order 0..2 + Rice(k) residual coding) — an EIGHTH "
+    "compression family and the first bit-level ENTROPY coder in the "
+    "matrix, measured 0.36 vs raw s16 on the gate corpus",
+    description="96 deterministic PCM16 samples per document (linear "
+    "ramp + bounded wiggle, so order-1/2 prediction leaves tiny "
+    "residuals) encoded to a real Rice container (per-block best "
+    "(order, k) chosen by exact bit cost, zigzag residuals, unary+k-"
+    "bit codes, CRC-32) and decoded by the independent strict reader; "
+    "lossless, so the oracle mirrors the sample synthesis as doc_id "
+    "arithmetic.  The compressed_lt_raw column makes the compression "
+    "claim itself hash-checked: if the codec ever stops beating raw "
+    "s16 on this corpus, the driver sees it.  Map-only mapInPandas",
+)
+def multimodal_rice_audio_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sparkroach._shiplib import ensure_shipped
+    from sparkroach.functions.rice import rice_features, synthesize_rice_media
+
+    ensure_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    return rice_features(synthesize_rice_media(docs)).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
 # documents_bwt_shard_roundtrip — block-sorting (BWT+MTF+RLE) codec lane
 # ---------------------------------------------------------------------------
 

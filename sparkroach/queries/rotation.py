@@ -521,6 +521,13 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "lane family); zigzag/LEB128/delta semantics unit-pinned in "
         "tests/test_llm_ops20.py.  R9-window candidate",
     ),
+    "multimodal_rice_audio_roundtrip": (
+        "multimodal_goertzel_tone",
+        "real audio codec through the mapInPandas lane with a closed-"
+        "form integer oracle (recorded r7 family, via the g711 "
+        "delegation chain); Rice coding + predictor selection are "
+        "unit-pinned in tests/test_llm_ops20.py.  R9-window candidate",
+    ),
     "multimodal_tiff_decode": (
         "multimodal_png_decode",
         "lossless image codec through the identical mapInPandas lane "

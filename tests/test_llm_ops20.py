@@ -172,6 +172,88 @@ def test_lz4_strict_failures():
 
 
 # ---------------------------------------------------------------------------
+# Rice/Golomb linear-prediction codec
+# ---------------------------------------------------------------------------
+
+
+def test_rice_roundtrips_across_signal_shapes():
+    import math
+
+    from sparkroach.functions.rice import rice_compress, rice_decompress
+
+    rng = random.Random(8)
+    for trial in range(250):
+        n = rng.randint(0, 200)
+        kind = trial % 5
+        if kind == 0:  # incompressible noise
+            s = [rng.randint(-32768, 32767) for _ in range(n)]
+        elif kind == 1:  # constant → order-1, all-zero residuals
+            s = [1234] * n
+        elif kind == 2:  # ramp → order-2, all-zero residuals
+            s = [min(32767, -32768 + i * 13) for i in range(n)]
+        elif kind == 3:
+            s = [(-1) ** i * 3 for i in range(n)]
+        else:  # smooth tone + small noise: the Rice sweet spot
+            s = [
+                int(100 * math.sin(i / 5)) + rng.randint(-2, 2)
+                for i in range(n)
+            ]
+        assert rice_decompress(rice_compress(s)) == s, (trial, kind, n)
+    for s in ([], [32767], [-32768, 32767, -32768, 32767]):
+        assert rice_decompress(rice_compress(s)) == s
+
+
+def test_rice_gate_corpus_compresses_hard():
+    from sparkroach.functions.rice import (
+        doc_rice_samples,
+        rice_compress,
+        rice_decompress,
+    )
+
+    tot_c = tot_r = 0
+    for d in range(200):
+        s = doc_rice_samples(d)
+        blob = rice_compress(s)
+        assert rice_decompress(blob) == s
+        tot_c += len(blob)
+        tot_r += 2 * len(s)
+    # linear prediction + Rice must beat raw s16 by a wide margin on
+    # the ramp-plus-wiggle corpus
+    assert tot_c < 0.45 * tot_r, (tot_c, tot_r)
+
+
+def test_rice_predictor_selection_zeroes_structured_residuals():
+    from sparkroach.functions.rice import rice_compress
+
+    # constant and ramp blocks collapse to almost nothing: header +
+    # warm-up + a run of zero residuals
+    assert len(rice_compress([500] * 1000)) < 150
+    assert len(rice_compress([i * 3 for i in range(1000)])) < 150
+
+
+def test_rice_strict_failures():
+    from sparkroach.functions.rice import doc_rice_samples, rice_compress, rice_decompress
+
+    blob = rice_compress(doc_rice_samples(3))
+    with pytest.raises(ValueError, match="header"):
+        rice_decompress(b"XRC1" + blob[4:])
+    with pytest.raises(ValueError, match="header|truncated|warm"):
+        rice_decompress(blob[:8])
+    with pytest.raises(ValueError, match="order"):
+        rice_decompress(blob[:6] + bytes([9]) + blob[7:])
+    with pytest.raises(ValueError, match="rice parameter"):
+        rice_decompress(blob[:7] + bytes([99]) + blob[8:])
+    corrupt = bytearray(blob)
+    corrupt[-1] ^= 1
+    with pytest.raises(ValueError, match="CRC"):
+        rice_decompress(bytes(corrupt))
+    with pytest.raises(ValueError, match="trailing|CRC|padding"):
+        rice_decompress(blob[:-4] + b"\x00" + blob[-4:])
+    with pytest.raises(ValueError, match="PCM16"):
+        rice_compress([40000])
+
+
+# ---------------------------------------------------------------------------
 # streaming integer-EWMA recursive state
 # ---------------------------------------------------------------------------
 
