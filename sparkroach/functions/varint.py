@@ -68,15 +68,25 @@ def _crc(values: list[int]) -> int:
     return zlib.crc32(",".join(str(v) for v in values).encode()) & 0xFFFFFFFF
 
 
+def _wrap64(n: int) -> int:
+    """Two's-complement wrap into int64 — deltas of extreme int64
+    values overflow the raw difference (found by hypothesis: 4 −
+    (−2^63+3) > int64max), so deltas live in wrapping arithmetic like
+    every real int64 delta encoder's."""
+    return ((n + (1 << 63)) & _MASK) - (1 << 63)
+
+
 def dvi_encode(values: list[int]) -> bytes:
     out = bytearray(_MAGIC)
     _emit_uvarint(out, len(values))
     prev = None
     for v in values:
+        if not -(1 << 63) <= v < (1 << 63):
+            raise ValueError(f"varint: {v} outside int64")
         if prev is None:
             _emit_uvarint(out, zigzag_encode(v))
         else:
-            _emit_uvarint(out, zigzag_encode(v - prev))
+            _emit_uvarint(out, zigzag_encode(_wrap64(v - prev)))
         prev = v
     out += struct.pack(">I", _crc(values))
     return bytes(out)
@@ -92,7 +102,7 @@ def dvi_decode(blob: bytes) -> list[int]:
     for i in range(count):
         u, pos = _read_uvarint(body, pos)
         d = zigzag_decode(u)
-        prev = d if i == 0 else prev + d
+        prev = d if i == 0 else _wrap64(prev + d)
         values.append(prev)
     if pos != len(body):
         raise ValueError(f"varint: {len(body) - pos} trailing payload bytes")
