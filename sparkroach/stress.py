@@ -2008,11 +2008,55 @@ def run_codecs(spark, n_images: int) -> dict:
     from sparkroach.functions.gif import gif_features, synthesize_gif_media
     from sparkroach.functions.jpeg import jpeg_features, synthesize_jpeg_media
     from sparkroach.functions.png import png_features, synthesize_png_media
+    from sparkroach.functions.qoi import qoi_features, synthesize_qoi_media
+    from sparkroach.functions.rice import rice_features, synthesize_rice_media
+    from sparkroach.functions.tiff import synthesize_tiff_media, tiff_features
 
     lane("png", synthesize_png_media, png_features)
     lane("gif", synthesize_gif_media, gif_features)
     lane("jpeg", synthesize_jpeg_media, jpeg_features)
     lane("g711", synthesize_g711_media, g711_features)
+    lane("qoi", synthesize_qoi_media, qoi_features)
+    lane("tiff", synthesize_tiff_media, tiff_features)
+    lane("rice", synthesize_rice_media, rice_features)
+
+    # byte codecs over synthesized word-soup text (the documents-table
+    # shape): per-doc compress in one mapInPandas stage, strict
+    # decompress+hash in the next — identical to the gate lanes
+    words = (
+        "array('scan','join','window','merge','batch','spark','hash',"
+        "'sort')"
+    )
+    docs_txt = docs.selectExpr(
+        "doc_id",
+        f"concat_ws(' ', transform(sequence(1, 60), "
+        f"i -> element_at({words}, "
+        f"CAST((doc_id * 7 + i * 13) % 8 AS INT) + 1))) AS text",
+    )
+
+    def text_lane(name, compress, decompress):
+        t0 = time.time()
+        comp = compress(docs_txt).localCheckpoint(eager=True)
+        enc_s = time.time() - t0
+        nbytes = comp.agg(
+            F.sum(F.octet_length("payload")).alias("b")
+        ).collect()[0]["b"]
+        t0 = time.time()
+        rows = decompress(comp).count()
+        dec_s = time.time() - t0
+        out[name] = {
+            "rows": rows,
+            "payload_mb": round(nbytes / 1e6, 2),
+            "encode_s": round(enc_s, 2),
+            "decode_s": round(dec_s, 2),
+            "decode_items_per_s": round(rows / dec_s, 1) if dec_s else None,
+        }
+
+    from sparkroach.functions import bwt as _bwt
+    from sparkroach.functions import lz4block as _lz4
+
+    text_lane("lz4", _lz4.compress_documents, _lz4.decompress_features)
+    text_lane("bwt", _bwt.compress_documents, _bwt.decompress_features)
     return out
 
 
@@ -2176,8 +2220,8 @@ def main() -> None:
     )
     ap.add_argument(
         "--codecs", action="store_true",
-        help="measure codec-lane throughput (PNG/GIF/JPEG/G.711 encode+"
-        "decode items/s) on --n synthesized media items",
+        help="measure codec-lane throughput (PNG/GIF/JPEG/G.711/QOI/TIFF/"
+        "Rice/LZ4/SBWT encode+decode items/s) on --n synthesized items",
     )
     ap.add_argument(
         "--micro", action="store_true",
