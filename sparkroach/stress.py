@@ -2060,6 +2060,159 @@ def run_codecs(spark, n_images: int) -> dict:
     return out
 
 
+def run_rankstats(spark, n_rows: int) -> dict:
+    """Exact rank statistics at volume (SCALE.md §23): Mann-Whitney U
+    and Spearman's ρ over ``n_rows`` synthesized rows, CROSS-ENGINE
+    VERIFIED — DuckDB recomputes the identical statistics from the
+    identical arithmetic synthesis and every exact integer (and the one
+    fixed-shape double each) must agree bit-for-bit.  The point: the
+    distributed midrank machinery (grouped distinct values → prefix
+    scan → value-keyed joins) carries EXACT order statistics at any n,
+    where a sort-based rank would shuffle the world."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from sparkroach.queries.analytics29 import _rank2_table
+
+    out: dict = {"n_rows": n_rows}
+    # planted location shift between the two groups → a real z signal
+    synth_cols = [
+        "id % 2 AS grp",
+        "CAST(((id * 2654435761) % 2147483647) % 40000 "
+        "+ (id % 2) * 300 AS BIGINT) AS v",
+        "CAST(((id * 1103515245) % 2147483647) % 40000 AS BIGINT) AS w",
+    ]
+    synth_sql = ", ".join(synth_cols)
+    rows = spark.range(n_rows).selectExpr(*synth_cols).localCheckpoint(
+        eager=True
+    )
+
+    # -- Mann-Whitney over grp 0 vs 1 on v --------------------------------
+    t0 = time.time()
+    g = rows.groupBy("v").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("cnt1"),
+    )
+    r = _rank2_table(g, "v")
+    s = r.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("cnt1").cast("long").alias("n1"),
+        F.sum((F.col("cnt1") * F.col("rank2")).cast("decimal(38,0)")).alias(
+            "r1s2"
+        ),
+        F.sum(
+            F.col("cnt").cast("decimal(18,0)") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("ties"),
+    ).collect()[0]
+    mw_wall = time.time() - t0
+    import math
+
+    n, n1 = int(s["n"]), int(s["n1"])
+    n2 = n - n1
+    r1s2, ties = int(s["r1s2"]), int(s["ties"])
+    ud = r1s2 - n1 * (n1 + 1) - n1 * n2
+    m = (n + 1) * n * (n - 1) - ties
+    z = float(ud) / (
+        2.0 * math.sqrt(float(n1 * n2) * float(m) / float(12 * n * (n - 1)))
+    )
+
+    con = duckdb.connect()
+    dn, dn1, dr1s2, dties, dz = con.execute(
+        f"""
+        WITH q AS (SELECT {synth_sql.replace("id", "r.range")}
+                   FROM range(0, {n_rows}) r),
+        g AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS cnt1
+              FROM q GROUP BY v),
+        r AS (SELECT *, SUM(cnt) OVER (ORDER BY v) AS run FROM g),
+        a AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                     CAST(SUM(cnt1) AS BIGINT) AS n1,
+                     CAST(SUM(cnt1 * (2 * (run - cnt) + cnt + 1))
+                          AS BIGINT) AS r1s2,
+                     CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt)
+                          AS BIGINT) AS ties
+              FROM r)
+        SELECT n, n1, r1s2, ties,
+               CAST(r1s2 - n1 * (n1 + 1) - n1 * (n - n1) AS DOUBLE)
+               / (2.0 * sqrt(CAST(n1 * (n - n1) AS DOUBLE)
+                             * CAST((n + 1) * n * (n - 1) - ties AS DOUBLE)
+                             / CAST(12 * n * (n - 1) AS DOUBLE)))
+        FROM a
+        """
+    ).fetchone()
+    out["mann_whitney"] = {
+        "wall_s": round(mw_wall, 2),
+        "z": z,
+        "integers_equal": (int(dn), int(dn1), int(dr1s2), int(dties))
+        == (n, n1, r1s2, ties),
+        "z_bit_equal": dz == z,
+    }
+
+    # -- Spearman between v and w ----------------------------------------
+    t0 = time.time()
+    rx = _rank2_table(
+        rows.groupBy("v").agg(F.count("*").cast("long").alias("cnt")), "v"
+    ).select("v", (F.col("rank2") - (n_rows + 1)).alias("cx"))
+    ry = _rank2_table(
+        rows.groupBy("w").agg(F.count("*").cast("long").alias("cnt")), "w"
+    ).select("w", (F.col("rank2") - (n_rows + 1)).alias("cy"))
+    sp = (
+        rows.join(rx, "v")
+        .join(ry, "w")
+        .agg(
+            F.sum((F.col("cx") * F.col("cy")).cast("decimal(38,0)")).alias(
+                "sxy"
+            ),
+            F.sum((F.col("cx") * F.col("cx")).cast("decimal(38,0)")).alias(
+                "sxx"
+            ),
+            F.sum((F.col("cy") * F.col("cy")).cast("decimal(38,0)")).alias(
+                "syy"
+            ),
+        )
+        .collect()[0]
+    )
+    sp_wall = time.time() - t0
+    sxy, sxx, syy = int(sp["sxy"]), int(sp["sxx"]), int(sp["syy"])
+    rho = float(sxy) / (math.sqrt(float(sxx)) * math.sqrt(float(syy)))
+    dsxy, dsxx, dsyy, drho = con.execute(
+        f"""
+        WITH q AS (SELECT {synth_sql.replace("id", "r.range")}
+                   FROM range(0, {n_rows}) r),
+        gx AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM q GROUP BY v),
+        rx AS (SELECT v, 2 * (SUM(cnt) OVER (ORDER BY v) - cnt) + cnt + 1
+                          AS rank2 FROM gx),
+        gy AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM q GROUP BY w),
+        ry AS (SELECT w, 2 * (SUM(cnt) OVER (ORDER BY w) - cnt) + cnt + 1
+                          AS rank2 FROM gy),
+        c AS (SELECT rx.rank2 - {n_rows + 1} AS cx,
+                     ry.rank2 - {n_rows + 1} AS cy
+              FROM q JOIN rx ON rx.v = q.v JOIN ry ON ry.w = q.w),
+        s AS (SELECT CAST(SUM(cx * cy) AS BIGINT) AS sxy,
+                     CAST(SUM(cx * cx) AS BIGINT) AS sxx,
+                     CAST(SUM(cy * cy) AS BIGINT) AS syy
+              FROM c)
+        SELECT sxy, sxx, syy,
+               CAST(sxy AS DOUBLE)
+               / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE)))
+        FROM s
+        """
+    ).fetchone()
+    out["spearman"] = {
+        "wall_s": round(sp_wall, 2),
+        "rho": rho,
+        "integers_equal": (int(dsxy), int(dsxx), int(dsyy))
+        == (sxy, sxx, syy),
+        "rho_bit_equal": drho == rho,
+    }
+    return out
+
+
 def run_micro(spark) -> dict:
     """Micro-stress for the wave-8+ operator plans (SCALE.md §19):
     synthesized inputs from ``spark.range`` expressions (no parquet),
@@ -2230,6 +2383,12 @@ def main() -> None:
         "100M ids, substring scan at 1M docs",
     )
     ap.add_argument(
+        "--rankstats", action="store_true",
+        help="exact rank statistics (Mann-Whitney U, Spearman rho) on "
+        "--n synthesized rows, cross-engine bit-equality verified vs "
+        "DuckDB; run at --n 2000000 (the BIGINT-exact guard boundary)",
+    )
+    ap.add_argument(
         "--linkage", action="store_true",
         help="run the record-linkage plane stress: coarse (nation-only, "
         "the gate's blocking, capped corpus) vs fine (nation+balance-"
@@ -2262,7 +2421,7 @@ def main() -> None:
     if n_vecs is None and (args.ann or args.pq_sweep):
         n_vecs = args.n
     report: dict = {}
-    if not (args.ahash or args.linkage or args.micro or args.codecs):
+    if not (args.ahash or args.linkage or args.micro or args.codecs or args.rankstats):
         # (these modes synthesize their own corpora)
         report["synth"] = synthesize(
             args.out, args.n, args.seed, n_vecs=n_vecs, uniform_frac=uniform
@@ -2276,6 +2435,8 @@ def main() -> None:
             report.update(run_codecs(spark, args.n))
         elif args.micro:
             report.update(run_micro(spark))
+        elif args.rankstats:
+            report.update(run_rankstats(spark, args.n))
         elif args.linkage:
             os.makedirs(args.out, exist_ok=True)
             report.update(run_linkage(spark, args.n, args.out))
