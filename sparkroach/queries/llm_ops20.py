@@ -933,6 +933,170 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# lm_kneser_ney_bigram — interpolated Kneser-Ney in exact quarters
+# ---------------------------------------------------------------------------
+
+KN_VOCAB = 24  # top-V tokens; everything else maps to <unk>
+_KN_SCALE = 1_000_000_000
+
+
+def _kn_oracle() -> str:
+    return f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, p.p AS pos, ws[CAST(p.p AS INT)] AS t
+            FROM w JOIN range(1, 400) p(p) ON p.p <= len(ws)
+        ),
+        vocab AS (
+            SELECT t FROM (
+                SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+                ORDER BY c DESC, t LIMIT {KN_VOCAB}
+            )
+        ),
+        m AS (
+            SELECT tok.doc_id, tok.pos,
+                   CASE WHEN v.t IS NULL THEN '<unk>' ELSE tok.t END AS t
+            FROM tok LEFT JOIN vocab v ON v.t = tok.t
+        ),
+        big AS (
+            SELECT a.t AS v, b.t AS w2, CAST(COUNT(*) AS BIGINT) AS c
+            FROM m a JOIN m b
+              ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            GROUP BY a.t, b.t
+        ),
+        cv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM big GROUP BY v),
+        n1v AS (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS n1v FROM big GROUP BY v
+        ),
+        n1w AS (
+            SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1w FROM big GROUP BY w2
+        ),
+        n11 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n11 FROM big),
+        st AS (SELECT DISTINCT v AS t FROM big),
+        stw AS (SELECT DISTINCT w2 AS t FROM big),
+        grid AS (SELECT a.t AS v, b.t AS w2 FROM st a JOIN stw b ON TRUE)
+        SELECT g.v, g.w2 AS w,
+               COALESCE(b.c, 0) AS c_vw,
+               cv.cv AS c_v,
+               CAST(((CASE WHEN b.c IS NOT NULL
+                           THEN (4 * b.c - 3) * (SELECT n11 FROM n11)
+                           ELSE 0 END
+                      + 3 * n1v.n1v * n1w.n1w) * {_KN_SCALE})
+                    // (4 * cv.cv * (SELECT n11 FROM n11))
+                    AS BIGINT) AS prob_q9
+        FROM grid g
+        JOIN cv ON cv.v = g.v
+        JOIN n1v ON n1v.v = g.v
+        JOIN n1w ON n1w.w2 = g.w2
+        LEFT JOIN big b ON b.v = g.v AND b.w2 = g.w2
+        ORDER BY g.v, w
+    """
+
+
+@register(
+    "lm_kneser_ney_bigram",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # lm_bigram_coverage_score (the recorded count-based bigram LM
+    # plane, r7 gate); the interpolated-KN algebra (absolute discount
+    # 3/4 in exact quarters, continuation counts, per-context mass
+    # summing to exactly one) is pinned against a pure-python KN in
+    # tests/test_llm_ops20.py.
+    gated=False,
+    oracle=_kn_oracle(),
+    survey_ref="LLM ops: language modeling — interpolated Kneser-Ney "
+    "bigram smoothing (absolute discount + continuation-count "
+    "back-off, THE classical n-gram smoother): the full conditional "
+    "probability grid over the top-V+<unk> vocabulary, next to the "
+    "raw-count bigram coverage filter",
+    description=f"top-{KN_VOCAB} vocabulary (count desc, token "
+    "tiebreak; the tail maps to <unk> BEFORE bigram extraction — "
+    "standard LM practice, and what keeps the grid literal-bounded "
+    "at corpus scale), then interpolated KN with d = 3/4 carried in "
+    "EXACT QUARTERS: p(w|v)·4·c(v)·N11 = (4c(v,w)−3)·N11 + "
+    "3·N1+(v·)·N1+(·w) — pure integers, quantized by one positive "
+    "truncating division at 1e-9.  Per-context mass sums to exactly "
+    "one in the rationals (unit-pinned).  Counts are map-side "
+    "aggregates; the V² grid is vocabulary-bounded, never corpus-"
+    "bounded",
+)
+def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.posexplode(F.split("text", " ")))
+        .select("doc_id", F.col("pos"), F.col("col").alias("t"))
+    )
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "t")
+        .limit(KN_VOCAB)
+        .select("t")
+    )
+    m = (
+        tok.join(F.broadcast(vocab.withColumnRenamed("t", "vt")),
+                 tok.t == F.col("vt"), "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.when(F.col("vt").isNull(), "<unk>").otherwise(F.col("t")).alias(
+                "t"
+            ),
+        )
+    )
+    a = m.select("doc_id", "pos", F.col("t").alias("v"))
+    b = m.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("t").alias("w")
+    )
+    big = (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("v", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # reused: cv/n1v/n1w/n11/grid/join
+    )
+    cv = big.groupBy("v").agg(F.sum("c").cast("long").alias("cv"))
+    n1v = big.groupBy("v").agg(F.count("*").cast("long").alias("n1v"))
+    n1w = big.groupBy("w").agg(F.count("*").cast("long").alias("n1w"))
+    n11 = int(big.count())
+    # V² grid: both sides vocabulary-bounded (≤ KN_VOCAB+1 rows each) —
+    # broadcast keeps it a BNLJ, never a CartesianProduct
+    grid = F.broadcast(big.select("v").distinct()).crossJoin(
+        big.select("w").distinct()
+    )
+    seen = 4 * F.col("c") - 3
+    num = (
+        F.when(F.col("c").isNotNull(), seen * F.lit(n11)).otherwise(0)
+        + 3 * F.col("n1v") * F.col("n1w")
+    )
+    return (
+        grid.join(cv, "v")
+        .join(n1v, "v")
+        .join(n1w, "w")
+        .join(big, ["v", "w"], "left")
+        .select(
+            "v",
+            "w",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c_vw"),
+            F.col("cv").cast("long").alias("c_v"),
+            (num * _KN_SCALE).cast("decimal(38,0)").alias("_num"),
+        )
+        .select(
+            "v",
+            "w",
+            "c_vw",
+            "c_v",
+            F.expr(
+                f"CAST(_num DIV (4 * c_v * {n11}) AS LONG)"
+            ).alias("prob_q9"),
+        )
+        .orderBy("v", "w")
+    )
+
+
+# ---------------------------------------------------------------------------
 # customer_soundex_blocking — American Soundex phonetic blocking
 # ---------------------------------------------------------------------------
 

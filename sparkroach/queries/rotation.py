@@ -485,6 +485,12 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "estimator and exact-ratio priorities are unit-pinned in "
         "tests/test_llm_ops20.py.  R9-window candidate",
     ),
+    "lm_kneser_ney_bigram": (
+        "lm_bigram_coverage_score",
+        "the recorded count-based bigram LM plane (r7 gate); the "
+        "interpolated-KN quarters algebra and exact per-context mass "
+        "are pinned in tests/test_llm_ops20.py.  R9-window candidate",
+    ),
     "customer_soundex_blocking": (
         "customer_record_linkage",
         "blocking-key pair generation over synthesized customer "

@@ -689,6 +689,97 @@ def test_rake_degree_rewards_cooccurrence():
 
 
 # ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM
+# ---------------------------------------------------------------------------
+
+
+def _kn_ref(texts, vocab_size, scale):
+    """Independent pure-python interpolated KN (d = 3/4, quarters)."""
+    from collections import Counter
+
+    toks = [t.split(" ") for t in texts]
+    counts = Counter(w for ws in toks for w in ws)
+    vocab = set(
+        w for w, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :vocab_size
+        ]
+    )
+    map_ = lambda w: w if w in vocab else "<unk>"  # noqa: E731
+    big = Counter()
+    for ws in toks:
+        for a, b in zip(ws, ws[1:]):
+            big[(map_(a), map_(b))] += 1
+    cv = Counter()
+    n1v = Counter()
+    n1w = Counter()
+    for (v, w), c in big.items():
+        cv[v] += c
+        n1v[v] += 1
+        n1w[w] += 1
+    n11 = len(big)
+    out = {}
+    for v in sorted(cv):
+        for w in sorted(n1w):
+            c = big.get((v, w), 0)
+            num = ((4 * c - 3) * n11 if c else 0) + 3 * n1v[v] * n1w[w]
+            out[(v, w)] = (num, 4 * cv[v] * n11, num * scale // (4 * cv[v] * n11))
+    return out
+
+
+def test_kneser_ney_gate_matches_python_reference(spark):
+    import duckdb
+
+    from sparkroach.queries import QUERIES
+    from sparkroach.queries.llm_ops20 import _KN_SCALE, KN_VOCAB
+    from tests.conftest import SF_SMALL
+
+    rows = QUERIES["lm_kneser_ney_bigram"].fn(spark, SF_SMALL).collect()
+    con = duckdb.connect()
+    texts = [
+        r[0]
+        for r in con.execute(
+            f"SELECT text FROM read_parquet('{SF_SMALL}/documents.parquet')"
+        ).fetchall()
+    ]
+    ref = _kn_ref(texts, KN_VOCAB, _KN_SCALE)
+    assert len(rows) == len(ref)
+    for r in rows:
+        num, den, q = ref[(r["v"], r["w"])]
+        assert r["prob_q9"] == q, (r["v"], r["w"])
+    # the KN identity: per-context mass sums to EXACTLY one in the
+    # rationals (Σ_w num = den for every context v)
+    from collections import defaultdict
+
+    mass = defaultdict(int)
+    dens = {}
+    for (v, _w), (num, den, _q) in ref.items():
+        mass[v] += num
+        dens[v] = den
+    for v in mass:
+        assert mass[v] == dens[v], v
+
+
+def test_kneser_ney_continuation_beats_raw_frequency():
+    # KN's signature: "francisco" appears often but only ever after
+    # "san" → its continuation probability (weight in UNSEEN contexts)
+    # must be lower than a less frequent word seen in many contexts
+    texts = (
+        ["san francisco"] * 8
+        + ["red car", "blue car", "old car", "new car", "a car"]
+        + ["the dog"] * 3
+    )
+    ref = _kn_ref(texts, 24, 10**9)
+    # context 'the' never precedes either word → both probabilities are
+    # PURE continuation mass.  'francisco' is 8× more frequent than
+    # 'car' but lives in a single context; 'car' has five.
+    unseen_fr = ref[("the", "francisco")]
+    unseen_car = ref[("the", "car")]
+    assert unseen_car[2] > unseen_fr[2]  # 5 contexts beats 1 context
+    # raw counts would say the opposite
+    assert texts.count("san francisco") * 1 > 5
+
+
+# ---------------------------------------------------------------------------
 # Soundex blocking
 # ---------------------------------------------------------------------------
 

@@ -382,6 +382,7 @@ _SCALAR_BNLJ_OK = {
     # continuation wave: 1-row x 1-row bookkeeping crossJoins
     "events_ams_f2_sketch",  # 1-row exact F2 x 1-row median estimate
     "events_hilbert_locality_report",  # 1-row stats x 1-row path sums x2
+    "lm_kneser_ney_bigram",  # vocab x vocab grid (literal KN_VOCAB bound)
 }
 
 

@@ -142,6 +142,11 @@ _BROADCAST_OK: dict[tuple[str, str], str] = {
     ("queries/llm_ops19.py", 'cand.join(qs, "q_id")'):
         "NSW probe side: queries × (beam ∪ neighbors) — literal-bounded "
         "by N_QUERIES · NSW_BEAM · (degree+1) per round",
+    ("queries/llm_ops20.py", 'big.select("v").distinct()'):
+        "KN grid context side — bounded by the literal KN_VOCAB+1 "
+        "model vocabulary, never the corpus",
+    ("queries/llm_ops20.py", 'vocab.withColumnRenamed("t", "vt")'):
+        "top-KN_VOCAB token list (literal-bounded by construction)",
     ("queries/llm_ops2.py", "q"): "literal-bounded ANN query set",
     ("queries/llm_ops2.py", 'q.join(probes, "q_id")'):
         "queries × nprobe probe shortlist",
