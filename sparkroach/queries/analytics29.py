@@ -334,6 +334,137 @@ def events_hourly_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# events_sax_quantile_words — symbolic time-series words (PAA + aSAX)
+# ---------------------------------------------------------------------------
+
+SAX_SEG_HOURS = 6  # PAA segment width → 4 symbols per day
+
+_SAX_ORACLE = f"""
+    WITH h AS (
+        SELECT epoch_us(ts::TIMESTAMP) // 3600000000 AS hr,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS y
+        FROM events GROUP BY 1
+    ),
+    b AS (SELECT MIN(hr) AS h0 FROM h),
+    seg AS (
+        SELECT (hr - (SELECT h0 FROM b)) // {SAX_SEG_HOURS} AS s,
+               (hr - (SELECT h0 FROM b)) // 24 AS day,
+               ((hr - (SELECT h0 FROM b)) % 24) // {SAX_SEG_HOURS}
+                   AS slot,
+               CAST(SUM(y) AS BIGINT) AS v
+        FROM h GROUP BY 1, 2, 3
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seg),
+    r AS (SELECT v, row_number() OVER (ORDER BY v, s) AS rk FROM seg),
+    cuts AS (
+        SELECT MAX(CASE WHEN rk = ((SELECT n FROM n) + 3) // 4
+                        THEN v END) AS c1,
+               MAX(CASE WHEN rk = (2 * (SELECT n FROM n) + 3) // 4
+                        THEN v END) AS c2,
+               MAX(CASE WHEN rk = (3 * (SELECT n FROM n) + 3) // 4
+                        THEN v END) AS c3
+        FROM r
+    )
+    SELECT seg.day,
+           string_agg(CASE WHEN seg.v <= cuts.c1 THEN 'a'
+                           WHEN seg.v <= cuts.c2 THEN 'b'
+                           WHEN seg.v <= cuts.c3 THEN 'c'
+                           ELSE 'd' END, '' ORDER BY seg.slot) AS word,
+           CAST(COUNT(*) AS BIGINT) AS n_segments
+    FROM seg, cuts
+    GROUP BY seg.day
+    ORDER BY seg.day
+"""
+
+
+@register(
+    "events_sax_quantile_words",
+    # R9-window candidate: registered gated=False, DELEGATED to
+    # orders_monthly_seasonality (time-bucketed series summarization
+    # over exact integer cents — the recorded r7 time-series plan
+    # family); the PAA/alphabet semantics (quartile cuts as exact
+    # order statistics, per-day word assembly) are pinned against a
+    # pure-python reference in tests/test_analytics29.py.
+    gated=False,
+    oracle=_SAX_ORACLE,
+    survey_ref="§2C analytic breadth / time series — symbolic "
+    "aggregate approximation (SAX family, adaptive-quantile "
+    "alphabet): the per-day symbolic words motif/anomaly miners run "
+    "on — piecewise aggregation + a 4-letter empirical-quartile "
+    "alphabet, fully exact",
+    description=f"hourly cents series → {SAX_SEG_HOURS}-hour PAA "
+    "segments (exact integer sums; 4 segments/day) → alphabet cuts = "
+    "the exact ¼/½/¾ order statistics of the segment values "
+    "(ceil-rank over the time-bounded segment table — no Gaussian "
+    "breakpoints, no doubles ANYWHERE) → per-day 4-letter words "
+    "assembled in slot order.  Everything beyond the hourly rollup "
+    "is bounded by TIME (≤120 segments at the 30-day corpus), so the "
+    "ordering window is constant-size at any corpus scale",
+)
+def events_sax_quantile_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from sparkroach.queries.analytics import cents
+
+    h = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            (F.unix_micros("ts") / F.lit(3_600_000_000))
+            .cast("long")
+            .alias("hr")
+        )
+        .agg(F.sum(cents("value")).alias("y"))
+    )
+    h0 = h.agg(F.min("hr")).collect()[0][0]
+    if h0 is None:
+        raise ValueError("events_sax_quantile_words: empty input")
+    seg = (
+        h.selectExpr(
+            f"(hr - {h0}) DIV {SAX_SEG_HOURS} AS s",
+            f"(hr - {h0}) DIV 24 AS day",
+            f"((hr - {h0}) % 24) DIV {SAX_SEG_HOURS} AS slot",
+            "y",
+        )
+        .groupBy("s", "day", "slot")
+        .agg(F.sum("y").cast("long").alias("v"))
+        .localCheckpoint(eager=True)  # reused: count, ranks, symbols
+    )
+    n_seg = seg.count()
+    w = Window.orderBy("v", "s")  # time-bounded: ≤ ~120 rows ever
+    r = seg.select("v", "s").withColumn("rk", F.row_number().over(w))
+    ranks = {
+        "c1": (n_seg + 3) // 4,
+        "c2": (2 * n_seg + 3) // 4,
+        "c3": (3 * n_seg + 3) // 4,
+    }
+    cuts = r.agg(
+        *[
+            F.max(F.when(F.col("rk") == rk, F.col("v"))).alias(name)
+            for name, rk in ranks.items()
+        ]
+    )
+    sym = F.when(F.col("v") <= F.col("c1"), "a").when(
+        F.col("v") <= F.col("c2"), "b"
+    ).when(F.col("v") <= F.col("c3"), "c").otherwise("d")
+    return (
+        seg.crossJoin(F.broadcast(cuts))  # 1-row cuts scalar
+        .select("day", "slot", sym.alias("sym"))
+        .groupBy("day")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("slot", "sym"))),
+                    lambda x: x.sym,
+                ),
+            ).alias("word"),
+            F.count("*").cast("long").alias("n_segments"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
 # user_activity_gini — inequality of per-user value via distributed rank
 # ---------------------------------------------------------------------------
 

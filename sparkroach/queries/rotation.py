@@ -562,6 +562,13 @@ DELEGATED: dict[str, tuple[str, str]] = {
         "semantics are unit-pinned in tests/test_llm_ops20.py.  "
         "R9-window candidate",
     ),
+    "events_sax_quantile_words": (
+        "orders_monthly_seasonality",
+        "time-bucketed series summarization over exact integer cents "
+        "(the recorded r7 time-series family); PAA/alphabet semantics "
+        "pinned against a pure-python reference in "
+        "tests/test_analytics29.py.  R9-window candidate",
+    ),
     "user_activity_gini": (
         "events_user_value_ntiles",
         "global total-order statistics over the per-user value "

@@ -169,6 +169,52 @@ def test_markov_stationary_matches_eigenvector(spark):
         )
 
 
+def test_events_sax_words_match_python_reference(spark):
+    import duckdb
+
+    rows = QUERIES["events_sax_quantile_words"].fn(spark, SF_SMALL).collect()
+    con = duckdb.connect()
+    hrs = dict(
+        con.execute(
+            "SELECT epoch_us(ts::TIMESTAMP) // 3600000000, "
+            "SUM(CAST(round(value*100) AS BIGINT)) FROM "
+            f"read_parquet('{SF_SMALL}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    h0 = min(hrs)
+    segs: dict = {}
+    for hr, y in hrs.items():
+        key = ((hr - h0) // 6, (hr - h0) // 24, ((hr - h0) % 24) // 6)
+        segs[key] = segs.get(key, 0) + y
+    ordered = sorted((v, s) for (s, _d, _sl), v in segs.items())
+    n = len(ordered)
+    cuts = [ordered[(k * n + 3) // 4 - 1][0] for k in (1, 2, 3)]
+
+    def sym(v):
+        if v <= cuts[0]:
+            return "a"
+        if v <= cuts[1]:
+            return "b"
+        if v <= cuts[2]:
+            return "c"
+        return "d"
+
+    words: dict = {}
+    for (s, d, sl), v in sorted(segs.items(), key=lambda kv: kv[0][2]):
+        words.setdefault(d, {})[sl] = sym(v)
+    got = {r["day"]: r["word"] for r in rows}
+    assert set(got) == set(words)
+    for d, slots in words.items():
+        assert got[d] == "".join(slots[k] for k in sorted(slots)), d
+    # the alphabet is balanced by construction: each letter covers
+    # roughly a quarter of the segments
+    from collections import Counter
+
+    letters = Counter(c for w in got.values() for c in w)
+    assert set(letters) == {"a", "b", "c", "d"}
+    assert max(letters.values()) <= 2 * min(letters.values())
+
+
 def test_hilbert_curve_reference_properties():
     from sparkroach.functions.hilbert import HILBERT_SIDE, d2xy, xy2d
 

@@ -383,6 +383,7 @@ _SCALAR_BNLJ_OK = {
     "events_ams_f2_sketch",  # 1-row exact F2 x 1-row median estimate
     "events_hilbert_locality_report",  # 1-row stats x 1-row path sums x2
     "lm_kneser_ney_bigram",  # vocab x vocab grid (literal KN_VOCAB bound)
+    "events_sax_quantile_words",  # segments x 1-row quartile cuts
 }
 
 
@@ -401,6 +402,8 @@ _GLOBAL_WINDOW_OK = {
     "bpe_second_merge",  # charset²-bounded pair table, two iterations
     "events_hilbert_locality_report",  # ordering windows over the
     # literal-bounded 256×256 occupied-cell table (≤ 65536 rows ever)
+    "events_sax_quantile_words",  # rank over the time-bounded PAA
+    # segment table (≤ ~120 rows at the 30-day corpus)
     "events_hourly_theil_sen",  # pair/point sets are time-bounded (≤2000
     # hourly points guarded in the query; ~260k pairs whatever the corpus)
     "events_user_value_ntiles",  # total order is the semantics; documented

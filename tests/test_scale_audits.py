@@ -83,6 +83,7 @@ _BROADCAST_OK: dict[tuple[str, str], str] = {
     ("queries/analytics27.py", "n"): "1-row count",
     ("queries/analytics27.py", "offs"):
         "per-partition prefix offsets (bounded by shuffle partitions)",
+    ("queries/analytics29.py", "cuts"): "1-row quartile-cut scalars",
     ("queries/analytics29.py", "a"):
         "time-bounded hourly aggregate (720 rows at the 30-day corpus, "
         "guarded <= TS_MAX_POINTS in the query) — the Theil-Sen pair "
