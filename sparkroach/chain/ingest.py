@@ -178,6 +178,14 @@ class ChainDB:
         nxt = self.next_round()
         if nxt is None:
             nxt = 0
+        # cache the incoming micro-batch BEFORE the gate collect: the batch
+        # is consumed by up to 8 table planes below, and for a Python-built
+        # batch the row→JVM conversion is the single most expensive part of
+        # touching it — caching first means the gate collect itself fills
+        # the cache, so the conversion runs once, not once per consumer
+        # (r8 optimization; previously the gate collect ran on the raw
+        # input and the cache was only installed after the round filter).
+        blocks = blocks.cache()
         # one driver-side collect for all scalar bookkeeping: rounds,
         # special accounts, and per-delta sizes (to skip no-op merges)
         meta_rows = blocks.select(
@@ -201,18 +209,24 @@ class ChainDB:
         ).collect()
         rounds = sorted({r["round"] for r in meta_rows})
         if not rounds:
+            blocks.unpersist()
             return 0
         todo = [r for r in rounds if r >= nxt]
         if not todo:
+            blocks.unpersist()
             return 0  # pure replay of already-applied rounds
         if strict:
-            if todo[0] != nxt:
-                raise RoundGateError(
-                    f"next expected round {nxt}, got {todo[0]} (gap)"
-                )
-            for a, b in zip(todo, todo[1:]):
-                if b != a + 1:
-                    raise RoundGateError(f"non-consecutive rounds {a} → {b}")
+            try:
+                if todo[0] != nxt:
+                    raise RoundGateError(
+                        f"next expected round {nxt}, got {todo[0]} (gap)"
+                    )
+                for a, b in zip(todo, todo[1:]):
+                    if b != a + 1:
+                        raise RoundGateError(f"non-consecutive rounds {a} → {b}")
+            except RoundGateError:
+                blocks.unpersist()
+                raise
         applied = [r for r in meta_rows if r["round"] in set(todo)]
         # AddBlock0 semantics (cockroach.go:159-165): round 0 writes ONLY
         # the block header and special accounts — its payset/delta (genesis
@@ -223,7 +237,8 @@ class ChainDB:
             k: any(r[k] > 0 for r in nz_applied)
             for k in ("n_accts", "n_assets", "n_apps", "n_boxes", "n_txns")
         }
-        blocks = blocks.where(F.col("round").isin(todo)).cache()
+        unfiltered = blocks
+        blocks = blocks.where(F.col("round").isin(todo))
         nz_blocks = (
             blocks.where(F.col("round") != 0) if 0 in todo else blocks
         )
@@ -242,29 +257,36 @@ class ChainDB:
                 if depth is None
                 else transforms.flatten_txns(nz_blocks, depth=1)
             ).cache()
-            flat.count()
 
         # Per-table work is independent (separate manifests), so submit the
         # Spark jobs concurrently — the same intra-block parallelism the
         # reference gets from its second serializable transaction (A19,
         # cockroach.go:167-199), generalized to all nine tables.
+        # The flatten materialization itself is submitted as the FIRST
+        # concurrent job (r8 optimization: it used to run serially before
+        # the fan-out, leaving the cluster idle while the header append —
+        # which does not need it — could already be running); the three
+        # flat consumers below wait on its future before they start, so
+        # they still hit the cache instead of racing to compute it.
         tasks: list = [
             lambda: self.store.append_facts(
                 "block_header", transforms.block_headers(blocks)
             )
         ]
+        def _append_txn():
+            flat_ready.result()
+            self.store.append_facts("txn", transforms.txns(nz_blocks, rows=flat))
+
+        def _append_participation():
+            flat_ready.result()
+            self.store.append_facts(
+                "txn_participation",
+                transforms.participation(nz_blocks, rows=flat),
+            )
+
         if has["n_txns"]:
-            tasks.append(
-                lambda: self.store.append_facts(
-                    "txn", transforms.txns(nz_blocks, rows=flat)
-                )
-            )
-            tasks.append(
-                lambda: self.store.append_facts(
-                    "txn_participation",
-                    transforms.participation(nz_blocks, rows=flat),
-                )
-            )
+            tasks.append(_append_txn)
+            tasks.append(_append_participation)
         # dense-update heuristic: the gate collect already counted updates
         # per plane; when a batch averages >=4 keys per bucket every bucket
         # collides anyway, so the merge skips its touched-bucket discovery
@@ -272,9 +294,15 @@ class ChainDB:
         dense = 4 * self.store.n_buckets
         n_upd = {k: sum(r[k] for r in nz_applied) for k in
                  ("n_accts", "n_assets", "n_apps", "n_boxes")}
+        def _merge_account_task():
+            if flat is not None:
+                flat_ready.result()
+            self._merge_account_batch(
+                nz_blocks, flat, touch_all=n_upd["n_accts"] >= dense
+            )
+
         if has["n_accts"]:
-            tasks.append(lambda: self._merge_account_batch(
-                nz_blocks, flat, touch_all=n_upd["n_accts"] >= dense))
+            tasks.append(_merge_account_task)
         if has["n_assets"]:
             tasks.append(lambda: self._merge_assets(
                 nz_blocks, touch_all=n_upd["n_assets"] >= dense))
@@ -285,9 +313,14 @@ class ChainDB:
             tasks.append(lambda: self._merge_boxes(
                 nz_blocks, touch_all=n_upd["n_boxes"] >= dense))
 
-        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import Future, ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            if flat is not None:
+                flat_ready = pool.submit(flat.count)
+            else:
+                flat_ready = Future()
+                flat_ready.set_result(0)
             for fut in [pool.submit(t) for t in tasks]:
                 fut.result()  # re-raise the first failure
 
@@ -310,7 +343,7 @@ class ChainDB:
         )
         if flat is not None:
             flat.unpersist()
-        blocks.unpersist()
+        unfiltered.unpersist()
         return len(todo)
 
     def _merge_account_batch(

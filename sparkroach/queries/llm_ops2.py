@@ -209,22 +209,25 @@ def passage_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice(ws, i + 1, PASSAGE_WORDS), " ")
         ),
     )
-    # the exploded (doc_id, passage-hash) frame feeds BOTH the per-hash
-    # doc count and the join back; without materialization each consumer
-    # re-runs the window-slice + md5-per-gram stage (the dominant cost —
-    # measured 4.2 s → 2.0 s at sf0.1).  Same persist-a-multi-consumed-
-    # intermediate move as capped_band_pairs.
-    p = d.select("doc_id", F.explode(passages).alias("ph")).localCheckpoint(
-        eager=True
-    )
-    hd = p.groupBy("ph").agg(F.countDistinct("doc_id").alias("nd"))
-    dup = F.when(F.col("nd") > 1, 1).otherwise(0)
+    # r8 optimization: the old plan checkpointed the exploded frame, then
+    # aggregated per hash (countDistinct) and joined back — three
+    # full-width shuffles of the passage rows plus an eager
+    # materialization job.  "Occurs in more than one distinct doc" is
+    # exactly min(doc_id) != max(doc_id) within the hash group, so ONE
+    # hash-keyed window (partitioned by ph — per-passage groups, never a
+    # global window) marks duplicate passages in place: the explode+md5
+    # stage now runs once with NO checkpoint, the window reuses the single
+    # ph exchange, and the only other shuffle is the per-doc rollup.
+    # 10 → 4 plan exchanges; identical values at every SF (A/B-verified).
+    p = d.select("doc_id", F.explode(passages).alias("ph"))
+    w = Window.partitionBy("ph")
+    dup = (F.min("doc_id").over(w) != F.max("doc_id").over(w)).cast("int")
     return (
-        p.join(hd, "ph")
+        p.select("doc_id", dup.alias("dup"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_passages"),
-            F.sum(dup).alias("n_dup_passages"),
+            F.sum("dup").alias("n_dup_passages"),
         )
         .select(
             "doc_id",

@@ -893,21 +893,35 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
     )
-    first_pos = words.groupBy("doc_id", "term").agg(
-        F.min("pos").alias("first_pos")
+    # ONE corpus-wide (doc_id, term) aggregation carries BOTH tf and
+    # first_pos (r8 optimization: the old plan aggregated the exploded
+    # corpus separately for tf and for first_pos, re-split every text for
+    # dl, and planned the whole qterms subtree twice — 4 explode passes
+    # and ~19 exchanges for one corpus).  The checkpoint is the standard
+    # pay-once move for a multi-consumed intermediate (same posture as
+    # the LSH band stage): (doc_id, term, tf, first_pos) is the posting
+    # table — O(corpus tokens) narrow rows — and every downstream table
+    # (query terms, document frequency, document length) is derived from
+    # it without touching the raw text again.  dl = SUM(tf) per doc is
+    # exactly size(split(text)) for every doc that has postings, and docs
+    # without postings can never join a query term.
+    tfp = (
+        words.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.min("pos").alias("first_pos"))
+        .localCheckpoint(eager=True)
     )
     wq = Window.partitionBy("probe").orderBy("first_pos")
     qterms = (
         F.broadcast(probes)
-        .join(first_pos, F.col("probe") == F.col("doc_id"))
+        .join(tfp, F.col("probe") == F.col("doc_id"))
         .select("probe", "term", "first_pos")
         .withColumn("rk", F.row_number().over(wq))
         .where(F.col("rk") <= BM25_QTERMS)
         .select("probe", "term")
     )
-    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
-    dl = d.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
+    tf = tfp.select("doc_id", "term", "tf")
+    df_t = tfp.groupBy("term").agg(F.count("*").alias("df"))
+    dl = tfp.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     # identical IEEE op order as the oracle: rational idf × saturating tf
     avgdl = F.col("total").cast("double") / F.col("n").cast("double")
     ts = F.round(

@@ -131,18 +131,27 @@ _TH32_GM = " + ".join(
 )
 def winnowing_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    # the fingerprint stage feeds three consumers (frequency census +
-    # both join sides): checkpoint so the explode+window work runs ONCE
-    # (the same pay-once discipline as the LSH band stage)
-    fps = winnow_fingerprints(d).localCheckpoint()
-    keep = (
-        fps.groupBy("fp")
-        .agg(F.count("*").alias("df"))
+    # r8 optimization: the old plan checkpointed the full fingerprint
+    # table, aggregated a frequency census, and joined it back — three
+    # shuffles of the FULL fingerprint set (census + both join sides).
+    # The census is a per-fingerprint count, so one fp-keyed window
+    # (partitioned by fp — per-fingerprint groups, never a global window)
+    # computes df in place on a single fp exchange, and the boilerplate /
+    # singleton filter runs BEFORE the checkpoint: what gets materialized
+    # and self-joined is only the matchable fingerprints (df in
+    # [2, FP_MAX_DOCS]), a small fraction of the corpus fingerprint set.
+    # The checkpoint still pays the explode+window fingerprint stage once
+    # for both join sides.  Identical values at every SF (A/B-verified).
+    fps = winnow_fingerprints(d)
+    w = Window.partitionBy("fp")
+    kept = (
+        fps.withColumn("df", F.count("*").over(w))
         .filter((F.col("df") >= 2) & (F.col("df") <= FP_MAX_DOCS))
-        .select("fp")
+        .select("doc_id", "fp")
+        .localCheckpoint()
     )
-    a = fps.join(keep, "fp").alias("a")
-    b = fps.alias("b")
+    a = kept.alias("a")
+    b = kept.alias("b")
     return (
         a.join(b, "fp")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
