@@ -460,7 +460,30 @@ def capped_band_pairs(
     # backed; lineage truncation is the deliberate trade.
     bands = bands.localCheckpoint(eager=True)
     counts = bands.groupBy(*keys).agg(F.count("*").alias("_bn"))
-    over = counts.where(F.col("_bn") > cap).select(*keys)
+    # Data-adaptive over-cap branch (r8 optimization, same move as the
+    # ingest layer's depth-1 flatten): the flooded-bucket key list is
+    # bounded by construction (only buckets past the cap) and was already
+    # being collected to the driver by the F.broadcast build — collecting
+    # it explicitly costs the same one job, and when it is EMPTY (the
+    # common case: a healthy corpus has no flood buckets) the whole
+    # over-cap machinery — anti-join, semi-join, rank window, K-star join,
+    # chain pairs, two unions — drops out of the plan instead of running
+    # as a procession of empty stages.  Flooded inputs take the full
+    # capped path unchanged, so results are identical either way.
+    over_keys = counts.where(F.col("_bn") > cap).select(*keys)
+    over_rows = over_keys.collect()
+    if not over_rows:
+        small = bands.select(F.col(id_col).alias("_id"), *keys)
+        a = small.alias("a")
+        b = small.alias("b")
+        return a.join(
+            b,
+            [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys]
+            + [F.col("a._id") < F.col("b._id")],
+        ).select(
+            F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b")
+        ).distinct()
+    over = bands.sparkSession.createDataFrame(over_rows, over_keys.schema)
     small = bands.join(F.broadcast(over), keys, "left_anti").select(
         F.col(id_col).alias("_id"), *keys
     )

@@ -161,6 +161,37 @@ def test_capped_band_pairs_has_no_unbounded_window(spark):
     for line in plan.splitlines():
         if "unboundedfollowing" in line.lower():
             raise AssertionError(f"buffering window frame in plan: {line.strip()}")
+    # r8: capped_band_pairs is data-adaptive — with no flooded bucket at
+    # this SF the over-cap machinery drops out of the plan entirely, so
+    # the lead()/broadcast pins moved to a synthetic flooded input below
+    # (test_capped_band_pairs_flood_path_keeps_streaming_frames).
+    assert "lead(" not in plan  # lean path: no over-cap machinery planned
+
+
+def test_capped_band_pairs_flood_path_keeps_streaming_frames(spark):
+    """With a genuinely flooded bucket the full capped path must plan:
+    rank/lead through STREAMING window frames only (no
+    UnboundedFollowing buffering), and the over-cap bucket list joining
+    by broadcast."""
+    from pyspark.sql import functions as F
+
+    from sparkroach.queries.llm_ops import LSH_BUCKET_CAP, capped_band_pairs
+
+    n = LSH_BUCKET_CAP + 8
+    bands = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band_idx"),
+        F.lit("flood").alias("band_val"),
+    )
+    df = capped_band_pairs(bands, "doc_id")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    for line in plan.splitlines():
+        if "unboundedfollowing" in line.lower():
+            raise AssertionError(f"buffering window frame in plan: {line.strip()}")
     # the lead() window survives (streaming frame, linear) …
     assert "lead(" in plan
     # … and the over-cap bucket list joins by broadcast
@@ -184,7 +215,15 @@ def test_simhash_hamming_pairs_is_banded_not_quadratic(spark):
     plan = _plan(spark, "simhash_hamming_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastExchange" in plan  # over-cap bucket list broadcasts
+    # pairs form through an equi-join on the band keys (r8: with no
+    # flooded bucket at this SF the broadcast over-cap list is no longer
+    # planned — the flood path's broadcast is pinned separately by
+    # test_capped_band_pairs_flood_path_keeps_streaming_frames)
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
 
 
 def test_funnel_is_one_grouped_pass_with_broadcast_drop_set(spark):
