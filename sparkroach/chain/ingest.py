@@ -295,10 +295,21 @@ class ChainDB:
         n_upd = {k: sum(r[k] for r in nz_applied) for k in
                  ("n_accts", "n_assets", "n_apps", "n_boxes")}
         def _merge_account_task():
-            if flat is not None:
-                flat_ready.result()
+            # The account merge is the longest single job in the batch and
+            # only needs ROOT txns (sig-type deltas are defined on root
+            # signatures) — a lazy depth-1 flatten recomputes exactly the
+            # roots inside the merge job itself, so the merge starts
+            # immediately instead of idling behind the full (all-depths)
+            # flatten the txn/participation appends consume.  Duplicating
+            # the root posexplode is map-side work on otherwise-idle
+            # cores; the critical path shortens by the flatten's wall time.
+            sig_rows = (
+                transforms.flatten_txns(nz_blocks, depth=1)
+                if flat is not None
+                else None
+            )
             self._merge_account_batch(
-                nz_blocks, flat, touch_all=n_upd["n_accts"] >= dense
+                nz_blocks, sig_rows, touch_all=n_upd["n_accts"] >= dense
             )
 
         if has["n_accts"]:
