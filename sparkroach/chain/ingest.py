@@ -23,6 +23,7 @@ The ON CONFLICT clause semantics (writer.go:39-114) are reproduced exactly:
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,6 +38,10 @@ from sparkroach.chain.store import ChainStore
 # upstream indexer's migration machinery: "no migration needed"
 # (cockroach.go:227-232, MigrationState{NextMigration: math.MaxInt}).
 MIGRATION_DONE_SENTINEL = (1 << 63) - 1
+
+#: floor on blocks per task when re-sizing an over-split micro-batch
+#: (env-tunable: per-block work varies by deployment payset size)
+_MIN_BLOCKS_PER_TASK = int(os.environ.get("SPARKROACH_BLOCKS_PER_TASK", "4"))
 
 
 class RoundGateError(ValueError):
@@ -238,6 +243,18 @@ class ChainDB:
             for k in ("n_accts", "n_assets", "n_apps", "n_boxes", "n_txns")
         }
         unfiltered = blocks
+        # Right-size the micro-batch's partitioning from the row count the
+        # gate collect just established: a small batch arriving over-split
+        # (e.g. a driver-built DataFrame at defaultParallelism slices)
+        # would otherwise schedule dozens of near-empty tasks in EVERY
+        # downstream stage of all nine table planes — pure scheduling
+        # overhead.  coalesce() on top of the already-filled cache is a
+        # narrow op (no second row conversion, no shuffle); a large batch
+        # (rows >> partitions) keeps its source partitioning untouched.
+        n_parts = blocks.rdd.getNumPartitions()
+        target = max(1, min(n_parts, len(meta_rows) // _MIN_BLOCKS_PER_TASK))
+        if target < n_parts:
+            blocks = blocks.coalesce(target)
         blocks = blocks.where(F.col("round").isin(todo))
         nz_blocks = (
             blocks.where(F.col("round") != 0) if 0 in todo else blocks
@@ -360,26 +377,64 @@ class ChainDB:
     def _merge_account_batch(
         self, blocks: DataFrame, flat: DataFrame | None, touch_all: bool = False
     ) -> None:
-        if flat is not None:
-            sig = transforms.sigtype_deltas(blocks, rows=flat)
-            sig = sig.withColumnRenamed("keytype", "keytype_delta")
-        else:
-            sig = None
         upd = transforms.account_updates(blocks)
-        acct = _fold(
-            upd,
-            ["addr"],
-            ["microalgos", "rewardsbase", "rewards_total", "account_data"],
-        )
-        if sig is not None:
-            acct = acct.join(sig, "addr", "left")
-            acct = acct.withColumn(
-                "delta_present", F.coalesce(F.col("delta_present"), F.lit(False))
-            )
-        else:
-            acct = acct.withColumn(
+        value_cols = ["microalgos", "rewardsbase", "rewards_total", "account_data"]
+        if flat is None:
+            acct = _fold(upd, ["addr"], value_cols).withColumn(
                 "keytype_delta", F.lit(None).cast("string")
             ).withColumn("delta_present", F.lit(False))
+            self._merge_account(
+                acct, touch_keys=upd.select("addr"), touch_all=touch_all
+            )
+            return
+        # Fused fold: the balance-update stream and the root-txn sig-delta
+        # stream are BOTH last-wins folds keyed by addr, so one tagged
+        # union + one groupBy(addr) computes both — one exchange instead
+        # of two aggregations joined back together (the join also cost an
+        # AQE stage).  max_by ignores rows whose ordering value is NULL,
+        # so each family's ordering key is nulled out on the other
+        # family's rows; the left-join semantics (sig deltas apply only
+        # to addrs with a balance update — writer.go:181-225) survive as
+        # the has_upd filter.
+        sig_rows = transforms.sigtype_delta_rows(blocks, rows=flat)
+        unioned = upd.withColumn("is_sig", F.lit(False)).unionByName(
+            sig_rows.select(
+                "round",
+                F.col("intra").alias("pos"),
+                "addr",
+                "keytype",
+                F.lit(True).alias("is_sig"),
+            ),
+            allowMissingColumns=True,
+        )
+        ord_upd = F.when(
+            ~F.col("is_sig"), F.struct(F.col("round"), F.col("pos"))
+        )
+        ord_sig = F.when(
+            F.col("is_sig"), F.struct(F.col("round"), F.col("pos"))
+        )
+        aggs = [
+            F.min(F.when(~F.col("is_sig"), F.col("round"))).alias("first_round"),
+            F.max_by("op", ord_upd).alias("last_op"),
+            F.max(F.when(F.col("op") == "delete", F.col("round"))).alias(
+                "last_delete_round"
+            ),
+        ]
+        aggs += [F.max_by(c, ord_upd).alias(f"last_{c}") for c in value_cols]
+        aggs += [
+            # keytype rides inside a non-null struct so a NULL keytype
+            # (= clear the column) survives the max_by
+            F.max_by(F.struct(F.col("keytype")), ord_sig).alias("_sig_d"),
+            F.max("is_sig").alias("delta_present"),
+            F.max(~F.col("is_sig")).alias("_has_upd"),
+        ]
+        acct = (
+            unioned.groupBy("addr")
+            .agg(*aggs)
+            .where("_has_upd")
+            .withColumn("keytype_delta", F.col("_sig_d.keytype"))
+            .drop("_sig_d", "_has_upd")
+        )
         self._merge_account(acct, touch_keys=upd.select("addr"), touch_all=touch_all)
 
     def _merge_assets(self, blocks: DataFrame, touch_all: bool = False) -> None:

@@ -453,6 +453,38 @@ def participation(
 # ---------------------------------------------------------------------------
 
 
+def sigtype_delta_rows(
+    blocks: DataFrame, depth: int = TXN_DEPTH, rows: DataFrame | None = None
+) -> DataFrame:
+    """Pre-aggregation sig-type delta stream: one ``(round, intra, addr,
+    keytype)`` row per delta-bearing root txn — the un-folded input to
+    :func:`sigtype_deltas`.  Exposed so the account merge can fold it in
+    the SAME ``groupBy(addr)`` as the balance-update stream (one exchange
+    instead of two aggregations joined back together)."""
+    rows = rows if rows is not None else flatten_txns(blocks, depth)
+    rows = rows.where("is_root")
+    keytype = (
+        F.when(F.length("sig") > 0, F.lit("sig"))
+        .when(F.col("msig_present"), F.lit("msig"))
+        .when(F.col("lsig_present") & (F.length("lsig_sig") > 0), F.lit("sig"))
+        .when(F.col("lsig_present") & F.col("lsig_msig_present"), F.lit("msig"))
+        .when(F.col("lsig_present"), F.lit("lsig"))
+    )
+    cleared = (
+        (F.col("rekey").isNotNull() & (F.length("rekey") > 0))
+        | (F.col("txtype") == "stpf")
+    )
+    return rows.select(
+        "round",
+        "intra",
+        F.col("snd").alias("addr"),
+        F.when(cleared, F.lit(None).cast("string"))
+        .otherwise(keytype)
+        .alias("keytype"),
+        (cleared | keytype.isNotNull()).alias("has_delta"),
+    ).where("has_delta").drop("has_delta")
+
+
 def sigtype_deltas(
     blocks: DataFrame, depth: int = TXN_DEPTH, rows: DataFrame | None = None
 ) -> DataFrame:
@@ -471,32 +503,11 @@ def sigtype_deltas(
     Fixture-only corner: an eligible root txn carrying no signature at all
     is a hard error in the reference (sig_type.go:63); here such rows are
     excluded from the delta stream rather than failing the batch."""
-    rows = rows if rows is not None else flatten_txns(blocks, depth)
-    rows = rows.where("is_root")
-    keytype = (
-        F.when(F.length("sig") > 0, F.lit("sig"))
-        .when(F.col("msig_present"), F.lit("msig"))
-        .when(F.col("lsig_present") & (F.length("lsig_sig") > 0), F.lit("sig"))
-        .when(F.col("lsig_present") & F.col("lsig_msig_present"), F.lit("msig"))
-        .when(F.col("lsig_present"), F.lit("lsig"))
-    )
-    cleared = (
-        (F.col("rekey").isNotNull() & (F.length("rekey") > 0))
-        | (F.col("txtype") == "stpf")
-    )
-    deltas = rows.select(
-        "round",
-        "intra",
-        F.col("snd").alias("addr"),
-        F.when(cleared, F.lit(None).cast("string"))
-        .otherwise(keytype)
-        .alias("keytype"),
-        (cleared | keytype.isNotNull()).alias("has_delta"),
-    ).where("has_delta")
     # last-wins over ALL delta-bearing root txns; the value rides inside a
     # (non-null) struct so max_by can carry a NULL keytype out of the agg
     return (
-        deltas.groupBy("addr")
+        sigtype_delta_rows(blocks, depth, rows)
+        .groupBy("addr")
         .agg(
             F.max_by(
                 F.struct(F.col("keytype")),
