@@ -1769,6 +1769,75 @@ def _emb_band_bucket_col(t: int):
     return bucket.cast("int")
 
 
+def _emb_band_buckets_udf():
+    """Scalar pandas UDF: embedding -> all N_EMB_BANDS sign buckets at once.
+
+    Bit-identical to :func:`_emb_band_bucket_col` per band (pinned by
+    tests/test_llm_ops_int8_prefilter.py): the Catalyst expression is a
+    strict left-to-right float64 sum (aggregate over zip_with products),
+    and ``numpy.cumsum`` is the same prefix-sum order, so
+    ``cumsum(products)[-1]`` reproduces every intermediate rounding.  One
+    vectorized batch pass replaces 16 interpreted higher-order-function
+    dot products per vector (guide §4.2) — the per-vector cost is what
+    scales with the corpus, and the giant 4-band expression tree leaves
+    the plan.  Ragged/empty vectors fall back to the same per-row
+    arithmetic rather than silently broadcasting.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.asarray(_PLANES, dtype=np.float64)  # (bands*planes, dim)
+
+    def _buckets_of(dots_pos):
+        """(n, n_planes) sign matrix -> (n, N_EMB_BANDS) int32 buckets."""
+        n = dots_pos.shape[0]
+        out = np.zeros((n, N_EMB_BANDS), dtype=np.int32)
+        for t in range(N_EMB_BANDS):
+            for r in range(_PLANES_PER_BAND):
+                out[:, t] += dots_pos[:, t * _PLANES_PER_BAND + r].astype(
+                    np.int32
+                ) << r
+        return out
+
+    # no type hints: pandas is module-local here, so annotation strings
+    # would not resolve — the explicit pandas_udf(…, type) call below
+    # selects the scalar Series->Series eval path (same as the profile UDF)
+    def buckets(emb):
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        size = lambda v: len(v) if v is not None else -1  # noqa: E731
+        lens = emb.map(size)
+        if lens.nunique() == 1 and lens.iloc[0] == W.shape[1]:
+            E = np.vstack([np.asarray(v, dtype=np.float64) for v in emb])
+            dots = np.empty((E.shape[0], W.shape[0]))
+            for p in range(W.shape[0]):
+                # cumsum = the exact left-to-right partial-sum order of
+                # the Catalyst aggregate() fold
+                dots[:, p] = np.cumsum(E * W[p], axis=1)[:, -1]
+            return pd.Series(list(_buckets_of(dots > 0)))
+        # ragged fallback: zip_with() zips to the longer length with
+        # nulls, so ANY vector whose length differs from the plane dim
+        # yields a NULL dot in every plane -> bucket 0 in every band
+        # (a NULL element inside a right-length vector does the same via
+        # NaN propagation in the fast path above)
+        zero = np.zeros(N_EMB_BANDS, dtype=np.int32)
+        rows = []
+        for v in emb:
+            if v is None or len(v) != W.shape[1]:
+                rows.append(zero)
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            d = np.empty(W.shape[0])
+            for p in range(W.shape[0]):
+                d[p] = np.cumsum(x * W[p])[-1]
+            rows.append(_buckets_of((d > 0).reshape(1, -1))[0])
+        return pd.Series(rows)
+
+    return pandas_udf(buckets, T.ArrayType(T.IntegerType()))
+
+
 def _emb_dedup_oracle() -> str:
     band_selects = " UNION ALL ".join(
         f"SELECT vec_id, {t} AS band_idx, {_emb_band_bucket_sql(t)} AS bucket "
@@ -1819,15 +1888,16 @@ def _emb_dedup_oracle() -> str:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    band_structs = [
-        F.struct(
-            F.lit(t).alias("band_idx"), _emb_band_bucket_col(t).alias("bucket")
-        )
-        for t in range(N_EMB_BANDS)
-    ]
+    # all 4 sign buckets per vector in ONE vectorized Arrow batch pass —
+    # bit-identical to the per-band _emb_band_bucket_col expressions
+    # (equality pinned in tests/test_llm_ops_int8_prefilter.py); the
+    # posexplode position IS the band index by construction
     bands = e.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("b")
-    ).select("vec_id", "b.band_idx", "b.bucket")
+        "vec_id",
+        F.posexplode(_emb_band_buckets_udf()(F.col("embedding"))).alias(
+            "band_idx", "bucket"
+        ),
+    )
     cand = capped_band_pairs(
         bands, "vec_id", key_cols=("band_idx", "bucket")
     ).select(F.col("doc_a").alias("a_id"), F.col("doc_b").alias("b_id"))

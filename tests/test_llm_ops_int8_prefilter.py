@@ -232,3 +232,100 @@ def test_qdot_ragged_dimension_mismatch_raises(spark):
     qdot = _emb_int8_qdot()
     with pytest.raises(Exception, match="dimension mismatch"):
         df.select(qdot("a", "b").alias("iq")).collect()
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_band_buckets_udf_matches_hof_columns(spark, sf_dir):
+    """The vectorized band-bucket UDF (r8: one Arrow batch pass computes
+    all N_EMB_BANDS sign buckets) must be bit-identical to the per-band
+    higher-order-function expressions it replaced — the cumsum trick
+    reproduces the Catalyst aggregate()'s left-to-right float64 partial
+    sums exactly, so every near-zero dot keeps its sign."""
+    from sparkroach.queries.llm_ops import _emb_band_buckets_udf
+
+    e = load(spark, sf_dir, "embeddings")
+    old = (
+        e.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("band_idx"),
+                            _emb_band_bucket_col(t).alias("bucket"),
+                        )
+                        for t in range(N_EMB_BANDS)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .select("vec_id", "b.band_idx", "b.bucket")
+        .orderBy("vec_id", "band_idx")
+        .collect()
+    )
+    new = (
+        e.select(
+            "vec_id",
+            F.posexplode(_emb_band_buckets_udf()(F.col("embedding"))).alias(
+                "band_idx", "bucket"
+            ),
+        )
+        .orderBy("vec_id", "band_idx")
+        .collect()
+    )
+    assert old == new
+
+
+def test_band_buckets_udf_ragged_vectors(spark):
+    """zip_with() zips to the longer length with nulls, so a vector whose
+    length differs from the plane dimension gets a NULL dot in every
+    plane -> bucket 0 in every band; the UDF's ragged fallback (and the
+    mixed-batch routing into it) must reproduce that, not a partial dot."""
+    from pyspark.sql import types as T
+
+    from sparkroach.queries.llm_ops import _PLANES, _emb_band_buckets_udf
+
+    dim = len(_PLANES[0])
+    rows = [
+        (1, [1.0] * dim),        # well-formed
+        (2, [1.0] * (dim - 3)),  # short
+        (3, []),                 # empty
+        (4, None),               # null vector
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    old = (
+        df.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("band_idx"),
+                            _emb_band_bucket_col(t).alias("bucket"),
+                        )
+                        for t in range(N_EMB_BANDS)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .select("vec_id", "b.band_idx", "b.bucket")
+        .orderBy("vec_id", "band_idx")
+        .collect()
+    )
+    new = (
+        df.select(
+            "vec_id",
+            F.posexplode(_emb_band_buckets_udf()(F.col("embedding"))).alias(
+                "band_idx", "bucket"
+            ),
+        )
+        .orderBy("vec_id", "band_idx")
+        .collect()
+    )
+    assert old == new
