@@ -439,8 +439,12 @@ class ChainStore:
         ``merge_cols`` references via ``u.<col>`` / ``e.<col>``.
 
         merge_cols maps every output column to an expression over the
-        updates (alias ``u``) left-joined to existing rows (alias ``e``).
-        Rows where merge_cols['__drop__'] (optional) evaluates true are
+        updates (alias ``u``) joined to existing rows (alias ``e``); an
+        expression sees NULL ``e.*`` for a brand-new key, exactly as under
+        a left join (physically the merge runs one FULL OUTER join so the
+        fold and the bucket scan execute once — untouched rows in a dirty
+        bucket carry over on the e-only side of the same join).  Rows
+        where merge_cols['__drop__'] (optional) evaluates true are
         physically removed (app_box delete).
 
         ``touch_keys`` (optional) is any DataFrame carrying the table's key
@@ -497,28 +501,37 @@ class ChainStore:
         existing = existing.withColumn("__bucket", self._bucket_col(table))
         existing = existing.where(F.col("__bucket").isin(touched))
 
-        u = folded.alias("u")
+        # One FULL OUTER join replaces the old (u LEFT JOIN e) ∪ (e ANTI u)
+        # pair: the fold subtree over the update stream and the
+        # existing-bucket parquet scan each execute ONCE instead of twice,
+        # sharing one key exchange (the anti-join used to re-run the whole
+        # grouped fold just to produce its key list, and re-read every
+        # touched bucket file).  A row is an update when its u side is
+        # present, an untouched carry-over when only e is present; the
+        # merge_cols expressions see exactly the nullability the old left
+        # join gave them in both cases.
+        u = folded.withColumn("__present", F.lit(True)).alias("u")
         e = existing.alias("e")
         cond = [F.col(f"u.{k}") == F.col(f"e.{k}") for k in keys]
 
         drop_expr = merge_cols.get("__drop__")
+        upd_present = F.col("u.__present").isNotNull()
         out_cols = [
-            expr.alias(name) for name, expr in merge_cols.items() if name != "__drop__"
+            F.when(upd_present, expr).otherwise(F.col(f"e.{name}")).alias(name)
+            for name, expr in merge_cols.items()
+            if name != "__drop__"
         ]
-        merged = u.join(e, cond, "left").select(
-            *out_cols, F.col("u.__bucket").alias("__bucket")
-        )
+        new_data = u.join(e, cond, "full_outer")
         if drop_expr is not None:
-            merged = u.join(e, cond, "left").select(
-                *out_cols,
-                F.col("u.__bucket").alias("__bucket"),
-                drop_expr.alias("__drop"),
-            ).where(~F.col("__drop")).drop("__drop")
-
-        untouched_in_bucket = existing.join(folded.select(*keys), keys, "left_anti")
-        new_data = untouched_in_bucket.select(
-            *[F.col(c) for c in TABLE_SCHEMAS[table].fieldNames()], "__bucket"
-        ).unionByName(merged)
+            # drop only matched/update rows the caller marks (__drop__ is
+            # an expression over u/e); carried-over e-only rows never drop
+            new_data = new_data.where(
+                ~F.coalesce(upd_present & drop_expr, F.lit(False))
+            )
+        new_data = new_data.select(
+            *out_cols,
+            F.coalesce(F.col("u.__bucket"), F.col("e.__bucket")).alias("__bucket"),
+        )
 
         vdir = self._new_version_dir(table, version)
         new_data.write.mode("overwrite").partitionBy("__bucket").parquet(vdir)

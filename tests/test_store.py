@@ -242,6 +242,61 @@ def test_time_travel_reads_the_old_state(store, spark):
     assert store.snapshot_versions("app_box") == [v1, v2]
 
 
+def test_merge_full_outer_semantics_in_one_pass(store, spark):
+    """The r8 merge restructure (one FULL OUTER join instead of
+    left-join + anti-join) must preserve, within a single touched bucket:
+    an updated key, a __drop__'d key, an untouched carry-over key, and a
+    brand-new key whose merge expressions see NULL e.* (left-join
+    nullability)."""
+    from pyspark.sql import functions as F
+
+    from sparkroach.chain.schemas import TABLE_SCHEMAS
+
+    def box_rows(pairs):
+        return spark.createDataFrame(
+            [(app, name, val) for app, name, val in pairs],
+            TABLE_SCHEMAS["app_box"],
+        )
+
+    cols = {
+        "app": F.col("u.app"),
+        "name": F.col("u.name"),
+        # new-key probe: e.value is NULL for an unmatched u row, so the
+        # coalesce marks inserts distinguishably from updates
+        "value": F.when(
+            F.col("e.value").isNull(), F.concat(F.lit(b"new:"), F.col("u.value"))
+        ).otherwise(F.col("u.value")),
+        "__drop__": F.col("u.value") == F.lit(b"DROP"),
+    }
+    seed = {
+        "app": F.col("u.app"),
+        "name": F.col("u.name"),
+        "value": F.col("u.value"),
+    }
+    # all keys share app=1 → the same bucket (bucket_col hashes key cols)
+    store.merge_state(
+        "app_box",
+        box_rows([(1, b"upd", b"v0"), (1, b"gone", b"v0"), (1, b"keep", b"v0")]),
+        seed,
+        touch_all=True,
+    )
+    store.merge_state(
+        "app_box",
+        box_rows([(1, b"upd", b"v1"), (1, b"gone", b"DROP"), (1, b"ins", b"v1")]),
+        cols,
+        touch_all=True,
+    )
+    out = {
+        bytes(r["name"]): bytes(r["value"])
+        for r in store.read("app_box").collect()
+    }
+    assert out == {
+        b"upd": b"v1",        # matched update took u.value
+        b"keep": b"v0",       # untouched carry-over survived the pass
+        b"ins": b"new:v1",    # unmatched u row saw NULL e.* (insert)
+    }                          # b"gone" physically removed by __drop__
+
+
 def test_vacuum_reclaims_and_bounds_time_travel(store, spark):
     import os
 
