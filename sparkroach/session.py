@@ -41,6 +41,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Let the planner pick shuffled hash join when its size conditions
+        # hold (no sort of either side), and let AQE rewrite a planned
+        # sort-merge join to shuffled hash at runtime when every post-
+        # shuffle partition is under 64 MB — bounded build sides, so the
+        # SHJ OOM risk the default guards against cannot trigger.  Both
+        # are size-conditioned, not local-tuned: oversized partitions
+        # still get sort-merge at any scale.  Interleaved A/B over the
+        # 14-query bench set: median 17.22 s → 16.80 s, 4/5 rounds.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         # -- python exchange ---------------------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -8,6 +8,8 @@ passing value checks.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from sparkroach.queries import QUERIES
@@ -593,7 +595,11 @@ def test_aqe_splits_skewed_partition_at_runtime(spark):
         j.collect()
         printed = j._jdf.queryExecution().executedPlan().toString()
         final = printed.split("== Initial Plan ==", 1)[0]
-        assert "SortMergeJoin(skew=true)" in final
+        # The pinned behavior is the SPLIT, not the join flavor: with the
+        # session's maxShuffledHashJoinLocalMapThreshold the tiny
+        # fixture's SMJ is legitimately rewritten to shuffled-hash at
+        # runtime, and AQE's OptimizeSkewedJoin splits either kind.
+        assert re.search(r"(SortMergeJoin|ShuffledHashJoin).*\(skew=true\)", final), final
         assert "skewed" in final  # the AQEShuffleRead split marker
     finally:
         for k, v in prev.items():
