@@ -169,9 +169,11 @@ HLL_GLOBAL_ORACLE = f"""
     survey_ref="LLM/analytics ops: mergeable distinct-count sketch — "
     "HyperLogLog built from scratch with engine-exact integer registers "
     "(the 100 TB replacement for exact COUNT(DISTINCT))",
-    description=f"{HLL_M}-register HyperLogLog over events.event_id: one "
-    "map-side pass computes (bucket, rank); ONE grouped max per bucket is "
-    "the whole shuffle (register table ≪ key set).  The indicator sum is "
+    description=f"{HLL_M}-register HyperLogLog over events.event_id: ONE "
+    "pass computes (bucket, rank) map-side and a single grouped "
+    "aggregation builds the registers AND the exact distinct count "
+    "(per-bucket COUNT(DISTINCT) summed — each id lands in exactly one "
+    "bucket, so no second scan of events).  The indicator sum is "
     "carried as an exact integer so the estimate is bit-identical across "
     "engines; exact distinct count reported alongside as the accuracy "
     "statement.  Raw estimator (no linear-counting correction — ln() is "
@@ -179,17 +181,25 @@ HLL_GLOBAL_ORACLE = f"""
 )
 def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
+    # One scan, not two: every distinct event_id lands in exactly one
+    # bucket, so the exact global distinct count is the SUM of per-bucket
+    # COUNT(DISTINCT) riding the same register aggregation — the second
+    # full pass over events the old crossJoin(exact) variant paid is gone
+    # (guide §1.1: one unavoidable pass).  The distinct-agg shuffle is the
+    # same ~n_distinct rows the standalone countDistinct shuffled anyway.
     regs = (
         _hashed(ev.select("event_id"), "event_id")
-        .select("bucket", _rho_col().alias("rho"))
+        .select("bucket", _rho_col().alias("rho"), "event_id")
         .groupBy("bucket")
-        .agg(F.max("rho").alias("m_j"))
+        .agg(
+            F.max("rho").alias("m_j"),
+            F.countDistinct("event_id").alias("nd"),
+        )
     )
-    summary = regs.agg(*_summary_cols())
-    exact = ev.agg(
-        F.countDistinct("event_id").cast("long").alias("exact_distinct")
+    return regs.agg(
+        *_summary_cols(),
+        F.coalesce(F.sum("nd"), F.lit(0)).cast("long").alias("exact_distinct"),
     )
-    return summary.crossJoin(F.broadcast(exact))
 
 
 @register(
