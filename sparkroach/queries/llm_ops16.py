@@ -32,7 +32,7 @@ Reference parity: none — LLM-training-data surface per the brief.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkroach.queries.registry import register
@@ -180,14 +180,14 @@ def bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("a", "b")
             .agg(F.sum("f").alias("n"))
         )
-        wr = Window.orderBy(
-            F.col("n").desc(), F.concat_ws("+", "a", "b")
-        )
         # one bounded driver row per iteration (§9 bookkeeping): the
-        # learned merge itself
+        # learned merge itself.  orderBy().limit(1) plans as a distributed
+        # TakeOrderedAndProject — the row_number() it replaces was an
+        # empty-partition-spec WindowExec funnelling the whole pair table
+        # (unbounded at iteration 2+) through one task to rank it.
         top = (
-            pc.select("a", "b", F.row_number().over(wr).alias("rn"))
-            .where(F.col("rn") == 1)
+            pc.orderBy(F.col("n").desc(), F.concat_ws("+", "a", "b"))
+            .limit(1)
             .collect()[0]
         )
         a, b = top["a"], top["b"]
