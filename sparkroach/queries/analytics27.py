@@ -11,9 +11,18 @@ arithmetic, whose last-ulp behavior near powers of ten does too.  The
 Benford expectations ship as 12-decimal DECIMAL literals (identical
 text in both engines); each digit's deviation is one arithmetic
 expression over exact integers and those literals, carried at the
-product's exact scale (DECIMAL(28,12) — nothing ever rounds) — output is 9 rows ordered by digit with NO
+product's exact scale (DECIMAL(28,12) — nothing ever rounds until the
+final representation) — output is 9 rows ordered by digit with NO
 cross-row float summation, so there is no summation-order hazard at
-all.
+all.  Per the registry float discipline the OUTPUT columns are the
+exact DECIMAL(28,12) values cast to DOUBLE as the very last step on
+BOTH engines (one correctly-rounded conversion each, verified
+bit-identical at sf0.001/0.01/0.1): the driver's pandas
+canonicalization converts DuckDB DECIMAL results to float64 but keeps
+Spark Decimal objects, so a raw DECIMAL output column hash-diverges
+even when the values are exactly equal (the r8 red-row root cause —
+the only two r8 hash failures were the only two DECIMAL-output
+queries in the registry).
 
 TPC-H-ish totals are range-uniform, not Benford — the audit correctly
 reports large deviations, which is what an audit is for; the gate pins
@@ -68,11 +77,11 @@ _BENFORD_ORACLE = f"""
         LEFT JOIN obs ON obs.digit = d.digit
     )
     SELECT filled.digit, CAST(filled.observed AS BIGINT) AS observed,
-           CAST(n.n * ({_P_CASE.replace("digit", "filled.digit")})
-                AS DECIMAL(28,12)) AS expected_q,
-           CAST(CAST(filled.observed AS DECIMAL(28,12))
+           CAST(CAST(n.n * ({_P_CASE.replace("digit", "filled.digit")})
+                AS DECIMAL(28,12)) AS DOUBLE) AS expected_q,
+           CAST(CAST(CAST(filled.observed AS DECIMAL(28,12))
                 - n.n * ({_P_CASE.replace("digit", "filled.digit")})
-                AS DECIMAL(28,12)) AS deviation_q
+                AS DECIMAL(28,12)) AS DOUBLE) AS deviation_q
     FROM filled, n ORDER BY filled.digit
 """
 
@@ -95,7 +104,8 @@ _BENFORD_ORACLE = f"""
     "double→string cast or log10 arithmetic, both of which diverge "
     "across engines), grouped counts completed to all 9 digits, "
     "expected counts from 12-decimal literal Benford constants, "
-    "per-digit deviation quantized DECIMAL(28,12).  Nine output rows, "
+    "per-digit deviation carried exact at DECIMAL(28,12) and cast to "
+    "DOUBLE only at output (registry float discipline).  Nine output rows, "
     "no cross-row float sum — zero summation-order hazard.  One "
     "map-only pass + a 9-group census at any scale",
 )
@@ -123,9 +133,10 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full.select(
         "digit",
         F.col("observed").cast("long").alias("observed"),
-        expected.alias("expected_q"),
+        expected.cast("double").alias("expected_q"),
         (F.col("observed").cast("decimal(28,12)") - F.col("n") * p)
         .cast("decimal(28,12)")
+        .cast("double")
         .alias("deviation_q"),
     ).orderBy("digit")
 

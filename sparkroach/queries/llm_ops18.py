@@ -384,7 +384,8 @@ _NDCG_ORACLE = f"""
                    AS idcg_q
         FROM ideal
     )
-    SELECT d.dcg_q, i.idcg_q,
+    SELECT CAST(d.dcg_q AS DOUBLE) AS dcg_q,
+           CAST(i.idcg_q AS DOUBLE) AS idcg_q,
            CAST(d.dcg_q AS DOUBLE) / CAST(i.idcg_q AS DOUBLE) AS ndcg
     FROM d, i
 """
@@ -406,7 +407,8 @@ _NDCG_ORACLE = f"""
     f"{NDCG_AT} (tiebroken by doc_id), ideal ranking = relevance-sorted "
     f"top-{NDCG_AT}; DCG discounts are 12-decimal literal constants "
     "(no runtime log), so DCG and IDCG are EXACT DECIMAL sums — "
-    "order-free, engine-identical — and nDCG is the single IEEE "
+    "order-free, engine-identical — cast to DOUBLE at output per the "
+    "registry float discipline, and nDCG is the single IEEE "
     "division at the end.  Corpus touched once; everything downstream "
     "is arithmetic on two 10-row shortlists",
 )
@@ -447,8 +449,13 @@ def search_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         dcg(sys_ranked, "dcg_q")
         .crossJoin(dcg(ideal_ranked, "idcg_q"))  # 1-row x 1-row
         .select(
-            "dcg_q",
-            "idcg_q",
+            # registry float discipline: the exact DECIMAL sums are cast to
+            # DOUBLE as the last step on BOTH engines — a raw DECIMAL output
+            # column hash-diverges at the driver (pandas canonicalization:
+            # DuckDB DECIMAL → float64, Spark → Decimal objects), the r8
+            # red-row root cause.  Cast verified bit-identical at 3 SFs.
+            F.col("dcg_q").cast("double").alias("dcg_q"),
+            F.col("idcg_q").cast("double").alias("idcg_q"),
             (
                 F.col("dcg_q").cast("double") / F.col("idcg_q").cast("double")
             ).alias("ndcg"),

@@ -59,3 +59,35 @@ def test_no_oracle_emits_complex_columns(con):
         f"sort_values crashes on complex cells): {offenders} — stringify "
         "the column (array_join / array_to_string) on BOTH sides"
     )
+
+
+def test_no_oracle_emits_decimal_columns(con):
+    """No oracle-bearing query may emit DECIMAL output columns.
+
+    The r8 driver recordings proved the failure class empirically: the
+    ONLY two hash failures in CORRECTNESS_r08 (orders_benford_audit,
+    search_ndcg_report) were the ONLY two registry queries whose output
+    contained a DECIMAL column, with rows+schema matching and every cell
+    exactly equal under the local mirror at all three SFs.  The driver's
+    pandas canonicalization converts DuckDB DECIMAL results to float64
+    while Spark's collect yields decimal.Decimal objects, so a raw
+    DECIMAL output column hash-diverges no matter how exact the values
+    are.  Registry float discipline: compute in DECIMAL, cast to DOUBLE
+    as the very last step on BOTH sides."""
+    offenders = []
+    for name, q in QUERIES.items():
+        if q.oracle is None:
+            continue
+        rel = con.sql(q.oracle)
+        bad = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if str(t).strip().upper().startswith("DECIMAL")
+        ]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, (
+        "queries with DECIMAL output columns (driver pandas "
+        f"canonicalization hash-diverges on them): {offenders} — cast "
+        "to DOUBLE at the very end on BOTH sides"
+    )
