@@ -343,35 +343,44 @@ class ChainDB:
 
         from concurrent.futures import Future, ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=5) as pool:
-            if flat is not None:
-                flat_ready = pool.submit(flat.count)
-            else:
-                flat_ready = Future()
-                flat_ready.set_result(0)
-            for fut in [pool.submit(t) for t in tasks]:
-                fut.result()  # re-raise the first failure
+        # try/finally so a failing table task cannot leak the cached
+        # micro-batch / flatten across batches of a long-lived streaming
+        # session (r8 ADVICE): unpersist runs on EVERY exit path, while
+        # the metastate commit (the exactly-once commit point) still runs
+        # only after every table job succeeded.
+        try:
+            with ThreadPoolExecutor(max_workers=5) as pool:
+                if flat is not None:
+                    flat_ready = pool.submit(flat.count)
+                else:
+                    flat_ready = Future()
+                    flat_ready.set_result(0)
+                for fut in [pool.submit(t) for t in tasks]:
+                    fut.result()  # re-raise the first failure
 
-        # metastate: special accounts + round high-water mark in ONE merge
-        # (the round update is the commit point)
-        last = max(meta_rows, key=lambda r: r["round"])
-        accounts_v = json.dumps(
-            {
-                "FeeSink": _b64(bytes(last["fee_sink"])) if last["fee_sink"] else None,
-                "RewardsPool": _b64(bytes(last["rewards_pool"]))
-                if last["rewards_pool"]
-                else None,
-            }
-        )
-        self.store.merge_metastate(
-            {
-                "accounts": accounts_v,
-                "state": json.dumps({"next_account_round": todo[-1] + 1}),
-            }
-        )
-        if flat is not None:
-            flat.unpersist()
-        unfiltered.unpersist()
+            # metastate: special accounts + round high-water mark in ONE
+            # merge (the round update is the commit point)
+            last = max(meta_rows, key=lambda r: r["round"])
+            accounts_v = json.dumps(
+                {
+                    "FeeSink": _b64(bytes(last["fee_sink"]))
+                    if last["fee_sink"]
+                    else None,
+                    "RewardsPool": _b64(bytes(last["rewards_pool"]))
+                    if last["rewards_pool"]
+                    else None,
+                }
+            )
+            self.store.merge_metastate(
+                {
+                    "accounts": accounts_v,
+                    "state": json.dumps({"next_account_round": todo[-1] + 1}),
+                }
+            )
+        finally:
+            if flat is not None:
+                flat.unpersist()
+            unfiltered.unpersist()
         return len(todo)
 
     def _merge_account_batch(

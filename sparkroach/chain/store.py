@@ -445,7 +445,13 @@ class ChainStore:
         fold and the bucket scan execute once — untouched rows in a dirty
         bucket carry over on the e-only side of the same join).  Rows
         where merge_cols['__drop__'] (optional) evaluates true are
-        physically removed (app_box delete).
+        physically removed (app_box delete).  NULL-evaluating ``__drop__``
+        expressions KEEP the row (the filter is
+        ``~coalesce(present & drop, false)`` — null-safe, so e-only
+        carry-overs and three-valued-logic NULLs are never swept); a
+        caller that wants NULL to mean delete must coalesce its own
+        expression.  Pinned by
+        test_merge_drop_null_evaluates_to_keep.
 
         ``touch_keys`` (optional) is any DataFrame carrying the table's key
         columns for every updated key (duplicates fine — typically the

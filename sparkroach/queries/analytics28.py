@@ -294,9 +294,9 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     """Degree-oriented exact triangle statistics over an undirected edge
     set given as (doc_a, doc_b) with doc_a < doc_b and no duplicates."""
     edges = edges.localCheckpoint(eager=True)  # consumed by deg + orientation
+    # one checkpoint scan + map-side explode instead of two union'd scans
     deg = (
-        edges.select(F.col("doc_a").alias("node"))
-        .unionByName(edges.select(F.col("doc_b").alias("node")))
+        edges.select(F.explode(F.array("doc_a", "doc_b")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("d"))
     )

@@ -1252,8 +1252,10 @@ def dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         for _i in range(KCORE_ROUNDS):
             prev_cnt = cur.count()
             keep = (
-                cur.select(F.col("doc_a").alias("node"))
-                .unionByName(cur.select(F.col("doc_b").alias("node")))
+                # one scan + map-side explode instead of two union'd scans
+                cur.select(
+                    F.explode(F.array("doc_a", "doc_b")).alias("node")
+                )
                 .groupBy("node")
                 .agg(F.count("*").alias("dg"))
                 .where(F.col("dg") >= k)

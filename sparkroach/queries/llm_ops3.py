@@ -890,38 +890,56 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BM25_PROBES)
         .select("probe")
     )
-    words = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
-    )
-    # ONE corpus-wide (doc_id, term) aggregation carries BOTH tf and
-    # first_pos (r8 optimization: the old plan aggregated the exploded
-    # corpus separately for tf and for first_pos, re-split every text for
-    # dl, and planned the whole qterms subtree twice — 4 explode passes
-    # and ~19 exchanges for one corpus).  The checkpoint is the standard
-    # pay-once move for a multi-consumed intermediate (same posture as
-    # the LSH band stage): (doc_id, term, tf, first_pos) is the posting
-    # table — O(corpus tokens) narrow rows — and every downstream table
-    # (query terms, document frequency, document length) is derived from
-    # it without touching the raw text again.  dl = SUM(tf) per doc is
-    # exactly size(split(text)) for every doc that has postings, and docs
-    # without postings can never join a query term.
-    tfp = (
-        words.groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"), F.min("pos").alias("first_pos"))
-        .localCheckpoint(eager=True)
-    )
+    # r9 restructure (guide §2.3 "aggregate before you shuffle" / §3.2
+    # semi-join reduction).  The r8 plan materialized the FULL posting
+    # table — a corpus-wide explode shuffled into a (doc_id, term)
+    # aggregation, checkpointed, then re-aggregated corpus-wide for df
+    # and dl — when everything downstream only ever touches the rows of
+    # the ≤ BM25_PROBES × BM25_QTERMS = 32 query terms.  The query terms
+    # are knowable FIRST from the 8 probe docs alone: broadcast-join the
+    # probe list against the corpus, explode just those 8 docs, take each
+    # one's first BM25_QTERMS distinct words.  The list is bounded by two
+    # module constants, so collecting it is a 32-row driver transfer, and
+    # it comes back as (a) a literal IN filter that drops non-query-term
+    # tokens BEFORE the posting exchange and (b) a literal join frame for
+    # the per-probe scoring.  The corpus-wide pass then aggregates only
+    # matching (doc_id, term) rows — shuffle bytes go from O(all distinct
+    # doc-term pairs) to O(Σ df(q_t)) — and carries dl = size(split(text))
+    # map-side in the same pass (identical to the oracle's dl CTE and to
+    # the old SUM(tf): both equal the doc's token count), so the separate
+    # corpus-wide dl aggregation and its doc_id-keyed join disappear.
     wq = Window.partitionBy("probe").orderBy("first_pos")
-    qterms = (
-        F.broadcast(probes)
-        .join(tfp, F.col("probe") == F.col("doc_id"))
-        .select("probe", "term", "first_pos")
+    qterm_rows = (
+        d.join(F.broadcast(probes), F.col("doc_id") == F.col("probe"))
+        .select(
+            "probe", F.posexplode(F.split("text", " ")).alias("pos", "term")
+        )
+        .groupBy("probe", "term")
+        .agg(F.min("pos").alias("first_pos"))
         .withColumn("rk", F.row_number().over(wq))
         .where(F.col("rk") <= BM25_QTERMS)
         .select("probe", "term")
+        .collect()
+    )  # ≤ 32 rows by construction (BM25_PROBES × BM25_QTERMS)
+    qterms = spark.createDataFrame(
+        qterm_rows, "probe long, term string"
     )
-    tf = tfp.select("doc_id", "term", "tf")
-    df_t = tfp.groupBy("term").agg(F.count("*").alias("df"))
-    dl = tfp.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    terms = sorted({r["term"] for r in qterm_rows})
+    # candidate postings only: filter BEFORE the exchange; one corpus
+    # explode, aggregated rows bounded by Σ df(q_t).  Checkpointed so the
+    # df census below and the scoring join pay the corpus pass once.
+    cand = (
+        d.select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("dl"),
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.min("dl").cast("long").alias("dl"))
+        .localCheckpoint(eager=True)
+    )
+    df_t = cand.groupBy("term").agg(F.count("*").alias("df"))
     # identical IEEE op order as the oracle: rational idf × saturating tf
     avgdl = F.col("total").cast("double") / F.col("n").cast("double")
     ts = F.round(
@@ -943,10 +961,8 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         9,
     )
     scored = (
-        F.broadcast(qterms)
-        .join(tf, "term")
-        .join(F.broadcast(df_t.join(F.broadcast(qterms.select("term").distinct()), "term")), "term")
-        .join(dl, "doc_id")
+        cand.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(stats))
         .select("probe", "doc_id", ts.alias("ts"))
     )

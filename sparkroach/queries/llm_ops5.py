@@ -324,9 +324,16 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= _JACCARD_TAU)
         .select("doc_a", "doc_b")
     )
+    # r9: explode(array(a, b)) instead of a union of two projections —
+    # the union planned the ENTIRE verify-join subtree twice (both
+    # branches re-ran the candidate join against the shingle sets; the
+    # before-plan shows the pair pipeline duplicated under the union).
+    # explode emits both endpoints from ONE execution of the pair
+    # pipeline, map-side; same distinct endpoint set (guide §2.4).
     dup_docs = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        )
         .distinct()
         .withColumn("is_dup", F.lit(True))
     )

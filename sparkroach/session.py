@@ -49,6 +49,18 @@ def get_spark(
         # are size-conditioned, not local-tuned: oversized partitions
         # still get sort-merge at any scale.  Interleaved A/B over the
         # 14-query bench set: median 17.22 s → 16.80 s, 4/5 rounds.
+        # Known risk (r8 ADVICE): the static preferSortMergeJoin=false
+        # path decides from ESTIMATED sizes (sizeInBytes), which can be
+        # far off after filters/UDFs, and an under-estimated build side
+        # OOMs because SHJ's hash map does not spill.  It is kept because
+        # (a) the static planner additionally requires the build side
+        # under numShufflePartitions * autoBroadcastJoinThreshold AND 3x
+        # smaller than the other side, (b) every estimate-opaque subtree
+        # here (UDF/explode stages) feeds aggregations, not join builds,
+        # and (c) the AQE threshold below re-checks RUNTIME map sizes for
+        # the sort-merge plans AQE rewrites.  A deployment with wildly
+        # filtered build sides should flip this back to true and keep
+        # only the AQE (runtime-measured) path.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import time
 
+import pytest
+
 from sparkroach.chain.ingest import ChainDB
 from sparkroach.sources import blocks_from_dir, write_block_file
 from tests import chain_fixtures as fx
@@ -42,6 +44,7 @@ def test_batch_face_reads_all_rounds_typed(spark, tmp_path):
     assert isinstance(gh, (bytes, bytearray)) and len(gh) == 32
 
 
+@pytest.mark.soak
 def test_gap_aware_round_order_delivery(spark, tmp_path):
     """Round 2's file lands BEFORE round 1's (late-arriving middle round).
     The mtime-ordered generic file source would deliver 2 first and the
@@ -69,6 +72,7 @@ def test_gap_aware_round_order_delivery(spark, tmp_path):
     assert db.store.read("block_header").count() == 3
 
 
+@pytest.mark.soak
 def test_exporter_roundtrip_two_phase_commit(spark, tmp_path):
     """importer → exporter loop: blocks stream in via conduit_blocks and
     out via the conduit_block_files two-phase-commit sink; the exported
@@ -127,6 +131,7 @@ def test_exporter_roundtrip_two_phase_commit(spark, tmp_path):
     assert os.listdir(os.path.join(bdir, "_tmp")) == []
 
 
+@pytest.mark.soak
 def test_restart_exactly_once_from_checkpoint(spark, tmp_path):
     src = str(tmp_path / "feed")
     ckpt = str(tmp_path / "ckpt")

@@ -15,6 +15,9 @@ from sparkroach.chain.ingest import ChainDB
 from sparkroach.chain.schemas import TABLE_SCHEMAS
 from tests import chain_fixtures as fx
 
+# soak tier: excluded from the default driver-window run (pytest.ini)
+pytestmark = pytest.mark.soak
+
 
 def _batch_a() -> list[dict]:
     return [

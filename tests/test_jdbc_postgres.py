@@ -315,6 +315,7 @@ def test_bulk_append_facts_via_copy_on_real_db(pg, chain_db):
                 assert g[i] == _pg_text(w[name]), (name, g[i], w[name])
 
 
+@pytest.mark.soak
 def test_stream_ingest_mirrors_postgres_exactly_once(pg, mirror, spark, tmp_path):
     """VERDICT r4 item 8: stream_ingest + JdbcMirror in ONE foreachBatch —
     store first, postgres second, checkpoint last — with a CRASH injected

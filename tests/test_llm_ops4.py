@@ -9,6 +9,8 @@ contract, and the streamed gate's null-emission path.
 
 from __future__ import annotations
 
+import pytest
+
 import itertools
 
 import pandas as pd
@@ -175,6 +177,7 @@ def test_hist_quantile_error_bound(spark):
         assert r.p50_bucket_lo <= true_p50 < r.p50_bucket_lo + HIST_BIN_W
 
 
+@pytest.mark.soak
 def test_left_join_streamed_emits_null_rows_and_matches_batch(spark):
     out = QUERIES["events_left_join_streamed"].fn(spark, SF_SMALL)
     rows = out.collect()

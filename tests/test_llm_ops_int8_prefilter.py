@@ -276,6 +276,7 @@ def test_band_buckets_udf_matches_hof_columns(spark, sf_dir):
     assert old == new
 
 
+@pytest.mark.soak
 def test_band_buckets_udf_ragged_vectors(spark):
     """zip_with() zips to the longer length with nulls, so a vector whose
     length differs from the plane dimension gets a NULL dot in every

@@ -11,6 +11,8 @@ Two properties are pinned:
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from sparkroach.queries import QUERIES
@@ -207,6 +209,42 @@ def test_capped_band_pairs_exact_below_cap(spark):
     assert pairs == {(a, b) for a in range(n) for b in range(a + 1, n)}
 
 
+def test_capped_band_pairs_join_routed_past_collect_threshold(
+    spark, monkeypatch
+):
+    """r9 guard (r8 verdict What's-wrong #3): when the flooded-bucket key
+    list exceeds _OVER_COLLECT_MAX the over-cap routing must switch from
+    the collect+broadcast path to distributed anti/semi joins — and emit
+    the IDENTICAL pair set.  Forces the threshold to 1 so a 2-flood-bucket
+    input exercises the join-routed branch, and compares against the
+    broadcast branch on the same input."""
+    from sparkroach.queries import llm_ops
+    from sparkroach.queries.llm_ops import LSH_BUCKET_CAP, capped_band_pairs
+
+    n = LSH_BUCKET_CAP + 10
+    rows = [(i, 0, "floodA") for i in range(n)]
+    rows += [(1000 + i, 0, "floodB") for i in range(n)]
+    rows += [(5000 + j, 0, f"b{j}") for j in range(5)]  # under-cap
+    rows += [(6000, 0, "pairX"), (6001, 0, "pairX")]
+    bands = spark.createDataFrame(
+        rows, "doc_id long, band_idx int, band_val string"
+    )
+
+    broadcast_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in capped_band_pairs(bands, "doc_id").collect()
+    }
+    monkeypatch.setattr(llm_ops, "_OVER_COLLECT_MAX", 1)
+    joined_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in capped_band_pairs(bands, "doc_id").collect()
+    }
+    assert joined_pairs == broadcast_pairs
+    assert (6000, 6001) in joined_pairs  # under-cap exact pairs survive
+    # both flood buckets stayed linear (K-star + chain), not C(n,2)
+    assert len(joined_pairs) == 2 * _capped_pair_count(n) + 1
+
+
 def test_embedding_dedup_capped_band_pairs(spark):
     """The embedding-band variant of the guard: one degenerate bucket of
     identical vectors stays linear in pairs."""
@@ -360,6 +398,7 @@ def test_gopher_gate_rules(spark):
     assert True in keeps
 
 
+@pytest.mark.soak
 def test_star_cc_random_graphs_match_union_find(spark):
     """Seeded Erdős–Rényi-ish graphs of varying density: star CC must equal
     union-find on every one (components of all shapes, not just cliques
@@ -460,6 +499,7 @@ def test_star_cc_sweep_exhaustion_yields_one_row_per_node(spark, monkeypatch):
     assert all(0 <= r["label"] <= r["node"] for r in rows)
 
 
+@pytest.mark.soak
 def test_ann_recall_report_monotonic_in_probes(spark):
     """r4 (VERDICT #5): the recall/cost dial must be quantitative and
     well-ordered — per query, recall@k(2 probes) >= recall@k(1 probe) and

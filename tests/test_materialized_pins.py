@@ -12,6 +12,8 @@ test_oracle_gate.py value-checks them against DuckDB as well).
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from sparkroach.queries import QUERIES
@@ -105,6 +107,7 @@ def test_dedup_streamed_collapses_redelivery_exactly(spark):
     )
 
 
+@pytest.mark.soak
 def test_full_join_streamed_null_extends_both_sides(spark):
     from sparkroach.streaming.events import JOIN_WINDOW_HOURS
 
@@ -139,6 +142,7 @@ def test_full_join_streamed_null_extends_both_sides(spark):
     ).count()
 
 
+@pytest.mark.soak
 def test_sessions_timeout_streamed_matches_batch_twin(spark):
     """Timer-expiry sessionizer must equal the batch gap-split twin."""
     from pyspark.sql import Window

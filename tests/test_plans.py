@@ -471,6 +471,7 @@ def _empty_partition_windows(df) -> list[str]:
     return out
 
 
+@pytest.mark.soak
 def test_every_registered_query_plan_is_scale_safe(spark):
     """Universal plan audit: NO CartesianProduct anywhere in the registry,
     BroadcastNestedLoopJoin only in the documented scalar-join whitelist,
@@ -804,3 +805,42 @@ def test_winnowing_pairs_plan_is_bounded_and_pays_fps_once(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "Scan parquet" not in plan  # all sides read the checkpoint
+
+
+def test_census_windows_are_keyed_never_global(spark):
+    """r8 ADVICE pin: the frequency-census windows the r8 optimization
+    introduced (winnowing `count over (partition by fp)`, passage-dedup
+    `min/max over (partition by ph)`) must stay partitioned by the hash
+    key — hashpartitioning, never an Exchange SinglePartition — so the
+    buffered unit is one fingerprint/passage group, not the corpus.  The
+    residual skew posture is documented at the call sites: a boilerplate
+    flood key funnels its group through one window task's buffer, the
+    rows are ~50-byte (id, hash) pairs, and the group is bounded by the
+    corpus' duplication structure; if profiling at scale ever shows a
+    flood group dominating, the fallback is the pre-r8 map-side-partial
+    groupBy census + join-back (more exchanges, flood-immune)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparkroach.queries.llm_ops8 import winnow_fingerprints
+    from sparkroach.tables import load
+
+    # passage_dedup_exact: the ph census window is in the returned plan
+    plan = _plan(spark, "passage_dedup_exact")
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(ph" in plan
+
+    # winnowing_match_pairs: the fp census sits ABOVE a localCheckpoint
+    # (the final plan reads the checkpoint RDD), so assert on the
+    # pre-checkpoint census frame the query builds
+    fps = winnow_fingerprints(load(spark, SF_SMALL, "documents"))
+    census = fps.withColumn(
+        "df", F.count("*").over(Window.partitionBy("fp"))
+    )
+    plan = census._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(fp" in plan

@@ -153,15 +153,14 @@ _BROADCAST_OK: dict[tuple[str, str], str] = {
         "queries × nprobe probe shortlist",
     ("queries/llm_ops2.py", "qe"):
         "query embeddings for the literal-bounded rerank query set",
-    ("queries/llm_ops3.py",
-     'df_t.join(F.broadcast(qterms.select("term").distinct()), "term")'):
-        "document frequencies restricted to the query terms (bounded by "
-        "the query)",
+    ("queries/llm_ops3.py", "df_t"):
+        "document-frequency census over the ≤ BM25_PROBES·BM25_QTERMS "
+        "collected query terms — one row per query term, literal-bounded",
     ("queries/llm_ops3.py", "nn"): "1-row node count (PageRank)",
     ("queries/llm_ops3.py", "probes"): "literal-bounded probe set",
-    ("queries/llm_ops3.py", "qterms"): "query term list (bounded by query)",
-    ("queries/llm_ops3.py", 'qterms.select("term").distinct()'):
-        "query term list (bounded by query)",
+    ("queries/llm_ops3.py", "qterms"):
+        "query term list (≤ BM25_PROBES·BM25_QTERMS literal rows, "
+        "collected and re-created as a local relation)",
     ("queries/llm_ops3.py", "stats"): "1-row BM25 corpus stats",
     ("queries/llm_ops3.py", "tot"): "1-row total",
     ("queries/llm_ops4.py", "mn"): "1-row aggregate",

@@ -297,6 +297,39 @@ def test_merge_full_outer_semantics_in_one_pass(store, spark):
     }                          # b"gone" physically removed by __drop__
 
 
+def test_merge_drop_null_evaluates_to_keep(store, spark):
+    """Contract pin (r8 ADVICE): a __drop__ expression that evaluates to
+    NULL keeps the row.  The merge filter is ~coalesce(present & drop,
+    false) — null-safe — so three-valued-logic NULLs behave like false;
+    a caller that wants NULL to mean delete must coalesce its own
+    expression at the call site."""
+    from pyspark.sql import functions as F
+
+    from sparkroach.chain.schemas import TABLE_SCHEMAS
+
+    def box_rows(pairs):
+        return spark.createDataFrame(
+            [(app, name, val) for app, name, val in pairs],
+            TABLE_SCHEMAS["app_box"],
+        )
+
+    cols = {
+        "app": F.col("u.app"),
+        "name": F.col("u.name"),
+        "value": F.col("u.value"),
+        # NULL value → comparison is NULL, not true/false
+        "__drop__": F.col("u.value") == F.lit(b"DROP"),
+    }
+    store.merge_state(
+        "app_box",
+        box_rows([(1, b"nullkey", None), (1, b"dropkey", b"DROP")]),
+        cols,
+        touch_all=True,
+    )
+    out = {bytes(r["name"]) for r in store.read("app_box").collect()}
+    assert out == {b"nullkey"}  # NULL drop-expr kept; true drop-expr swept
+
+
 def test_vacuum_reclaims_and_bounds_time_travel(store, spark):
     import os
 

@@ -86,6 +86,7 @@ def test_sessionize_stateful(spark, feed, tmp_path):
     assert r.session_start.minute == 0 and r.session_end.minute == 10
 
 
+@pytest.mark.soak
 def test_windowed_rollup_append_drops_late_events(spark, tmp_path):
     """Watermark semantics that complete-mode can't show: in append mode a
     window finalizes once the watermark passes its end, and events arriving
@@ -159,6 +160,7 @@ def test_windowed_rollup_append_drops_late_events(spark, tmp_path):
     assert (r.window_start.hour, r.event_type, r.n) == (10, "click", 2)
 
 
+@pytest.mark.soak
 def test_sessions_streamed_equals_batch_twin(spark):
     """The gate query drives the REAL writeStream path (parquet file
     source, maxFilesPerTrigger=1, availableNow, restart on the same
@@ -176,6 +178,7 @@ def test_sessions_streamed_equals_batch_twin(spark):
     ]
 
 
+@pytest.mark.soak
 def test_stream_stream_join_restart_cut_straddles_a_pair(spark):
     """events_join_streamed places its restart cut inside the WIDEST
     matched (signup, purchase) pair.  For the recovery claim to be
@@ -436,6 +439,7 @@ def test_sessions_tws_streamed(spark):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
 
+@pytest.mark.soak
 def test_sessions_streamed_under_rocksdb_state_store(spark):
     """The sessionizer gate (restart mid-session included) must produce
     identical results on the RocksDBStateStoreProvider — the state

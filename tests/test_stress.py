@@ -16,6 +16,9 @@ import pytest
 from sparkroach import oracle, stress
 from sparkroach.queries import QUERIES
 
+# soak tier: excluded from the default driver-window run (pytest.ini)
+pytestmark = pytest.mark.soak
+
 N = 2_000
 
 
