@@ -123,7 +123,9 @@ for it in range(N):
     with _span("TOTAL:add_blocks"):
         db.add_blocks(df)
     total = time.perf_counter() - t0
-    first = min(s for _, s, _ in SPANS if not _.startswith("TOTAL"))
+    first = min(
+        s for name, s, _e in SPANS if not name.startswith("TOTAL")
+    )
     print(f"--- run {it}: total={total:.3f}s  serial-pre-fanout={first:.3f}s")
     for name, s, e in sorted(SPANS, key=lambda x: x[1]):
         print(f"  {name:28s} {s:7.3f} -> {e:7.3f}  ({e - s:.3f}s)")

@@ -191,6 +191,46 @@ class ChainDB:
         # (r8 optimization; previously the gate collect ran on the raw
         # input and the cache was only installed after the round filter).
         blocks = blocks.cache()
+        # r9 (guide §2.6, verdict items 3/4): the account MERGE is the
+        # batch's critical path (span profile: serial gate collect ~0.8 s,
+        # then the merge ~2.7 s of which ~1.3 s is the FOLD — the depth-1
+        # flatten + tagged union + groupBy(addr) — and the rest the
+        # full-outer join + bucket write).  The fold is PURE COMPUTATION:
+        # no manifest is touched, so running it BEFORE the round gate
+        # cannot violate gate semantics — a gate failure just discards
+        # the materialized frame, and nothing was written.  It is
+        # submitted here, concurrently with the gate collect; the two
+        # jobs share one cache fill (per-partition cache locks make
+        # whichever job arrives first compute the conversion), so the
+        # wall cost of the serial region becomes max(collect, fold)
+        # instead of collect + fold.  The round filter used here —
+        # (round >= nxt) & (round != 0) — equals the post-gate
+        # set(todo) filter in every gate-PASSING case (todo is exactly
+        # the consecutive rounds from nxt), and in the failing/replay
+        # cases the result is discarded.  The fold always takes the
+        # fused balance+sig-delta path: with an empty payset the sig
+        # stream is empty and max_by/max(is_sig) reproduce the no-txn
+        # variant's NULL keytype_delta / delta_present=false exactly.
+        from concurrent.futures import Future, ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=6)
+        pre_nz = blocks.where(
+            (F.col("round") >= F.lit(nxt)) & (F.col("round") != 0)
+        )
+
+        def _eager_fold():
+            acct, upd = self._account_fold(pre_nz)
+            return acct.localCheckpoint(eager=True), upd
+
+        # SPARKROACH_EAGER_ACCOUNT_FOLD=0 defers the fold to merge time
+        # (the pre-r9 schedule) — kept as the interleaved-A/B toggle and
+        # as an escape hatch for feeds where replayed batches are common
+        # enough that pre-gate work would mostly be discarded.
+        if os.environ.get("SPARKROACH_EAGER_ACCOUNT_FOLD", "1") != "0":
+            fold_fut = pool.submit(_eager_fold)
+        else:
+            fold_fut = Future()
+            fold_fut.set_result(None)  # sentinel: fold at merge time
         # one driver-side collect for all scalar bookkeeping: rounds,
         # special accounts, and per-delta sizes (to skip no-op merges)
         meta_rows = blocks.select(
@@ -212,13 +252,24 @@ class ChainDB:
                 F.lit(0),
             ).alias("n_inner"),
         ).collect()
+        def _abort():
+            # the eager fold may still be in flight and reads the cached
+            # batch: drain it (errors included — the batch is being
+            # discarded anyway) before releasing the cache and the pool
+            try:
+                fold_fut.result()
+            except Exception:
+                pass
+            pool.shutdown(wait=True)
+            blocks.unpersist()
+
         rounds = sorted({r["round"] for r in meta_rows})
         if not rounds:
-            blocks.unpersist()
+            _abort()
             return 0
         todo = [r for r in rounds if r >= nxt]
         if not todo:
-            blocks.unpersist()
+            _abort()
             return 0  # pure replay of already-applied rounds
         if strict:
             try:
@@ -230,7 +281,7 @@ class ChainDB:
                     if b != a + 1:
                         raise RoundGateError(f"non-consecutive rounds {a} → {b}")
             except RoundGateError:
-                blocks.unpersist()
+                _abort()
                 raise
         applied = [r for r in meta_rows if r["round"] in set(todo)]
         # AddBlock0 semantics (cockroach.go:159-165): round 0 writes ONLY
@@ -312,21 +363,21 @@ class ChainDB:
         n_upd = {k: sum(r[k] for r in nz_applied) for k in
                  ("n_accts", "n_assets", "n_apps", "n_boxes")}
         def _merge_account_task():
-            # The account merge is the longest single job in the batch and
-            # only needs ROOT txns (sig-type deltas are defined on root
-            # signatures) — a lazy depth-1 flatten recomputes exactly the
-            # roots inside the merge job itself, so the merge starts
-            # immediately instead of idling behind the full (all-depths)
-            # flatten the txn/participation appends consume.  Duplicating
-            # the root posexplode is map-side work on otherwise-idle
-            # cores; the critical path shortens by the flatten's wall time.
-            sig_rows = (
-                transforms.flatten_txns(nz_blocks, depth=1)
-                if flat is not None
-                else None
+            # consume the eagerly-materialized fold (submitted before the
+            # gate collect; see the r9 comment above): the merge task is
+            # left with just the full-outer bucket join + write — the
+            # fold half of the old critical path already ran, overlapped
+            # with the serial gate region
+            res = fold_fut.result()
+            # deferred branch reproduces the pre-r9 schedule faithfully:
+            # lazy fold over the coalesced batch, inside the merge job
+            acct, upd = (
+                res if res is not None else self._account_fold(nz_blocks)
             )
-            self._merge_account_batch(
-                nz_blocks, sig_rows, touch_all=n_upd["n_accts"] >= dense
+            self._merge_account(
+                acct,
+                touch_keys=upd.select("addr"),
+                touch_all=n_upd["n_accts"] >= dense,
             )
 
         if has["n_accts"]:
@@ -341,22 +392,19 @@ class ChainDB:
             tasks.append(lambda: self._merge_boxes(
                 nz_blocks, touch_all=n_upd["n_boxes"] >= dense))
 
-        from concurrent.futures import Future, ThreadPoolExecutor
-
         # try/finally so a failing table task cannot leak the cached
         # micro-batch / flatten across batches of a long-lived streaming
         # session (r8 ADVICE): unpersist runs on EVERY exit path, while
         # the metastate commit (the exactly-once commit point) still runs
         # only after every table job succeeded.
         try:
-            with ThreadPoolExecutor(max_workers=5) as pool:
-                if flat is not None:
-                    flat_ready = pool.submit(flat.count)
-                else:
-                    flat_ready = Future()
-                    flat_ready.set_result(0)
-                for fut in [pool.submit(t) for t in tasks]:
-                    fut.result()  # re-raise the first failure
+            if flat is not None:
+                flat_ready = pool.submit(flat.count)
+            else:
+                flat_ready = Future()
+                flat_ready.set_result(0)
+            for fut in [pool.submit(t) for t in tasks]:
+                fut.result()  # re-raise the first failure
 
             # metastate: special accounts + round high-water mark in ONE
             # merge (the round update is the commit point)
@@ -378,33 +426,41 @@ class ChainDB:
                 }
             )
         finally:
+            # a still-running eager fold holds cache references even when
+            # the merge task was never scheduled (has["n_accts"] false) or
+            # a sibling task failed first — drain it before unpersisting
+            if not fold_fut.done():
+                try:
+                    fold_fut.result()
+                except Exception:
+                    pass
+            pool.shutdown(wait=True)
             if flat is not None:
                 flat.unpersist()
             unfiltered.unpersist()
         return len(todo)
 
-    def _merge_account_batch(
-        self, blocks: DataFrame, flat: DataFrame | None, touch_all: bool = False
-    ) -> None:
+    def _account_fold(self, blocks: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(folded account frame, raw update stream) for one micro-batch —
+        the pure-computation half of the account merge, safe to run
+        before the round gate (no writes).
+
+        Fused fold (r8): the balance-update stream and the root-txn
+        sig-delta stream are BOTH last-wins folds keyed by addr, so one
+        tagged union + one groupBy(addr) computes both — one exchange
+        instead of two aggregations joined back together (the join also
+        cost an AQE stage).  max_by ignores rows whose ordering value is
+        NULL, so each family's ordering key is nulled out on the other
+        family's rows; the left-join semantics (sig deltas apply only to
+        addrs with a balance update — writer.go:181-225) survive as the
+        has_upd filter.  Sig deltas only need ROOT txns, so the flatten
+        here is always depth-1 — and on a payset-free batch the sig
+        stream is simply empty, which reproduces the old no-txn
+        variant's NULL keytype_delta / delta_present=false exactly
+        (max_by over no rows → NULL struct; max(is_sig) → false)."""
         upd = transforms.account_updates(blocks)
         value_cols = ["microalgos", "rewardsbase", "rewards_total", "account_data"]
-        if flat is None:
-            acct = _fold(upd, ["addr"], value_cols).withColumn(
-                "keytype_delta", F.lit(None).cast("string")
-            ).withColumn("delta_present", F.lit(False))
-            self._merge_account(
-                acct, touch_keys=upd.select("addr"), touch_all=touch_all
-            )
-            return
-        # Fused fold: the balance-update stream and the root-txn sig-delta
-        # stream are BOTH last-wins folds keyed by addr, so one tagged
-        # union + one groupBy(addr) computes both — one exchange instead
-        # of two aggregations joined back together (the join also cost an
-        # AQE stage).  max_by ignores rows whose ordering value is NULL,
-        # so each family's ordering key is nulled out on the other
-        # family's rows; the left-join semantics (sig deltas apply only
-        # to addrs with a balance update — writer.go:181-225) survive as
-        # the has_upd filter.
+        flat = transforms.flatten_txns(blocks, depth=1)
         sig_rows = transforms.sigtype_delta_rows(blocks, rows=flat)
         unioned = upd.withColumn("is_sig", F.lit(False)).unionByName(
             sig_rows.select(
@@ -444,7 +500,7 @@ class ChainDB:
             .withColumn("keytype_delta", F.col("_sig_d.keytype"))
             .drop("_sig_d", "_has_upd")
         )
-        self._merge_account(acct, touch_keys=upd.select("addr"), touch_all=touch_all)
+        return acct, upd
 
     def _merge_assets(self, blocks: DataFrame, touch_all: bool = False) -> None:
         aupd = transforms.asset_updates(blocks)
