@@ -8,8 +8,10 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from sparkroach.queries.analytics16 import running_global_sum
+import pytest
 
 
+@pytest.mark.soak  # property/twin grade (r9 tiering)
 def test_running_global_sum_equals_single_window(spark):
     """1000 ±1 deltas over shuffled keys: offset+local running sum must
     equal the one-task global window row-for-row, across many range

@@ -10,8 +10,10 @@ import pandas as pd
 
 from sparkroach.queries import QUERIES
 from tests.conftest import SF_SMALL
+import pytest
 
 
+@pytest.mark.soak  # property/twin grade (r9 tiering)
 def test_binaryfile_ingest_equals_mapinpandas_lane(spark):
     via_files = QUERIES["multimodal_binaryfile_ingest"].fn(spark, SF_SMALL)
     in_memory = QUERIES["multimodal_decode"].fn(spark, SF_SMALL)

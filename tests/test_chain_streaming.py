@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from sparkroach.chain.ingest import ChainDB
 from sparkroach.chain.schemas import block_schema
 from tests import chain_fixtures as fx
+import pytest
 
 
 def _write_block_json(spark, path: str, blocks: list[dict]) -> None:
@@ -60,6 +61,7 @@ def test_stream_ingest_available_now(spark, tmp_path):
     assert db.store.read("block_header").count() == 5
 
 
+@pytest.mark.soak  # property/twin grade (r9 tiering)
 def test_stream_full_redelivery_after_checkpoint_loss(spark, tmp_path):
     """The at-least-once envelope, end to end: a multi-batch rate-limited
     stream (maxFilesPerTrigger=1 → one micro-batch per block) ingests 3

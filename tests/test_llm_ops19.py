@@ -214,6 +214,7 @@ def test_nsw_beam_contract_and_determinism(spark):
         assert keys == sorted(keys)
 
 
+@pytest.mark.soak  # property/twin grade (r9 tiering)
 def test_nsw_beam_finds_genuinely_similar_neighbors(spark):
     """The walk must do better than the entry point it starts from: for
     every query, the top hit's cosine must be >= the entry node's own
@@ -247,6 +248,7 @@ def test_nsw_beam_finds_genuinely_similar_neighbors(spark):
         assert c >= entry_sim[q]
 
 
+@pytest.mark.soak  # property/twin grade (r9 tiering)
 def test_nsw_recall_vs_exact_baseline(spark):
     """The navigable-graph walk must actually FIND neighbors: mean
     recall@5 vs the brute-force baseline — measured 0.95 at the pinned

@@ -245,6 +245,7 @@ _PAIR_SCORING = [
 ]
 
 
+@pytest.mark.soak  # scale-audit posture property (r9 tiering)
 @pytest.mark.parametrize("name,plan_shows_join", _PAIR_SCORING)
 def test_pair_scoring_executes_without_broadcast(spark, name, plan_shows_join):
     """With spark.sql.autoBroadcastJoinThreshold = -1 the corpus-side

@@ -27,6 +27,7 @@ def twin_rows(spark):
     return QUERIES["dedup_streaming_kept"].fn(spark, SF_SMALL).collect()
 
 
+@pytest.mark.soak  # property/twin grade (r9 tiering)
 def test_stream_matches_batch_twin(spark, tmp_path_factory, twin_rows):
     """File-source stream (one file per micro-batch, same split as the
     twin) keeps exactly the twin's docs with the same batch ids."""
